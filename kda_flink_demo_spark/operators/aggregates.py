@@ -1,0 +1,67 @@
+"""Aggregation surface (reference §2.6 A1–A6) plus parity breadth.
+
+The reference's only aggregate is COUNT — grouped, windowed, analytic, and a custom
+merge-able AggregateFunction (/root/reference/.../StreamJobTumblingOffset.java:176-200)
+whose partial+final contract is exactly Catalyst's HashAggregate partial→final, so
+the built-ins subsume it. This module adds the standard aggregate pack a user of a
+general engine expects, all thin wrappers over JVM-side functions (no Python in the
+hot path).
+
+Scale notes: every grouped agg here is map-side partial-aggregated before the
+shuffle; `approx_count_distinct` (HLL) replaces exact distinct at 100 TB when a
+0.5–2% error is acceptable — exact countDistinct forces a second shuffle on
+(group, value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_counts(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
+    """A1/A2/A4/A5: grouped COUNT with partial aggregation (map-side combine)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate over the fact table — exercises sum/avg/count
+    in one pass (single shuffle, partial aggs). Doubles are rounded so results are
+    comparable across engines' summation orders.
+    """
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def distinct_counts(df: DataFrame, group_key: str, value: str, alias: str = "distinct_cnt") -> DataFrame:
+    """A6 breadth: exact COUNT(DISTINCT value) per group (expand + two-phase agg)."""
+    return df.groupBy(group_key).agg(F.countDistinct(value).alias(alias))
+
+
+def approx_distinct_counts(
+    df: DataFrame, group_key: str, value: str, rsd: float = 0.01, alias: str = "approx_cnt"
+) -> DataFrame:
+    """A6 breadth: HyperLogLog++ distinct estimate — the 100 TB-scale path (single
+    shuffle, constant-size sketch state per group)."""
+    return df.groupBy(group_key).agg(F.approx_count_distinct(value, rsd).alias(alias))
+
+
+def rollup_counts(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
+    """A6 breadth: ROLLUP grouping-sets aggregate."""
+    return df.rollup(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def cube_counts(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
+    """A6 breadth: CUBE grouping-sets aggregate."""
+    return df.cube(*keys).agg(F.count(F.lit(1)).alias(alias))

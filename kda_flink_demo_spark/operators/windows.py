@@ -1,0 +1,103 @@
+"""Event-time windows (reference §2.5 W1–W4) as batch/streaming-agnostic builders.
+
+One implementation serves all three reference spellings (Flink SQL, Table API,
+DataStream API) because they compile to the same windowed aggregate
+(/root/reference/.../StreamJobSqlTumbling.java:145-153, StreamJobTumbling.java:146-149,
+StreamJobTumblingOffset.java:157) — exactly as Spark SQL and the DataFrame API share
+one Catalyst plan.
+
+Scale notes: a windowed count shuffles once on (window, key) with partial
+aggregation map-side (HashAggregate partial→final). Key cardinality here is
+(#windows × #classes) — small and uniform, no skew handling needed. In streaming
+mode the same builders run incrementally with state keyed the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    key: str = "railway_class",
+    ts: str = "rowtime",
+    size: str = "1 minute",
+    offset: str | None = None,
+    count_alias: str = "railway_class_count",
+) -> DataFrame:
+    """W1/W2 tumbling (and W3 with ``offset``) windowed count.
+
+    Output contract per /root/reference/README.MD:46-51:
+    (key, count, window_start, window_end). ``offset`` maps the DataStream API's
+    TumblingEventTimeWindows.of(size, offset)
+    (/root/reference/.../StreamJobTumblingOffset.java:157) onto Spark's ``startTime``.
+    """
+    win = (
+        F.window(ts, size, size, offset) if offset is not None else F.window(ts, size)
+    )
+    return (
+        df.groupBy(win.alias("w"), F.col(key).cast("string").alias(key))
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .select(
+            key,
+            count_alias,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+
+
+def hopping_counts(
+    df: DataFrame,
+    key: str = "railway_class",
+    ts: str = "rowtime",
+    size: str = "2 minutes",
+    slide: str = "1 minute",
+    count_alias: str = "railway_class_count",
+    emit_hop_rowtime: bool = True,
+) -> DataFrame:
+    """W4 hopping window count with the reference's HOP_ROWTIME column
+    (window end − 1 ms, used as RECEIVED_ON by the hopping sink,
+    /root/reference/.../StreamJobSqlHopping.java:145-154).
+
+    The reference hardcodes a degenerate slide of INTERVAL '0' SECOND (quirk,
+    SURVEY §7.3); we expose slide as a real parameter.
+    """
+    out = (
+        df.groupBy(F.window(ts, size, slide).alias("w"), F.col(key).cast("string").alias(key))
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .select(
+            key,
+            count_alias,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+    if emit_hop_rowtime:
+        out = out.withColumn(
+            "received_on", F.col("window_end") - F.expr("INTERVAL 1 MILLISECOND")
+        )
+    return out
+
+
+def session_counts(
+    df: DataFrame,
+    key: str = "railway_class",
+    ts: str = "rowtime",
+    gap: str = "5 minutes",
+    count_alias: str = "railway_class_count",
+) -> DataFrame:
+    """Session windows — not present in the reference (SURVEY §2.5 W6) but exposed
+    for capability breadth via Spark's built-in ``session_window``.
+    """
+    return (
+        df.groupBy(F.session_window(ts, gap).alias("w"), F.col(key).cast("string").alias(key))
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .select(
+            key,
+            count_alias,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )

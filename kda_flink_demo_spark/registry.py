@@ -1,0 +1,397 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a named
+(spark_query, duckdb_oracle_sql) pair.
+
+Contract (driver's ``__spark_entry__.py``): the Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle is ANSI SQL DuckDB runs
+over the same parquet tables. Column names are aliased identically on both sides
+(the comparator sorts columns by name before hashing). Entries with ``oracle=None``
+are genuinely non-SQL-expressible and get the driver's rows-only check.
+
+Floating-point policy: any column derived by arithmetic over many rows (sums,
+averages, dot products) is rounded on BOTH sides so engine summation order can't
+flip the value hash; raw passthrough doubles are compared exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.io.sources import load_table
+from kda_flink_demo_spark.operators import aggregates, over_windows, relational, windows
+from kda_flink_demo_spark.operators.projections import parse_ts_with_fallback
+from kda_flink_demo_spark.session import apply_engine_conf
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (query_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_engine_conf(spark)  # UTC tz etc. — driver owns the session
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"q_{name}"
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = (wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _events_as_railway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stand-in for the reference's railway stream (FIXTURES.md §1.2):
+    event_type plays N02_001/RAILWAY_CLASS, ts plays RECEIVED_ON/rowtime."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: windows (SURVEY §2.5 W1–W5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_1m",
+    """
+    SELECT event_type AS railway_class,
+           count(*) AS railway_class_count,
+           time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end
+    FROM events GROUP BY 1, 3
+    """,
+)
+def q_tumbling_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/A1/A2 flagship: 1-minute tumbling count per class
+    (/root/reference/.../StreamJobSqlTumbling.java:145-153)."""
+    return windows.tumbling_counts(_events_as_railway(spark, sf_dir))
+
+
+@register(
+    "tumbling_offset_30s",
+    """
+    SELECT event_type AS railway_class,
+           count(*) AS railway_class_count,
+           time_bucket(INTERVAL '1 minute', ts, INTERVAL '30 seconds') AS window_start,
+           time_bucket(INTERVAL '1 minute', ts, INTERVAL '30 seconds') + INTERVAL '1 minute' AS window_end
+    FROM events GROUP BY 1, 3
+    """,
+)
+def q_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: tumbling window with a 30 s boundary offset — Spark's ``startTime`` maps
+    Flink's TumblingEventTimeWindows.of(size, offset)
+    (/root/reference/.../StreamJobTumblingOffset.java:157)."""
+    return windows.tumbling_counts(_events_as_railway(spark, sf_dir), offset="30 seconds")
+
+
+@register(
+    "hopping_2m_1m",
+    """
+    WITH h AS (
+        SELECT e.event_type,
+               time_bucket(INTERVAL '1 minute', e.ts) - o.i * INTERVAL '1 minute' AS window_start
+        FROM events e, (VALUES (0), (1)) o(i)
+    )
+    SELECT event_type AS railway_class,
+           count(*) AS railway_class_count,
+           window_start,
+           window_start + INTERVAL '2 minutes' AS window_end,
+           window_start + INTERVAL '2 minutes' - INTERVAL '1 millisecond' AS received_on
+    FROM h GROUP BY 1, 3
+    """,
+)
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: hopping window (size 2 min, slide 1 min) with HOP_ROWTIME ≡ end − 1 ms
+    (/root/reference/.../StreamJobSqlHopping.java:145-154). The reference's
+    degenerate 0-second slide is a quirk (SURVEY §7.3); slide is a real parameter
+    here. Oracle replicates the hop by exploding each event into its 2 windows."""
+    return windows.hopping_counts(_events_as_railway(spark, sf_dir))
+
+
+@register(
+    "sliding_range_30m",
+    """
+    SELECT event_id,
+           event_type AS railway_class,
+           ts AS rowtime,
+           count(*) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW
+           ) AS railway_class_count
+    FROM events
+    """,
+)
+def q_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/A3: per-event trailing 30-minute count — COUNT(*) OVER (PARTITION BY key
+    ORDER BY rowtime RANGE INTERVAL PRECEDING)
+    (/root/reference/.../StreamJobSqlSliding.java:153-160, StreamJobSingle.java:149-156).
+    Batch form; the streaming stateful twin lives in streaming/sliding_state.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("railway_class"),
+        F.col("ts").alias("rowtime"),
+    )
+    return over_windows.sliding_range_count(ev)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: projections / scalar surface (SURVEY §2.2 P1–P6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "projection_json_cast",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(user_id AS VARCHAR) AS user_id_str
+    FROM events
+    """,
+)
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3/P4: nested JSON field extraction + CAST + alias — the reference's
+    source projection map (/root/reference/.../StreamJobSqlTumbling.java:106-119)
+    generalized to the events fixture's JSON ``props`` column."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.col("user_id").cast("string").alias("user_id_str"),
+    )
+
+
+@register(
+    "ts_parse_fallback",
+    """
+    SELECT event_id,
+           coalesce(
+               try_strptime(
+                   CASE WHEN event_id % 10 = 0 THEN 'not-a-ts'
+                        ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') END,
+                   '%Y-%m-%dT%H:%M:%S.%g'),
+               TIMESTAMP '2020-01-01 00:00:00') AS parsed_ts
+    FROM events
+    """,
+)
+def q_ts_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: strict millisecond ISO-8601 parse with explicit fallback on malformed
+    input (/root/reference/.../StreamJobSqlTumbling.java:64-77 falls back to now();
+    here a fixed literal so the oracle is deterministic). Every 10th event is
+    deliberately corrupted to exercise the fallback path."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.when(F.col("event_id") % 10 == 0, F.lit("not-a-ts")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    )
+    return ev.select(
+        "event_id",
+        parse_ts_with_fallback(iso, fallback=F.lit("2020-01-01 00:00:00").cast("timestamp")).alias(
+            "parsed_ts"
+        ),
+    )
+
+
+@register(
+    "filter_predicates",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE value > 50 AND event_type IN ('click', 'view')
+    """,
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: predicates (absent in the reference, free in Spark — SURVEY §2.2). The
+    filter reaches the parquet scan as PushedFilters (asserted in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("value") > 50) & F.col("event_type").isin("click", "view")).select(
+        "event_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation breadth (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-shaped multi-aggregate (TPC-H Q1 pattern): one shuffle, map-side partial
+    aggregation; generalizes the reference's COUNT-only surface."""
+    return aggregates.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 breadth: exact COUNT(DISTINCT). At 100 TB prefer approx_distinct_users
+    (HLL) — kept side by side to make the tradeoff explicit."""
+    return aggregates.distinct_counts(load_table(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+@register("approx_distinct_users", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 breadth: HyperLogLog++ distinct estimate — sketch values are
+    engine-specific, so no SQL oracle (rows-only check)."""
+    return aggregates.approx_distinct_counts(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@register(
+    "rollup_nation_region",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name, count(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 breadth: ROLLUP grouping sets over a broadcast dim join."""
+    from pyspark.sql.functions import broadcast
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .rollup("region_name", "nation_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: joins / sorts / limits / set ops (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_region",
+    """
+    SELECT r_name AS region_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS line_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (TPC-H Q5 shape): fact⋈fact shuffled on the natural key, all
+    dimension joins broadcast — the 100 TB plan shape."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    return relational.revenue_by_region(
+        t("lineitem"), t("orders"), t("customer"), t("nation"), t("region")
+    )
+
+
+@register(
+    "customers_without_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    return relational.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_with_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    return relational.customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "top_customers",
+    """
+    SELECT c_custkey, c_name, revenue FROM (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    ) r JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: TakeOrderedAndProject (per-partition heap + driver merge — no full
+    sort at scale). Ties broken on c_custkey for cross-engine determinism."""
+    return relational.top_customers_by_revenue(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "nation_set_ops",
+    """
+    WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT nationkey, 'union' AS op FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+    UNION ALL
+    SELECT nationkey, 'intersect' AS op FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+    UNION ALL
+    SELECT nationkey, 'except' AS op FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result, tagged by op."""
+    return relational.nation_set_ops(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "rank_parts_in_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, price_rank FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+        FROM part
+    ) WHERE price_rank <= 3
+    """,
+)
+def q_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic row_number top-k per group; deterministic tie-break on the key."""
+    return relational.rank_parts_in_brand(load_table(spark, sf_dir, "part"))

@@ -1,0 +1,76 @@
+"""SparkSession factory with defaults chosen for very large scale.
+
+The reference (Flink 1.6 on KDA) tunes checkpoint interval and sink batch size
+(/root/reference/README.MD:122-127). The Spark-side equivalents are session-level:
+AQE for runtime re-planning (skew joins, partition coalescing), Arrow for any
+Python-side exchange, and an explicit UTC session timezone so event-time window
+boundaries are deterministic regardless of host timezone.
+
+At 100 TB these defaults matter:
+- ``spark.sql.adaptive.enabled``: runtime shuffle-partition coalescing + skew-join
+  splitting — replaces hand-tuned ``spark.sql.shuffle.partitions`` per query.
+- ``spark.sql.files.maxPartitionBytes`` 128m: one task per ~128 MB parquet split →
+  ~800k tasks over 100 TB, a healthy task count for a 1000-executor cluster.
+- ``autoBroadcastJoinThreshold`` 64m: dimension tables (region/nation/customer at
+  TPC-H-ish shape) broadcast instead of shuffling the 100 TB fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.parquet.filterPushdown": "true",
+    # Spark (through 4.x) cannot read parquet TIMESTAMP(NANOS) as TimestampType;
+    # this legacy conf surfaces nanos as LongType and io.sources.load_table
+    # converts them back to microsecond timestamps explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE: parquet aggregate pushdown is deliberately OFF — its footer schema
+    # conversion rejects TIMESTAMP(NANOS) columns (our testdata's `ts`), and it
+    # only helps bare min/max/count-over-scan queries.
+}
+
+# Conf keys that are runtime-settable on an existing session (everything in
+# ENGINE_CONF is; static confs like spark.master are not in that dict).
+_RUNTIME_SETTABLE = set(ENGINE_CONF)
+
+
+def get_spark(app_name: str = "kda-flink-demo-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession with engine defaults applied.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. On a real cluster the
+    master/executor topology comes from spark-submit; this factory only supplies
+    SQL-level conf.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally provided session.
+
+    Used by ``__spark_entry__`` because the verification driver owns the session.
+    The critical one is the UTC session timezone: window boundaries must match the
+    DuckDB oracle's naive-timestamp arithmetic.
+    """
+    for k in _RUNTIME_SETTABLE:
+        try:
+            spark.conf.set(k, ENGINE_CONF[k])
+        except Exception:
+            pass  # static conf on this build — keep going
+    return spark
