@@ -1,0 +1,31 @@
+"""Shared scalar helpers.
+
+``det_round``: deterministic cross-engine rounding. Spark's ``round(double, n)``
+converts through ``BigDecimal.valueOf`` (shortest decimal repr, HALF_UP) while
+DuckDB rounds the true binary value — e.g. the double nearest 0.60025 rounds to
+0.6003 in Spark but 0.6002 in DuckDB. ``floor(x*10^n + 0.5)/10^n`` evaluates
+bit-identically in both engines (and in numpy) as long as the input doubles are
+bit-identical, which holds when both sides perform the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def det_round(col: Column, digits: int) -> Column:
+    scale = 10**digits
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)) / F.lit(float(scale))
+
+
+def det_round_sql(expr: str, digits: int) -> str:
+    scale = float(10**digits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def det_round_np(arr, digits: int):
+    import numpy as np
+
+    scale = float(10**digits)
+    return np.floor(np.asarray(arr, dtype="float64") * scale + 0.5) / scale

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kda_flink_demo_spark.functions import det_round
+
 
 def grouped_counts(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
     """A1/A2/A4/A5: grouped COUNT with partial aggregation (map-side combine)."""
@@ -32,13 +34,13 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            det_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            det_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            det_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            det_round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The decode step is STUBBED (this container has no image/audio libraries): a
+clearly-marked deterministic fake derives metadata from the raw bytes, and
+``real_decode=True`` raises NotImplementedError until PIL/librosa are present.
+Everything Spark-side — schema contract, Arrow batch shape, partition-parallel
+execution, row-expanding frame sampling — is real and oracle-tested.
+
+Scale notes: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas keeps
+them off the driver entirely and processes partition-local Arrow batches, so
+decode parallelism == scan parallelism. For 100 TB of media, the pattern is
+(payload, meta) parquet → mapInPandas(decode) → feature table; never collect,
+never Python row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, brightness double, n_bytes long"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_score double"
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column (here: UTF-8 bytes of the text
+    — a stand-in for image/audio bytes) plus typed size metadata."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "payload_bytes", F.octet_length("payload")
+    )
+
+
+def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Decode stage: (doc_id, payload) → typed image features via mapInPandas.
+
+    STUB: fake-decodes deterministically from the bytes (width/height from
+    length and first byte, brightness = mean of the first 16 bytes). With
+    ``real_decode`` and PIL installed this is where Image.open(BytesIO(...))
+    goes — same schema, same batch shape.
+    """
+    if real_decode and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not installed in this "
+            "container; run with real_decode=False for the deterministic stub"
+        )
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        import math
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            first = payloads.map(lambda b: b[0] if len(b) else 0)
+            # floor-based rounding matches det_round/det_round_sql exactly
+            bright = payloads.map(
+                lambda b: math.floor(sum(b[:16]) / max(min(len(b), 16), 1) * 1e4 + 0.5) / 1e4
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (32 + n_bytes % 224).astype("int32"),
+                    "height": (32 + first % 224).astype("int32"),
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "brightness": bright,
+                    "n_bytes": n_bytes.astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, DECODE_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
+    """Frame-sampling stage (row-expanding mapInPandas): each payload fake-decodes
+    to ``n_frames = len % 30 + 1`` frames; every ``stride``-th frame is emitted
+    with a deterministic per-frame score. Real video decode (pyav/ffmpeg) would
+    slot into the same contract."""
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, scores = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) % 30 + 1
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    b = payload[i % len(payload)] if len(payload) else 0
+                    scores.append(math.floor(b / 255.0 * 1e4 + 0.5) / 1e4)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_score": pd.Series(scores, dtype="float64")}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+DECODE_ORACLE_SQL = """
+    SELECT doc_id,
+           CAST(32 + octet_length(encode(text)) % 224 AS INTEGER) AS width,
+           CAST(32 + ord(text[1]) % 224 AS INTEGER) AS height,
+           3 AS channels,
+           floor(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+                                         i -> ord(text[i])))
+                 / least(length(text), 16) * 10000.0 + 0.5) / 10000.0 AS brightness,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+FRAME_ORACLE_SQL = """
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, octet_length(encode(text)) % 30 + 1, 5)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           floor(ord(text[(CAST(frame_idx AS INTEGER) % length(text)) + 1]) / 255.0 * 10000.0 + 0.5) / 10000.0 AS frame_score
+    FROM f
+"""

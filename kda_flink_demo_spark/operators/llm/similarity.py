@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (fully oracle-able);
+random-hyperplane LSH bucketing is the scale path. Dot products run JVM-side
+via zip_with/aggregate (sequential double accumulation — deterministic and
+matching DuckDB's list_dot_product fold order); the LSH bucket computation is a
+single Arrow-batched pandas UDF doing one numpy matmul per batch.
+
+Scale notes: brute force is O(N·Q) — fine when Q (queries) is small and
+broadcast; the scan side never shuffles. LSH cuts candidates to same-bucket
+rows: cost = one narrow projection + a shuffle on (table, bucket), candidate
+re-rank exact. For billion-row corpora add multi-probe (flip 1 bit) to trade
+recall for bucket count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kda_flink_demo_spark.functions import det_round
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array columns (JVM-side, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("_v", v).withColumn("_norm", norm(F.col("_v")))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the full
+    corpus; one narrow pass computes all cosines, then a per-query top-k.
+
+    Scores are rounded and ties broken on neighbor id so results are
+    deterministic across engines (FIXTURES.md §4).
+    """
+    from pyspark.sql import Window
+
+    base = with_norm(df, vec_col).select(
+        F.col(id_col), F.col("_v"), F.col("_norm")
+    )
+    q = base.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), F.col("_norm").alias("_qnorm")
+    )
+    cos = dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))
+    pairs = (
+        base.join(broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            det_round(cos, round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        # cast: DuckDB row_number() is BIGINT, Spark's is int — align schemas
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, tables: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(tables, planes, dim).astype("float64")
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    planes: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``buckets`` (array<long>, one signed-hyperplane bucket per table).
+    One numpy matmul per Arrow batch — the vectorized Python path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    hp = _hyperplanes(dim, planes, tables, seed)
+    weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        out = []
+        signs = (np.einsum("tpd,bd->btp", hp, m) > 0).astype(np.int64)  # (batch, tables, planes)
+        codes = signs @ weights  # (batch, tables)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn("buckets", _buckets(F.col(vec_col)))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query in any
+    table; candidates are re-ranked by exact cosine. Same output contract as
+    ``cosine_topk`` (may miss true neighbors — recall measured in tests)."""
+    from pyspark.sql import Window
+
+    base = lsh_buckets(with_norm(df, vec_col), dim, planes, tables, seed, "_v")
+    expl = base.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("_norm"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    q = expl.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        expl.join(
+            broadcast(q),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "_qv", "_qnorm", "_v", "_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", det_round(cos, round_digits).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,216 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure ``pyspark.sql.functions`` — zero Python in
+the data path, so everything stays inside whole-stage codegen and the same
+logic is expressible as the DuckDB oracle SQL.
+
+Scale notes: every operator here is a narrow per-row projection — no shuffle,
+no state. On 100 TB these run at scan speed; the only cost lever is column
+pruning (select text only) and parquet scan parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.functions import det_round, det_round_sql
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic. Word-boundary
+# regexes behave identically in Java regex (Spark) and RE2 (DuckDB).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "la", "los", "y", "es", "una"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break preference
+
+
+def _stopword_count(text: Column, words: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    # cast: DuckDB len() is BIGINT, Spark size() is int — align schemas
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0))).cast("long")
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    return {lang: _stopword_count(text, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: count per-language stopword matches, predict the
+    argmax with a fixed preference order on ties. (The synthetic corpus's text is
+    language-independent word soup, so this measures the mechanism; on real data
+    swap in real stopword tables or a char-n-gram model — the plan shape is the
+    same narrow projection.)"""
+    scores = language_scores(F.col(text_col))
+    pred = None
+    # build argmax with preference order: lang wins if its score >= all later langs
+    # and > all earlier langs (earlier = higher preference, so >= earlier is enough
+    # when evaluated in order via CASE WHEN chain).
+    expr = None
+    for lang in reversed(_LANG_ORDER):
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            c = (
+                scores[lang] > scores[other]
+                if _LANG_ORDER.index(other) < _LANG_ORDER.index(lang)
+                else scores[lang] >= scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(
+            expr if expr is not None else F.lit(_LANG_ORDER[0])
+        )
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
+        expr.alias("pred_lang"),
+    )
+    return out
+
+
+def language_id_oracle_sql(table: str = "documents") -> str:
+    """DuckDB SQL computing the identical heuristic (kept adjacent to the Spark
+    implementation so the two stay in lockstep)."""
+    score_exprs = []
+    for lang in _LANG_ORDER:
+        pattern = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+        score_exprs.append(
+            f"len(regexp_extract_all(lower(text), '{pattern}')) AS score_{lang}"
+        )
+    case_parts = []
+    for lang in _LANG_ORDER:
+        conds = []
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">" if _LANG_ORDER.index(other) < _LANG_ORDER.index(lang) else ">="
+            conds.append(f"score_{lang} {op} score_{other}")
+        case_parts.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case_parts) + f" ELSE '{_LANG_ORDER[0]}' END"
+    cols = ", ".join(f"score_{lang}" for lang in _LANG_ORDER)
+    return f"""
+    SELECT doc_id, {cols}, {case_sql} AS pred_lang
+    FROM (SELECT doc_id, {', '.join(score_exprs)} FROM {table})
+    """
+
+
+# BPE-ish token regex: word runs or single non-space punctuation — identical
+# semantics in Java regex and RE2.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+_EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish) tokens + char length."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("re_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("char_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword ratio,
+    punctuation ratio → composite in [0,1]-ish, rounded for cross-engine
+    comparison. Mirrors common pretraining-corpus filters (length bounds,
+    symbol-to-word ratio, stopword presence)."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    avg_tok_len = (n_chars - (n_toks - 1)) / n_toks  # chars net of separators
+    stop_hits = _stopword_count(text, _EN_STOPWORDS)
+    stop_ratio = stop_hits / n_toks
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    length_score = F.least(n_toks / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        det_round(avg_tok_len, 4).alias("avg_token_len"),
+        det_round(stop_ratio, 4).alias("stopword_ratio"),
+        det_round(punct_ratio, 4).alias("punct_ratio"),
+        det_round(score, 4).alias("quality"),
+    )
+
+
+QUALITY_ORACLE_SQL = rf"""
+    SELECT doc_id,
+           n_toks AS n_tokens,
+           {det_round_sql('(n_chars - (n_toks - 1)) / n_toks', 4)} AS avg_token_len,
+           {det_round_sql('stop_hits / n_toks', 4)} AS stopword_ratio,
+           {det_round_sql('punct / greatest(n_chars, 1)', 4)} AS punct_ratio,
+           {det_round_sql('''0.4 * least(n_toks / 64.0, 1.0)
+               + 0.3 * least((stop_hits / n_toks) * 4, 1.0)
+               + 0.3 * (1 - least((punct / greatest(n_chars, 1)) * 10, 1.0))''', 4)} AS quality
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS BIGINT) AS stop_hits,
+               CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
+        FROM documents
+    )
+"""
+
+_FP_MOD = 1_000_000_007
+
+
+def polyhash(text: Column) -> Column:
+    """Sequential polynomial rolling hash over characters:
+    acc = (acc*31 + codepoint) mod 1e9+7. Deterministic fold — DuckDB's
+    list_reduce over ord() computes the identical value."""
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(_FP_MOD),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: full-text rolling hash + a winnowing-style minimum
+    over word-5-gram hashes (robust to local edits — standard near-dup
+    fingerprinting building block)."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(5)]),
+    )
+    min_gram_hash = F.array_min(F.transform(grams, lambda g: polyhash(g)))
+    return df.select(
+        F.col(id_col),
+        polyhash(text).alias("fingerprint"),
+        min_gram_hash.alias("min_gram_fp"),
+    )
+
+
+FINGERPRINT_ORACLE_SQL = """
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(w) - 5, 0) + 2),
+                              i -> array_to_string(w[i:i+4], ' ')) AS gs
+        FROM base
+    )
+    SELECT b.doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(1, length(b.text) + 1), i -> ord(b.text[i]))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+           list_min(list_transform(g.gs, s ->
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(1, length(s) + 1), i -> ord(s[i]))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_gram_fp
+    FROM base b JOIN grams g ON b.doc_id = g.doc_id
+"""

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from kda_flink_demo_spark.functions import det_round
+
 
 def revenue_by_region(
     lineitem: DataFrame,
@@ -34,7 +36,7 @@ def revenue_by_region(
         .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("line_count"),
@@ -62,7 +64,7 @@ def top_customers_by_revenue(customer: DataFrame, orders: DataFrame, k: int = 10
     deterministic across engines (FIXTURES.md §4)."""
     return (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(det_round(F.sum("o_totalprice"), 2).alias("revenue"))
         .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select(F.col("c_custkey"), F.col("c_name"), F.col("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -89,7 +91,8 @@ def rank_parts_in_brand(part: DataFrame, k: int = 3) -> DataFrame:
 
     w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
     return (
-        part.withColumn("price_rank", F.row_number().over(w))
+        # cast: DuckDB row_number() is BIGINT, Spark's is int — align schemas
+        part.withColumn("price_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("price_rank") <= k)
         .select("p_brand", "p_partkey", "p_retailprice", "price_rank")
     )

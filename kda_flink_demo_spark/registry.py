@@ -45,10 +45,12 @@ def register(name: str, oracle: str | None):
 
 
 def queries() -> dict[str, QueryFn]:
+    _ensure_llm_registered()
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_llm_registered()
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
@@ -229,11 +231,11 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
            count(*) AS count_order
     FROM lineitem GROUP BY 1, 2
     """,
@@ -301,7 +303,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region",
     """
     SELECT r_name AS region_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
            count(*) AS line_count
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -348,7 +350,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers",
     """
     SELECT c_custkey, c_name, revenue FROM (
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        SELECT o_custkey, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
         FROM orders GROUP BY 1
     ) r JOIN customer ON o_custkey = c_custkey
     ORDER BY revenue DESC, c_custkey LIMIT 10
@@ -379,6 +381,18 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.nation_set_ops(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
     )
+
+
+_LLM_LOADED = False
+
+
+def _ensure_llm_registered() -> None:
+    """Import the LLM-op registrations exactly once (decorators run on import)."""
+    global _LLM_LOADED
+    if not _LLM_LOADED:
+        import kda_flink_demo_spark.registry_llm  # noqa: F401
+
+        _LLM_LOADED = True
 
 
 @register(

@@ -1,0 +1,153 @@
+"""LLM-pipeline query registrations (dedup / similarity / text / multimodal) —
+imported by ``registry`` so the decorators run at import time."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kda_flink_demo_spark.io.sources import load_table
+from kda_flink_demo_spark.operators.llm import dedup, multimodal, similarity, text
+from kda_flink_demo_spark.registry import register
+
+_NGRAM_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, floor(shared / (ca.c + cb.c - shared) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE shared / (ca.c + cb.c - shared) >= {threshold}
+"""
+
+
+@register(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: survivor id + duplicate count per identical text (hash-groupBy;
+    scale path shuffles an 8-byte xxhash64 key instead of full text)."""
+    return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE.format(threshold=0.5))
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via shingle
+    inverted-index self-join — the oracle baseline for MinHash/SimHash."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_minhash_lsh", _NGRAM_ORACLE.format(threshold=0.8))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (64 hashes) + LSH banding (16×4) near-dup pairs at threshold 0.8,
+    exact-Jaccard re-verified. Oracle is the exact pairwise computation: with
+    these parameters P(miss | j≥0.8) ≤ 4e-4 per pair, so results coincide."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3, 16-bit-quarter blocking). Bit-majority
+    runs in an Arrow-batched pandas UDF → engine-specific, no SQL oracle;
+    validated against ngram-Jaccard pairs in tests."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_TOPK_ORACLE = """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id IN (0, 1, 2, 3, 4)),
+    pairs AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               floor(list_dot_product(q.qv, n.v) / (q.qn * n.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM q JOIN n ON n.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5
+"""
+
+
+@register("similarity_topk", _TOPK_ORACLE)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors 0–4: broadcast queries × full
+    scan, JVM-side fold dot products, deterministic tie-break."""
+    return similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+@register("similarity_ann_lsh", None)
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (8 tables × 4 planes)
+    + exact cosine re-rank. Approximate by construction → rows-only check;
+    recall vs brute force asserted in tests."""
+    return similarity.lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+@register("text_language_id", text.language_id_oracle_sql())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with per-language scores and deterministic
+    argmax tie-break."""
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality", text.QUALITY_ORACLE_SQL)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality scoring: token/char stats, stopword and
+    punctuation ratios, composite score."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens,
+           length(text) AS char_len
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + char length."""
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint", text.FINGERPRINT_ORACLE_SQL)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text polynomial rolling hash + winnowing-style
+    min over word-5-gram hashes."""
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_decode", multimodal.DECODE_ORACLE_SQL)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload image decode plumbing via mapInPandas (deterministic stub
+    decode — see operators/llm/multimodal.py; plumbing is real and oracle-tested
+    on the fake's arithmetic)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_image_features(docs)
+
+
+@register("multimodal_frame_sample", multimodal.FRAME_ORACLE_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding mapInPandas frame sampling over binary payloads (every 5th
+    fake frame with a per-frame score)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_video_frames(docs)
