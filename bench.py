@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no driver
+collect). The exact-pairwise ngram oracle query is excluded (it is the
+deliberately-quadratic correctness baseline; the benched scale path is
+dedup_minhash_lsh).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # reference-parity surface
+    "tumbling_1m",
+    "tumbling_offset_30s",
+    "hopping_2m_1m",
+    "sliding_range_30m",
+    "projection_json_cast",
+    "filter_predicates",
+    # relational/agg breadth
+    "pricing_summary",
+    "distinct_users_per_type",
+    "revenue_by_region",
+    "top_customers",
+    "rank_parts_in_brand",
+    # LLM-pipeline ops (scale paths)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "text_language_id",
+    "text_quality",
+    "text_token_stats",
+    "doc_fingerprint",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from kda_flink_demo_spark import registry
+    from kda_flink_demo_spark.session import get_spark
+
+    spark = get_spark("kda-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)  # build once to exclude one-time warmup? no: include plan+exec
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -181,7 +181,12 @@ def polyhash(text: Column) -> Column:
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: full-text rolling hash + a winnowing-style minimum
     over word-5-gram hashes (robust to local edits — standard near-dup
-    fingerprinting building block)."""
+    fingerprinting building block).
+
+    Repartitions first: the hash fold is CPU-bound and a single-file local input
+    would otherwise pin it on one task (a many-split cluster scan already has
+    the parallelism)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     text = F.col(text_col)
     toks = F.split(text, " ")
     grams = F.transform(

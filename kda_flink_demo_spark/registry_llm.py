@@ -54,9 +54,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3, 16-bit-quarter blocking). Bit-majority
-    runs in an Arrow-batched pandas UDF → engine-specific, no SQL oracle;
-    validated against ngram-Jaccard pairs in tests."""
+    """SimHash near-dup pairs (Hamming ≤ 3, 16-bit-quarter blocking), all
+    JVM-side. Token hash is Spark's xxhash64 (not available in DuckDB) → no SQL
+    oracle; validated against ngram-Jaccard pairs in tests."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -1,0 +1,104 @@
+"""Idempotent upsert sinks for Structured Streaming (reference §2.8 O2–O8).
+
+The reference spends ~870 LoC on checkpoint-coordinated RDS Data API sinks
+(`sink/SinkDataApiTumbling.java:30-273` and siblings): rows buffer in Flink
+ListState, move under a checkpoint id on snapshot, and flush on
+notifyCheckpointComplete — a hand-built write-ahead log giving effectively-
+exactly-once upserts into PostgreSQL (`INSERT … ON CONFLICT … DO UPDATE`,
+SinkDataApiTumbling.java:236-238).
+
+Spark already provides the WAL: `foreachBatch` + `checkpointLocation` replays a
+failed micro-batch with the SAME batchId, so an idempotent keyed upsert yields
+the same effectively-exactly-once result — in ~15 lines instead of 244
+(SURVEY.md §7.2). The sink PK mirrors the reference's
+(RAILWAY_CLASS, WINDOW_START, WINDOW_END) (`README.MD:88`).
+
+Local implementation targets DuckDB (present in this container, real ON
+CONFLICT semantics). `jdbc_upsert_sql` emits the identical statement for a
+PostgreSQL JDBC writer on a real cluster.
+
+Scale notes: the upserted stream is the *aggregated* windowed output — small by
+construction (cardinality = windows × keys), so a driver-side DB write per
+micro-batch is fine; for high-cardinality sinks, swap the executor path in
+(`df.write.jdbc` to a staging table + MERGE, or Delta `MERGE INTO`) — same
+idempotency argument, batchId-keyed.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+
+
+class DuckDBUpsertSink:
+    """foreachBatch writer: idempotent keyed upsert into a DuckDB file.
+
+    Replays of the same micro-batch (same batchId after failure/restart) land on
+    the same primary keys and overwrite with identical values — the O5/O8
+    effectively-exactly-once contract.
+    """
+
+    def __init__(self, db_path: str, table: str, key_cols: list[str], schema_sql: str):
+        self.db_path = db_path
+        self.table = table
+        self.key_cols = key_cols
+        self.schema_sql = schema_sql
+        self._lock = threading.Lock()
+        self._init_table()
+
+    def _connect(self):
+        import duckdb
+
+        return duckdb.connect(self.db_path)
+
+    def _init_table(self) -> None:
+        con = self._connect()
+        try:
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {self.table} ({self.schema_sql}, "
+                f"PRIMARY KEY ({', '.join(self.key_cols)}))"
+            )
+        finally:
+            con.close()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if pdf.empty:
+            return
+        cols = list(pdf.columns)
+        updates = [c for c in cols if c not in self.key_cols]
+        set_sql = ", ".join(f"{c} = excluded.{c}" for c in updates)
+        with self._lock:
+            con = self._connect()
+            try:
+                con.register("_batch", pdf)
+                con.execute(
+                    f"INSERT INTO {self.table} ({', '.join(cols)}) "
+                    f"SELECT {', '.join(cols)} FROM _batch "
+                    f"ON CONFLICT ({', '.join(self.key_cols)}) DO UPDATE SET {set_sql}"
+                )
+            finally:
+                con.close()
+
+    def read_all(self):
+        con = self._connect()
+        try:
+            cur = con.execute(f"SELECT * FROM {self.table}")
+            cols = [d[0] for d in cur.description]
+            return cols, cur.fetchall()
+        finally:
+            con.close()
+
+
+def jdbc_upsert_sql(table: str, cols: list[str], key_cols: list[str], constraint: str | None = None) -> str:
+    """The PostgreSQL statement the production JDBC sink issues per row batch —
+    same shape as the reference's (sink/SinkDataApiTumbling.java:236-238)."""
+    updates = [c for c in cols if c not in key_cols]
+    conflict = f"ON CONSTRAINT {constraint}" if constraint else f"({', '.join(key_cols)})"
+    set_sql = ", ".join(f"{c} = EXCLUDED.{c}" for c in updates)
+    placeholders = ", ".join(["?"] * len(cols))
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+        f"ON CONFLICT {conflict} DO UPDATE SET {set_sql}"
+    )

@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+``explain`` output — filters pushed to the parquet scan, dimension joins
+broadcast, top-k as TakeOrderedAndProject, aggregates partial→final, no
+Python row-at-a-time UDFs in JVM-path operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.io.sources import load_table
+from kda_flink_demo_spark.operators import relational
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    df = ev.filter((F.col("value") > 50) & F.col("event_type").isin("click", "view")).select(
+        "event_id", "event_type", "value"
+    )
+    plan = df.queryExecution_string if hasattr(df, "queryExecution_string") else _plan(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(value,50.0)" in plan, plan
+    # column pruning: the scan must not read ts/props/user_id
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    t = lambda n: load_table(spark, SF_DIR, n)  # noqa: E731
+    df = relational.revenue_by_region(t("lineitem"), t("orders"), t("customer"), t("nation"), t("region"))
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # customer, nation, region dims
+
+
+def test_topk_is_take_ordered(spark):
+    df = relational.top_customers_by_revenue(
+        load_table(spark, SF_DIR, "customer"), load_table(spark, SF_DIR, "orders")
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_grouped_agg_is_partial_final(spark):
+    from kda_flink_demo_spark.operators.aggregates import pricing_summary
+
+    plan = _plan(pricing_summary(load_table(spark, SF_DIR, "lineitem")))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_jvm_operators_have_no_python_udf(spark):
+    """Windows, text analysis, jaccard dedup, cosine topk: all pure JVM plans."""
+    from kda_flink_demo_spark.operators.llm import dedup, similarity, text
+    from kda_flink_demo_spark.operators.windows import tumbling_counts
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for df in [
+        tumbling_counts(ev),
+        text.quality_score(docs),
+        text.doc_fingerprint(docs),
+        dedup.ngram_jaccard_pairs(docs),
+        dedup.minhash_lsh_pairs(docs),
+        similarity.cosine_topk(emb, [0, 1], k=3),
+    ]:
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in hot path"
+        assert "PythonUDF" not in plan or "ArrowEvalPython" in plan
