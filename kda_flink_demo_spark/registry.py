@@ -383,16 +383,17 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LLM_LOADED = False
+_EXTRAS_LOADED = False
 
 
 def _ensure_llm_registered() -> None:
-    """Import the LLM-op registrations exactly once (decorators run on import)."""
-    global _LLM_LOADED
-    if not _LLM_LOADED:
+    """Import the LLM-op and breadth registrations once (decorators run on import)."""
+    global _EXTRAS_LOADED
+    if not _EXTRAS_LOADED:
+        import kda_flink_demo_spark.registry_extra  # noqa: F401
         import kda_flink_demo_spark.registry_llm  # noqa: F401
 
-        _LLM_LOADED = True
+        _EXTRAS_LOADED = True
 
 
 @register(

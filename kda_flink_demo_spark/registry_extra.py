@@ -1,0 +1,294 @@
+"""Breadth query registrations: sessionization, analytic window pack, scalar
+function packs, embedding centroids, TPC-H-style join/filter shapes, CUBE.
+Imported by ``registry`` (decorators run at import)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kda_flink_demo_spark.functions import det_round
+from kda_flink_demo_spark.io.sources import load_table
+from kda_flink_demo_spark.operators.windows import session_counts
+from kda_flink_demo_spark.registry import register
+
+
+@register(
+    "session_windows_5m",
+    """
+    WITH flagged AS (
+        SELECT event_type, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    sess AS (
+        SELECT event_type, ts,
+               sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT event_type AS railway_class,
+           count(*) AS railway_class_count,
+           min(ts) AS window_start,
+           max(ts) + INTERVAL '5 minutes' AS window_end
+    FROM sess GROUP BY event_type, sid
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 breadth (absent in the reference, SURVEY §2.5): gap-based session
+    windows via Spark's session_window. Oracle sessionizes with lag/cumsum; the
+    >= gap split matches Spark's end-exclusive [start, last+gap) window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+    )
+    return session_counts(ev, gap="5 minutes")
+
+
+@register(
+    "analytic_pack",
+    """
+    SELECT event_id, event_type, ts, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           floor(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5)
+               / 1000000.0 AS moving_avg_4,
+           sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) IS NOT NULL AS has_running
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def q_analytic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth: lag/lead/moving average/running sum over a
+    deterministic (ts, event_id) order. One shuffle on the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w4 = w.rowsBetween(-3, 0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        det_round(F.avg("value").over(w4), 6).alias("moving_avg_4"),
+        F.sum("value").over(wrun).isNotNull().alias("has_running"),
+    )
+
+
+@register(
+    "string_function_pack",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substring(p_name, 2, 5) AS name_sub,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           trim(p_name) AS name_trim,
+           contains(p_type, 'BRASS') AS is_brass,
+           split_part(p_type, ' ', 1) AS type_first_word
+    FROM part
+    """,
+)
+def q_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (UDF-free, all JVM built-ins). length() is
+    cast to match DuckDB's BIGINT."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 2, 5).alias("name_sub"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.contains(F.col("p_type"), F.lit("BRASS")).alias("is_brass"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+@register(
+    "date_function_pack",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           CAST(o_orderdate AS DATE) + INTERVAL '30 days' AS due_ts,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           greatest(year(o_orderdate), 1995) AS year_floor
+    FROM orders
+    """,
+)
+def q_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time surface. DuckDB year()/month()/day() return BIGINT —
+    Spark's int results are cast up; date arithmetic goes through explicit casts
+    so both engines produce timestamps."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp")
+        .alias("due_ts"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_cutoff"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.greatest(F.year("o_orderdate"), F.lit(1995)).cast("long").alias("year_floor"),
+    )
+
+
+@register(
+    "math_function_pack",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           l_quantity % 7 AS qty_mod,
+           sqrt(l_extendedprice) AS price_sqrt,
+           power(l_discount, 2) AS disc_sq,
+           ceil(l_extendedprice / 1000) AS price_k_ceil,
+           floor(l_extendedprice / 1000) AS price_k_floor,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           least(l_tax, l_discount) AS min_rate,
+           greatest(l_tax, l_discount) AS max_rate
+    FROM lineitem
+    """,
+)
+def q_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface. Only IEEE-exact operations (sqrt, power-of-2, abs,
+    mod, ceil/floor) — transcendentals (ln/exp) are excluded from the oracle set
+    because JVM and C++ libm may differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_quantity") % 7).alias("qty_mod"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.pow("l_discount", 2).alias("disc_sq"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("double").alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("double").alias("price_k_floor"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, pos,
+           floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS centroid_val
+    FROM (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ) GROUP BY 1, 2
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors in long form (label, pos,
+    mean): posexplode + grouped avg — the scale-correct formulation (no
+    collect, one shuffle on (label, pos), partial aggregation map-side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).cast("long").alias("pos"), F.col("v").cast("double").alias("v"))
+        .groupBy("label", "pos")
+        .agg(det_round(F.avg("v"), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "tpch_q6_revenue",
+    """
+    SELECT floor(sum(l_extendedprice * l_discount) * 100.0 + 0.5) / 100.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-side predicates (all pushed to parquet) + a
+    single global aggregate — the pushdown showcase query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            det_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    """
+    SELECT o_orderkey,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact-fact join +
+    grouped revenue + deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 breadth: CUBE grouping sets with count + rounded sum."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), det_round(F.sum("o_totalprice"), 2).alias("total")
+    )

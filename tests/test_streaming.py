@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from kda_flink_demo_spark.io.sources import load_table
 from kda_flink_demo_spark.operators.over_windows import sliding_range_count
-from kda_flink_demo_spark.operators.windows import tumbling_counts
+from kda_flink_demo_spark.operators.windows import hopping_counts, tumbling_counts
 from kda_flink_demo_spark.streaming import jobs
 from kda_flink_demo_spark.streaming.upsert import DuckDBUpsertSink
 from tests.conftest import SF_DIR
@@ -133,6 +133,36 @@ def test_streaming_sliding_state_matches_batch(spark, replay_dir, tmp_path):
     assert len(got_map) == len(expected)
     mismatches = {k: (v, expected[k]) for k, v in got_map.items() if expected[k] != v}
     assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
+@pytest.mark.parametrize(
+    "job_name,batch_fn",
+    [
+        (
+            "StreamJobTumblingOffset",
+            lambda ev: tumbling_counts(ev, offset="30 seconds"),
+        ),
+        ("StreamJobSqlHopping", lambda ev: hopping_counts(ev)),
+    ],
+)
+def test_streaming_windows_match_batch(spark, replay_dir, tmp_path, job_name, batch_fn):
+    """W3 offset and W4 hopping streaming jobs equal their batch twins."""
+    schema_sql = jobs.TUMBLING_SINK_SCHEMA
+    keys = jobs.TUMBLING_SINK_KEYS
+    if job_name == "StreamJobSqlHopping":
+        schema_sql += ", received_on TIMESTAMP"
+    sink = DuckDBUpsertSink(str(tmp_path / f"{job_name}.duckdb"), "w", keys, schema_sql)
+    result = jobs.dispatch(job_name)(_stream(spark, replay_dir))
+    _run(spark, result, sink, str(tmp_path / f"ckpt_{job_name}"))
+    cols, got = sink.read_all()
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+    )
+    expected = {tuple(r[k] for k in keys): r.railway_class_count for r in batch_fn(ev).collect()}
+    got_map = {tuple(r[cols.index(k)] for k in keys): r[cols.index("railway_class_count")] for r in got}
+    assert len(got_map) >= len(expected) - 20  # trailing open windows may not emit
+    for k, v in got_map.items():
+        assert expected[k] == v, f"{job_name} window {k}: stream={v} batch={expected[k]}"
 
 
 def test_dispatch_no_fallthrough():
