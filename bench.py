@@ -31,6 +31,12 @@ BENCH_QUERIES = [
     "revenue_by_region",
     "top_customers",
     "rank_parts_in_brand",
+    "tpch_q3_shipping",
+    "tpch_q6_revenue",
+    "session_windows_5m",
+    "analytic_pack",
+    "tumbling_value_stats",
+    "embedding_centroids",
     # LLM-pipeline ops (scale paths)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -53,6 +59,10 @@ def main() -> None:
 
     spark = get_spark("kda-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/session warmup so init cost doesn't land on the first measured query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     qs = registry.queries()
     times: dict[str, float] = {}

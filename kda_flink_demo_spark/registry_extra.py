@@ -4,6 +4,7 @@ Imported by ``registry`` (decorators run at import)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -128,7 +129,8 @@ def q_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE) + INTERVAL '30 days' AS due_ts,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
-           greatest(year(o_orderdate), 1995) AS year_floor
+           greatest(year(o_orderdate), 1995) AS year_floor,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_iso
     FROM orders
     """,
 )
@@ -150,6 +152,9 @@ def q_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_cutoff"),
         F.date_trunc("month", "o_orderdate").alias("order_month_start"),
         F.greatest(F.year("o_orderdate"), F.lit(1995)).cast("long").alias("year_floor"),
+        # the reference's commented-out TimestampToString scalar UDF
+        # (StreamJobSingle.java:144-145) is a builtin here
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_iso"),
     )
 
 
@@ -275,6 +280,180 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
+    )
+
+
+@register(
+    "tumbling_value_stats",
+    """
+    SELECT event_type AS railway_class,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           count(*) AS n_events,
+           floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
+           floor(min(value) * 10000.0 + 0.5) / 10000.0 AS min_value,
+           floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed general aggregates (sum/avg/min/max) — the reference only ever
+    COUNTs (A1–A3); any Catalyst aggregate drops into the same windowed plan."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type").alias("railway_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_round(F.sum("value"), 4).alias("sum_value"),
+            det_round(F.avg("value"), 6).alias("avg_value"),
+            det_round(F.min("value"), 4).alias("min_value"),
+            det_round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            "railway_class",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT user_id % 10 AS user_bucket, count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: two-stage salted aggregation. Stage 1 groups on
+    (key, salt) — spreading one hot key over ``salt_buckets`` reducers — stage 2
+    merges the partials on the bare key. Result is identical to a direct group-by
+    (the oracle); at 100 TB with a hot key this is the difference between one
+    straggler reducer and even utilization. (AQE skew-join handles the join case
+    automatically; salting covers aggregations.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salt_buckets = 16
+    salted = ev.select(
+        (F.col("user_id") % 10).alias("user_bucket"),
+        (F.xxhash64("event_id") % salt_buckets).alias("_salt"),
+    )
+    partial = salted.groupBy("user_bucket", "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy("user_bucket").agg(F.sum("_c").alias("cnt"))
+
+
+@register(
+    "udaf_weighted_avg",
+    """
+    SELECT event_type,
+           floor(sum(value * (user_id % 7 + 1)) / sum(user_id % 7 + 1) * 1000000.0 + 0.5)
+               / 1000000.0 AS weighted_avg
+    FROM events GROUP BY 1
+    """,
+)
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate surface (reference A4: a hand-written merge-able Flink
+    AggregateFunction, StreamJobTumblingOffset.java:176-200): here a pandas
+    GROUPED_AGG UDF computing a weighted average — Arrow-batched, partial-agg
+    capable, registered like any aggregate. (Built-ins are still preferred in
+    hot paths; this exercises the escape hatch.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        import math
+
+        return math.floor(float((v * w).sum() / w.sum()) * 1e6 + 0.5) / 1e6
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 7 + 1).cast("double").alias("w")
+    )
+    return ev.groupBy("event_type").agg(weighted_avg("value", "w").alias("weighted_avg"))
+
+
+@register(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS median_value,
+           floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90_value,
+           floor(quantile_disc(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS median_disc
+    FROM events GROUP BY 1
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (interpolated + discrete). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-interpolation
+    definition; at 100 TB swap in ``approx_percentile`` (t-digest sketch, no
+    full sort) — same call shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        det_round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        det_round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+        det_round(F.expr("percentile_approx(value, 0.5, 2147483647)"), 4).alias("median_disc"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 5 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). Spark's ``pivot`` with an explicit
+    value list compiles to the same single-shuffle conditional-agg plan as the
+    oracle's FILTER clauses — listing values avoids the extra distinct-values
+    job at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select((F.col("user_id") % 5).alias("user_bucket"), "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "array_function_pack",
+    """
+    SELECT vec_id,
+           len(embedding) AS arr_len,
+           embedding[1:5] AS head5,
+           list_max(embedding) AS arr_max,
+           list_min(embedding) AS arr_min,
+           embedding[1] AS first_val,
+           list_sort(embedding[1:8]) AS head8_sorted,
+           list_contains(embedding, 0.0) AS has_zero
+    FROM embeddings
+    """,
+)
+def q_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column (all exact float ops —
+    no arithmetic, so raw float32 values compare bit-for-bit across engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("arr_len"),
+        F.slice("embedding", 1, 5).alias("head5"),
+        F.array_max("embedding").alias("arr_max"),
+        F.array_min("embedding").alias("arr_min"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.sort_array(F.slice("embedding", 1, 8)).alias("head8_sorted"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
     )
 
 
