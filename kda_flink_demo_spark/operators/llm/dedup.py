@@ -156,12 +156,10 @@ def minhash_lsh_pairs(
     # many splits this is a near-no-op (AQE coalesces); locally it unlocks all
     # cores.
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    base = spread.select(
-        F.col(id_col), shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes"),
-        word_ngrams(F.col(text_col), n).alias("shingles"),
+    sigs = spread.select(
+        F.col(id_col), shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes")
     ).select(
         F.col(id_col),
-        F.col("shingles"),
         minhash_signature_from_hashes(F.col("hashes"), num_hashes, seed).alias("sig"),
     )
     band_cols = F.explode(
@@ -177,11 +175,12 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
-    buckets = base.select(F.col(id_col), F.col("shingles"), band_cols).select(
-        id_col, "shingles", "bb.band", "bb.bucket"
-    )
+    buckets = sigs.select(F.col(id_col), band_cols).select(id_col, "bb.band", "bb.bucket")
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # candidate pairs are bare (long, long) — dedup them BEFORE fetching shingle
+    # arrays, so the distinct is a cheap hash-agg on 16 bytes/row instead of a
+    # sort-agg dragging shingle arrays through the shuffle
     cand = (
         a.join(
             b,
@@ -189,18 +188,19 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    shingles = spread.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("shingles"))
+    pairs = cand.join(
+        shingles.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+    ).join(
+        shingles.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
-    return cand.filter(jac >= threshold).select(
+    return pairs.filter(jac >= threshold).select(
         "doc_a", "doc_b", det_round(jac, 4).alias("jaccard")
     )
 
