@@ -83,6 +83,39 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within equality blocks.
+
+    All-pairs cosine is quadratic; a blocking key (cluster id, LSH bucket,
+    shard) bounds it to within-block pairs — the join shuffles once on the
+    block key and AQE splits skewed blocks. For unblocked corpora compose with
+    ``lsh_buckets`` as the blocking key."""
+    base = with_norm(df, vec_col).select(F.col(id_col), F.col(block_col), "_v", "_norm")
+    a = base.alias("a")
+    b = base.alias("b")
+    cos = dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            det_round(cos, round_digits).alias("cosine"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, planes: int, tables: int, seed: int = 42):
     import numpy as np
 

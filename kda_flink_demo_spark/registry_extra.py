@@ -458,6 +458,27 @@ def q_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_function_pack",
+    """
+    SELECT event_id,
+           'k' AS map_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS map_value,
+           len(json_keys(props)) AS n_keys
+    FROM events
+    """,
+)
+def q_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json into map<string,long>, explode to (key, value)
+    rows, map cardinality. (The fixture's props is single-key JSON, so explode
+    emits one row per event — the oracle flattens the same way.)"""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id", F.explode(m).alias("map_key", "map_value"), F.size(m).cast("long").alias("n_keys")
+    )
+
+
+@register(
     "cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

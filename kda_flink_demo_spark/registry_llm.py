@@ -100,6 +100,30 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH n AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the standard scale
+    pattern: an equality blocking key — cluster id, LSH bucket, shard — bounds
+    the pairwise comparison to within-block; here the provided label column).
+    Exact cosine within blocks; threshold on the unrounded value on both sides."""
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35
+    )
+
+
 @register("text_language_id", text.language_id_oracle_sql())
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID with per-language scores and deterministic

@@ -23,6 +23,9 @@ from pyspark.sql import SparkSession
 
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # static conf (ignored by apply_engine_conf on a live session): keep managed
+    # tables (bucketed-join tests) out of the repo working directory
+    "spark.sql.warehouse.dir": "/tmp/kda-spark-warehouse",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

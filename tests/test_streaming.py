@@ -165,6 +165,85 @@ def test_streaming_windows_match_batch(spark, replay_dir, tmp_path, job_name, ba
         assert expected[k] == v, f"{job_name} window {k}: stream={v} batch={expected[k]}"
 
 
+def test_crash_recovery_mid_stream(spark, replay_dir, tmp_path):
+    """Stronger O5 check: stop the query after the first micro-batch (simulated
+    crash), restart from the checkpoint, drain — final sink must equal the batch
+    computation exactly (no lost or double-counted windows)."""
+    import time
+
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "crash.duckdb"), "tumbling", jobs.TUMBLING_SINK_KEYS, jobs.TUMBLING_SINK_SCHEMA
+    )
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    # phase 1: continuous trigger, kill after ≥1 committed batch
+    q = (
+        jobs.job_tumbling(_stream(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or [])):
+            break
+        time.sleep(0.5)
+    q.stop()
+    _, mid = sink.read_all()
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    q2 = jobs.run_to_sink(jobs.job_tumbling(_stream(spark, replay_dir)), sink, ckpt)
+    q2.awaitTermination(300)
+    cols, got = sink.read_all()
+
+    batch = tumbling_counts(
+        load_table(spark, SF_DIR, "events").select(
+            F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+        )
+    )
+    expected = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in batch.collect()
+    }
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_start")], r[cols.index("window_end")]):
+        r[cols.index("railway_class_count")]
+        for r in got
+    }
+    assert len(got_map) > len(mid), "restart should have made progress beyond the crash point"
+    for k, v in got_map.items():
+        assert expected[k] == v, f"window {k}: stream={v} batch={expected[k]}"
+
+
+def test_streaming_session_windows_match_batch(spark, replay_dir, tmp_path):
+    """W6 streaming: session windows with state-store merge across batches."""
+    from kda_flink_demo_spark.operators.windows import session_counts
+
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "sess.duckdb"), "sessions", jobs.TUMBLING_SINK_KEYS, jobs.TUMBLING_SINK_SCHEMA
+    )
+    result = session_counts(_stream(spark, replay_dir).withWatermark("rowtime", "0 seconds"))
+    _run(spark, result, sink, str(tmp_path / "sess_ckpt"))
+    cols, got = sink.read_all()
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+    )
+    expected = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in session_counts(ev).collect()
+    }
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_start")], r[cols.index("window_end")]):
+        r[cols.index("railway_class_count")]
+        for r in got
+    }
+    assert len(got_map) >= len(expected) - 10  # trailing open sessions may not emit
+    for k, v in got_map.items():
+        assert expected[k] == v, f"session {k}: stream={v} batch={expected[k]}"
+
+
 def test_dispatch_no_fallthrough():
     assert jobs.dispatch("StreamJobSqlTumbling") is jobs.job_tumbling
     with pytest.raises(KeyError):
