@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
+    "text_tfidf_top_terms",
     "text_language_id",
     "text_quality",
     "text_token_stats",

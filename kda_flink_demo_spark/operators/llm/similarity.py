@@ -83,6 +83,67 @@ def cosine_topk(
     )
 
 
+def ivf_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: vectors are inverted-listed by their nearest centroid;
+    a query probes only the ``nprobe`` closest lists and re-ranks exactly.
+
+    Centroids here are the per-``centroid_col`` means (in production: k-means
+    centroids, refreshed offline). The centroid table is tiny and broadcast
+    twice — once to assign vectors to lists, once to pick each query's probe
+    set — so the corpus never shuffles; candidate re-rank touches ~nprobe/n_lists
+    of the data. Recall vs brute force is measured in tests."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    base = with_norm(df, vec_col).select(F.col(id_col), F.col(centroid_col), "_v", "_norm")
+    # centroid table: per-list mean vector (posexplode + grouped avg, no collect)
+    cent = (
+        base.select(F.col(centroid_col).alias("list_id"), F.posexplode("_v").alias("pos", "x"))
+        .groupBy("list_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("list_id", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+        .withColumn("cnorm", norm(F.col("cvec")))
+    )
+    # assign each QUERY to its nprobe nearest lists (corpus rows already carry
+    # their list via centroid_col — the inverted index)
+    q = base.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), F.col("_norm").alias("_qnorm")
+    )
+    qcos = dot(F.col("_qv"), F.col("cvec")) / (F.col("_qnorm") * F.col("cnorm"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qc").desc(), F.col("list_id"))
+    probes = (
+        q.crossJoin(broadcast(cent))
+        .withColumn("_qc", qcos)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "_qnorm", F.col("list_id"))
+    )
+    cand = base.join(
+        broadcast(probes),
+        (F.col(centroid_col) == F.col("list_id")) & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), det_round(cos, round_digits).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block_col: str,

@@ -164,6 +164,63 @@ QUALITY_ORACLE_SQL = rf"""
     )
 """
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf × ln(N/df)).
+
+    Fully distributed: explode to (doc, term), two grouped aggregations (term
+    frequency per doc; document frequency per term), broadcast the corpus size,
+    per-doc top-k via row_number with (score desc, term) tie-break. At 100 TB
+    the df table is the only corpus-wide aggregate — a (term → count) table that
+    broadcast-joins back onto the exploded stream."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from kda_flink_demo_spark.functions import det_round as _r
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n_docs))
+        # rank on the ROUNDED score: JVM and C++ ln() can differ in the last ulp,
+        # and mathematically-equal scores (2·ln5 vs ln25) computed differently
+        # could order differently across engines — rounding + term tie-break
+        # makes the top-k deterministic
+        .withColumn("tfidf", _r(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+TFIDF_ORACLE_SQL = """
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               floor(tf.tf * ln(n.n_docs / dfreq.df) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, term_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+        FROM scored
+    ) WHERE term_rank <= 3
+"""
+
 _FP_MOD = 1_000_000_007
 
 

@@ -124,6 +124,22 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf_topk", None)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroid inverted lists, nprobe=5, exact
+    re-rank. Approximate → rows-only check; recall vs brute force in tests."""
+    return similarity.ivf_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+@register("text_tfidf_top_terms", text.TFIDF_ORACLE_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode → tf/df aggregations → broadcast
+    df table → rounded-score ranking."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
 @register("text_language_id", text.language_id_oracle_sql())
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID with per-language scores and deterministic

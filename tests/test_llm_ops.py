@@ -54,6 +54,17 @@ def test_lsh_ann_recall_vs_brute_force(embeddings):
     assert recall >= 0.5, f"ANN recall {recall} too low (got {len(ann_set)} pairs)"
 
 
+def test_ivf_ann_recall_vs_brute_force(embeddings):
+    qids = [0, 1, 2, 3, 4]
+    brute = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(embeddings, qids, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in similarity.ivf_ann_topk(embeddings, qids, k=5).collect()}
+    recall = len(brute & ivf) / len(brute)
+    # near-random embeddings: nprobe=5 of 10 lists scans ~half the corpus;
+    # measured 0.4 at sf0.001, 0.76 at sf0.01 (deterministic)
+    assert recall >= 0.35, f"IVF recall {recall}"
+    assert all(r.rank <= 5 for r in similarity.ivf_ann_topk(embeddings, qids, k=5).collect())
+
+
 def test_exact_dedup_keep_first(documents):
     kept = dedup.exact_dedup_keep_first(documents)
     assert kept.count() == documents.select("text").distinct().count()
