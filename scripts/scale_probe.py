@@ -1,0 +1,86 @@
+"""Scale probe: approximate ~8× sf0.1 (≈ sf0.8, ~4.8M lineitem rows) by
+unioning shifted replicas of the sf0.1 tables, then time the flagship queries.
+Purpose: demonstrate the plans scale near-linearly (no accidental quadratic
+blowups, no driver collects, no OOM) beyond the bench SF.
+
+Run: python scripts/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kda_flink_demo_spark.io.sources import load_table  # noqa: E402
+from kda_flink_demo_spark.operators import over_windows, relational, windows  # noqa: E402
+from kda_flink_demo_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df, n: int, key_cols: list[str], shift: int = 10_000_000):
+    """Union n replicas with shifted keys so joins/groups keep realistic
+    cardinality instead of n× duplicate keys."""
+    parts = []
+    for i in range(n):
+        part = df
+        for c in key_cols:
+            part = part.withColumn(c, F.col(c) + F.lit(i * shift))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    ev = replicate(load_table(spark, SF_DIR, "events"), replicas, ["event_id"]).select(
+        "event_id", F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+    )
+    li = replicate(load_table(spark, SF_DIR, "lineitem"), replicas, ["l_orderkey"])
+    orders = replicate(load_table(spark, SF_DIR, "orders"), replicas, ["o_orderkey"])
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region")
+
+    results = {}
+
+    def bench(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 2)
+
+    bench("tumbling_count", windows.tumbling_counts(ev))
+    bench("sliding_range_count", over_windows.sliding_range_count(ev))
+    bench(
+        "star_join_revenue",
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")),
+    )
+    bench(
+        "top_customers",
+        relational.top_customers_by_revenue(customer, orders.withColumn(
+            "o_custkey", F.col("o_custkey") % 1500
+        )),
+    )
+    rows = {"events": ev.count(), "lineitem": li.count()}
+    print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
+
+
+if __name__ == "__main__":
+    main()
