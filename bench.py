@@ -70,11 +70,22 @@ def main() -> None:
     qs = registry.queries()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = qs[name](spark, sf_dir)  # build once to exclude one-time warmup? no: include plan+exec
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2 runs: first pays codegen/python-worker spin-up
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+
+    # flagship throughput: events rows/sec through the tumbling windowed count
+    ev_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    t0 = time.time()
+    qs["tumbling_1m"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    flagship_rps = round(ev_rows / max(time.time() - t0, 1e-9))
+
     print(
         json.dumps(
             {
@@ -83,6 +94,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "flagship_rows_per_sec": flagship_rps,
+                "n_queries": len(times),
             }
         )
     )

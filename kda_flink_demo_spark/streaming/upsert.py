@@ -39,11 +39,26 @@ class DuckDBUpsertSink:
     effectively-exactly-once contract.
     """
 
-    def __init__(self, db_path: str, table: str, key_cols: list[str], schema_sql: str):
+    def __init__(
+        self,
+        db_path: str,
+        table: str,
+        key_cols: list[str],
+        schema_sql: str,
+        merge: str = "overwrite",
+    ):
+        """``merge="overwrite"`` mirrors the reference's DO UPDATE SET col=new.
+        ``merge="max"`` takes the greatest of old/new for non-key columns —
+        monotone-safe for counts: Spark's late-event filter lags the eviction
+        watermark by one micro-batch, so a window reopened by barely-late rows
+        can re-emit a PARTIAL count; max-merge keeps the complete value while
+        staying idempotent under replays."""
+        assert merge in ("overwrite", "max")
         self.db_path = db_path
         self.table = table
         self.key_cols = key_cols
         self.schema_sql = schema_sql
+        self.merge = merge
         self._lock = threading.Lock()
         self._init_table()
 
@@ -68,7 +83,10 @@ class DuckDBUpsertSink:
             return
         cols = list(pdf.columns)
         updates = [c for c in cols if c not in self.key_cols]
-        set_sql = ", ".join(f"{c} = excluded.{c}" for c in updates)
+        if self.merge == "max":
+            set_sql = ", ".join(f"{c} = greatest({self.table}.{c}, excluded.{c})" for c in updates)
+        else:
+            set_sql = ", ".join(f"{c} = excluded.{c}" for c in updates)
         with self._lock:
             con = self._connect()
             try:

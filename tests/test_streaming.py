@@ -244,6 +244,104 @@ def test_streaming_session_windows_match_batch(spark, replay_dir, tmp_path):
         assert expected[k] == v, f"session {k}: stream={v} batch={expected[k]}"
 
 
+def test_out_of_order_chunk_semantics(spark, tmp_path):
+    """T2 divergence, pinned to Spark's ACTUAL behavior (verified empirically on
+    4.1.2): the late-event filter uses the watermark as of the batch START — one
+    batch behind eviction. A whole chunk arriving one batch after the watermark
+    jumped is therefore still ACCEPTED (Flink's per-record watermark would drop
+    it); windows it reopens re-emit, and a window spanning the chunk boundary
+    may re-emit a PARTIAL count. The max-merge upsert sink absorbs exactly that:
+    no window ever regresses, and every fully-reopened window lands on the full
+    batch value."""
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime"))
+        .orderBy("rowtime")
+    )
+    rows = ev.collect()
+    n = len(rows)
+    early, late, tail = rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]
+    out = str(tmp_path / "ooo_replay")
+    # arrival order: early, TAIL (jumps the watermark forward), then LATE
+    for i, part in enumerate([early, tail, late]):
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(f"{out}/chunk={i:02d}")
+
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "ooo.duckdb"),
+        "tumbling",
+        jobs.TUMBLING_SINK_KEYS,
+        jobs.TUMBLING_SINK_SCHEMA,
+        merge="max",
+    )
+    _run(spark, jobs.job_tumbling(_stream(spark, out)), sink, str(tmp_path / "ooo_ckpt"))
+    cols, got = sink.read_all()
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_start")], r[cols.index("window_end")]):
+        r[cols.index("railway_class_count")]
+        for r in got
+    }
+    full_batch = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in tumbling_counts(ev).collect()
+    }
+    # no spurious windows, no over-counting
+    assert set(got_map) <= set(full_batch)
+    assert all(v <= full_batch[k] for k, v in got_map.items())
+    # the late chunk was accepted (lagging late-filter): nearly every window
+    # matches the full batch; only chunk-boundary windows may hold a partial
+    mismatch = {k: (v, full_batch[k]) for k, v in got_map.items() if full_batch[k] != v}
+    assert len(mismatch) <= 4, f"too many partial windows: {list(mismatch.items())[:5]}"
+    assert len(got_map) >= len(full_batch) - 10
+
+
+def test_watermark_delay_keeps_late_data(spark, tmp_path):
+    """With a positive watermark delay, late rows inside the allowed lateness
+    ARE counted: replay [days 0–20 minus a hole, the hole (days 10–12, late),
+    days 20–30] with a 15-day delay. The final watermark (day30 − 15d = day15)
+    closes the hole's windows, which must match the FULL batch — proving the
+    late chunk landed in still-open state."""
+    import datetime as dt
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime"))
+        .orderBy("rowtime")
+    )
+    rows = ev.collect()
+    t0 = min(r.rowtime for r in rows)
+    day = lambda x: t0 + dt.timedelta(days=x)  # noqa: E731
+    late = [r for r in rows if day(10) <= r.rowtime < day(12)]
+    main = [r for r in rows if r.rowtime < day(20) and not (day(10) <= r.rowtime < day(12))]
+    tail = [r for r in rows if r.rowtime >= day(20)]
+    assert late and main and tail
+    out = str(tmp_path / "wm_replay")
+    for i, part in enumerate([main, late, tail]):
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(f"{out}/chunk={i:02d}")
+
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "wm.duckdb"), "tumbling", jobs.TUMBLING_SINK_KEYS, jobs.TUMBLING_SINK_SCHEMA
+    )
+    result = tumbling_counts(_stream(spark, out).withWatermark("rowtime", "15 days"))
+    _run(spark, result, sink, str(tmp_path / "wm_ckpt"))
+    cols, got = sink.read_all()
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_start")], r[cols.index("window_end")]):
+        r[cols.index("railway_class_count")]
+        for r in got
+    }
+    full_batch = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in tumbling_counts(ev).collect()
+    }
+    # every emitted window matches the full batch (late rows included) ...
+    for k, v in got_map.items():
+        assert full_batch[k] == v, f"window {k}: stream={v} batch={full_batch[k]}"
+    # ... and the late chunk's windows did emit
+    late_windows = {k for k in full_batch if day(10) <= k[1] < day(12)}
+    emitted_late = late_windows & set(got_map)
+    assert emitted_late, "late-chunk windows should have closed and emitted"
+
+
 def test_dispatch_no_fallthrough():
     assert jobs.dispatch("StreamJobSqlTumbling") is jobs.job_tumbling
     with pytest.raises(KeyError):
