@@ -479,6 +479,69 @@ def q_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_function_pack",
+    """
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           to_base64(encode(substring(text, 1, 12))) AS head_b64,
+           hex(encode(substring(text, 1, 4))) AS head_hex,
+           xor(doc_id, 255) AS id_xor,
+           doc_id & 15 AS id_and,
+           doc_id | 16 AS id_or,
+           doc_id << 2 AS id_shl
+    FROM documents
+    """,
+)
+def q_hash_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/binary scalar surface: md5/sha256 (hex-identical across engines),
+    base64, hex, bitwise ops."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("head_b64"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("head_hex"),
+        F.col("doc_id").bitwiseXOR(F.lit(255)).alias("id_xor"),
+        F.col("doc_id").bitwiseAND(F.lit(15)).alias("id_and"),
+        F.col("doc_id").bitwiseOR(F.lit(16)).alias("id_or"),
+        F.shiftleft("doc_id", 2).alias("id_shl"),
+    )
+
+
+@register(
+    "null_semantics_pack",
+    """
+    SELECT event_id,
+           nullif(event_type, 'click') AS maybe_type,
+           coalesce(nullif(event_type, 'click'), 'was_click') AS filled,
+           nullif(event_type, 'click') IS NOT DISTINCT FROM NULL AS is_null_safe,
+           CASE WHEN value > 90 THEN 'high' WHEN value > 50 THEN 'mid' ELSE 'low' END AS value_band,
+           ifnull(nullif(user_id % 3, 0), -1) AS mod_or_default
+    FROM events
+    """,
+)
+def q_null_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: nullif/coalesce/ifnull, null-safe equality
+    (Spark <=> ≡ DuckDB IS NOT DISTINCT FROM), CASE WHEN. The fixtures contain
+    no NULLs, so nullif manufactures them."""
+    ev = load_table(spark, sf_dir, "events")
+    maybe = F.expr("nullif(event_type, 'click')")
+    return ev.select(
+        "event_id",
+        maybe.alias("maybe_type"),
+        F.coalesce(maybe, F.lit("was_click")).alias("filled"),
+        maybe.eqNullSafe(F.lit(None).cast("string")).alias("is_null_safe"),
+        F.when(F.col("value") > 90, "high")
+        .when(F.col("value") > 50, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.expr("ifnull(nullif(user_id % 3, 0), -1)").alias("mod_or_default"),
+    )
+
+
+@register(
     "cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

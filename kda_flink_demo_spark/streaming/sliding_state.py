@@ -61,30 +61,42 @@ def sliding_range_count_stream(
     def fn(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import bisect
+        import numpy as np
 
-        times: list[int] = state.get[0] if state.exists else []
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("rowtime")
-            for _, row in pdf.iterrows():
-                t_us = int(row["rowtime"].value) // 1000  # pandas ns → micros
-                bisect.insort(times, t_us)
-                lo = bisect.bisect_left(times, t_us - interval_us)
-                hi = bisect.bisect_right(times, t_us)
-                out.append((int(row["event_id"]), key_tuple[0], row["rowtime"], hi - lo))
+        times = (
+            np.asarray(state.get[0], dtype=np.int64) if state.exists else np.empty(0, np.int64)
+        )
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((times.tolist(),))
+            yield pd.DataFrame(
+                {"event_id": [], key: [], "rowtime": [], "railway_class_count": []}
+            )
+            return
+        pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+        # vectorized RANGE-frame count: one searchsorted pair over the merged
+        # (state + batch) timestamp array — equal-timestamp peers within the
+        # batch count for each other, exactly like the batch range frame
+        t_us = (pdf["rowtime"].astype("int64").to_numpy() // 1000).astype(np.int64)
+        merged = np.sort(np.concatenate([times, t_us]))
+        hi = np.searchsorted(merged, t_us, side="right")
+        lo = np.searchsorted(merged, t_us - interval_us, side="left")
+        counts = (hi - lo).astype(np.int64)
         # prune below watermark − interval: no future non-late event can reach
         # back past that, so counts are unaffected
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms > 0:
             cutoff = wm_ms * 1000 - interval_us
-            import bisect as b2
-
-            times = times[b2.bisect_left(times, cutoff):]
-        state.update((times,))
+            merged = merged[np.searchsorted(merged, cutoff, side="left"):]
+        state.update((merged.tolist(),))
         yield pd.DataFrame(
-            out, columns=["event_id", "rowtime_key", "rowtime", "railway_class_count"]
-        ).rename(columns={"rowtime_key": key})
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                key: key_tuple[0],
+                "rowtime": pdf["rowtime"],
+                "railway_class_count": counts,
+            }
+        )
 
     renamed = events.select(
         F.col("event_id"), F.col(key).cast("string").alias(key), F.col(ts).alias("rowtime")
