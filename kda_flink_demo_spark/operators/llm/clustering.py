@@ -1,0 +1,80 @@
+"""Near-dup clustering: connected components over a similarity-pair graph.
+
+Dedup pipelines need CLUSTERS, not just pairs: if A~B and B~C, all three are one
+duplicate group even when A~C was never emitted. Components come from iterative
+min-label propagation — the canonical Spark pattern for bounded-diameter graphs:
+each round, every node adopts the minimum label among itself and its neighbors;
+converge when no label changes. Near-dup graphs have tiny diameters (pairs come
+from a transitive-ish similarity), so 2–4 rounds suffice.
+
+Scale notes: each round is one shuffle (groupBy node over the edge list).
+The loop is over DataFrame TRANSFORMATIONS (lazy plans) with a single tiny
+``.agg().first()`` convergence check per round — no data ever lands on the
+driver. For billion-edge graphs, the same loop runs with checkpointing every
+few rounds to truncate lineage (``spark.sparkContext.setCheckpointDir``).
+
+This is the engine's demonstration of the "iterative algorithm" capability
+class (driver contract: genuinely non-SQL-expressible ops may omit the oracle;
+here a DuckDB recursive CTE CAN serve as the oracle at test scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(a, b) undirected edges → (node, component) where component is the
+    minimum node id reachable. Nodes not in any pair are absent (singletons are
+    implicit)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    # self-loop keeps each node's own label in the min()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        # every node adopts min(own label, neighbors' labels)
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "label")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "u")
+            .filter(F.col("old.label") != F.col("new.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup groups: every document in a component keeps the component's
+    minimum doc_id as the canonical representative; cluster_size counts its
+    members. Singletons (no near-dup) are excluded — they keep themselves."""
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("canonical_id"),
+            F.col("cluster_size"),
+        )
+    )

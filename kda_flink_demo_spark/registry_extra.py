@@ -479,6 +479,86 @@ def q_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH su AS (
+        SELECT user_id, min(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT su.user_id, su.t_signup,
+           min(CASE WHEN pu.ts > su.t_signup THEN pu.ts END) AS t_first_purchase,
+           min(CASE WHEN pu.ts > su.t_signup THEN pu.ts END) IS NOT NULL AS converted
+    FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis (signup → first later purchase): conditional
+    aggregation over a keyed left join — one shuffle on user_id each side."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purchase = F.min(F.when(F.col("ts") > F.col("t_signup"), F.col("ts")))
+    return (
+        su.join(pu, "user_id", "left")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            first_purchase.alias("t_first_purchase"),
+            first_purchase.isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           date_diff('day', CAST(f.cohort_week AS DATE), CAST(a.active_week AS DATE)) // 7
+               AS week_offset,
+           count(DISTINCT f.user_id) AS active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in each
+    later active week. Two grouped aggregations + one user-keyed join."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week").cast("date"), F.col("cohort_week").cast("date")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
     "hash_function_pack",
     """
     SELECT doc_id,

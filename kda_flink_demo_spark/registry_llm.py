@@ -124,6 +124,54 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTERS_ORACLE = """
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    rawp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b
+        FROM rawp JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE shared / (ca.c + cb.c - shared) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM jpairs
+        UNION SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    comp AS (SELECT u, min(r) AS canonical_id FROM reach GROUP BY u),
+    sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.u AS doc_id, comp.canonical_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (canonical_id)
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): connected components over the exact
+    Jaccard ≥ 0.8 pair graph via iterative min-label propagation — the
+    'iterative algorithm' capability class. Oracle: DuckDB recursive CTE
+    transitive closure (viable at test scale; the Spark loop is the 100 TB
+    path)."""
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return clustering.dedup_clusters(docs, pairs)
+
+
 @register("similarity_ivf_topk", None)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-label centroid inverted lists, nprobe=5, exact
