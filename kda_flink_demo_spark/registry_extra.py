@@ -479,6 +479,43 @@ def q_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "count_windows_100",
+    """
+    WITH numbered AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_type AS railway_class,
+           (rn - 1) // 100 AS window_id,
+           count(*) AS railway_class_count,
+           floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def q_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based (row) windows — Flink's countWindow family, which Spark lacks
+    natively: every 100 events per key form a window, built from row_number
+    over a deterministic order. One shuffle + per-partition sort, then a
+    grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col("event_type").alias("railway_class"),
+            F.floor((F.col("rn") - 1) / 100).cast("long").alias("window_id"),
+            "value",
+        )
+        .groupBy("railway_class", "window_id")
+        .agg(
+            F.count(F.lit(1)).alias("railway_class_count"),
+            det_round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH su AS (

@@ -342,6 +342,41 @@ def test_watermark_delay_keeps_late_data(spark, tmp_path):
     assert emitted_late, "late-chunk windows should have closed and emitted"
 
 
+def test_update_mode_with_upsert_converges_to_batch(spark, replay_dir, tmp_path):
+    """O-mode breadth: update output mode emits windows as they CHANGE (not just
+    when they close); the keyed upsert makes later emissions overwrite earlier
+    partials, so the final sink equals the batch result exactly — including the
+    trailing windows append mode never emits."""
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "upd.duckdb"), "tumbling", jobs.TUMBLING_SINK_KEYS, jobs.TUMBLING_SINK_SCHEMA
+    )
+    result = jobs.job_tumbling(_stream(spark, replay_dir))
+    q = (
+        result.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "upd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cols, got = sink.read_all()
+    batch = tumbling_counts(
+        load_table(spark, SF_DIR, "events").select(
+            F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+        )
+    )
+    expected = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in batch.collect()
+    }
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_start")], r[cols.index("window_end")]):
+        r[cols.index("railway_class_count")]
+        for r in got
+    }
+    assert got_map == expected
+
+
 def test_dispatch_no_fallthrough():
     assert jobs.dispatch("StreamJobSqlTumbling") is jobs.job_tumbling
     with pytest.raises(KeyError):
