@@ -74,14 +74,17 @@ def kinesis_geojson_stream(
     stream_name: str = "kda_geojson",
     region: str = "us-east-1",
     starting_position: str = "latest",
+    connector_format: str = "aws-kinesis",
 ) -> DataFrame:
-    """Production source (reference S1). Requires the spark-sql-kinesis connector jar
-    on the cluster; config keys mirror the reference's SourceConfigProperties
+    """Production source (reference S1). Requires a Kinesis connector jar on the
+    cluster — ``connector_format`` is "aws-kinesis" for the AWS-maintained
+    spark-streaming-sql-kinesis connector or "kinesis" for the Qubole lineage;
+    config keys mirror the reference's SourceConfigProperties
     (/root/reference/README.MD:113-116). Untestable locally — covered by the
     file-replay source below, which produces the same downstream plan.
     """
     raw = (
-        spark.readStream.format("aws-kinesis")
+        spark.readStream.format(connector_format)
         .option("kinesis.streamName", stream_name)
         .option("kinesis.region", region)
         .option("kinesis.startingPosition", starting_position)

@@ -479,6 +479,29 @@ def q_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail_price', p_retailprice FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide columns → (metric, value) long form via Spark's native
+    ``unpivot`` (same single-pass Generate plan as the oracle's UNION ALL but
+    one scan instead of two)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retail_price"),
+        )
+        .unpivot("p_partkey", ["size", "retail_price"], "metric", "metric_value")
+    )
+
+
+@register(
     "count_windows_100",
     """
     WITH numbered AS (

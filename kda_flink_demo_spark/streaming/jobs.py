@@ -26,6 +26,17 @@ from kda_flink_demo_spark.streaming.upsert import DuckDBUpsertSink
 
 WATERMARK = "0 seconds"  # zero allowed lateness, per the reference's assigner
 
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def use_rocksdb_state(spark) -> None:
+    """Switch streaming state to the RocksDB provider — the at-scale choice
+    (state spills to local disk instead of living on the JVM heap; changelog
+    checkpointing keeps commits incremental). Flink-side equivalent is the
+    RocksDB state backend the reference would configure in production. Must be
+    set before the streaming query starts."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
 TUMBLING_SINK_SCHEMA = (
     "railway_class VARCHAR, railway_class_count BIGINT, "
     "window_start TIMESTAMP, window_end TIMESTAMP"

@@ -377,6 +377,42 @@ def test_update_mode_with_upsert_converges_to_batch(spark, replay_dir, tmp_path)
     assert got_map == expected
 
 
+def test_rocksdb_state_store_provider(spark, replay_dir, tmp_path):
+    """The at-scale state backend loads and produces identical results."""
+    from kda_flink_demo_spark.streaming.jobs import ROCKSDB_PROVIDER, use_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        sink = DuckDBUpsertSink(
+            str(tmp_path / "rocks.duckdb"), "tumbling", jobs.TUMBLING_SINK_KEYS, jobs.TUMBLING_SINK_SCHEMA
+        )
+        _run(spark, jobs.job_tumbling(_stream(spark, replay_dir)), sink, str(tmp_path / "rocks_ckpt"))
+        cols, got = sink.read_all()
+        batch = tumbling_counts(
+            load_table(spark, SF_DIR, "events").select(
+                F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+            )
+        )
+        expected = {
+            (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+            for r in batch.collect()
+        }
+        got_map = {
+            (r[cols.index("railway_class")], r[cols.index("window_start")], r[cols.index("window_end")]):
+            r[cols.index("railway_class_count")]
+            for r in got
+        }
+        assert len(got_map) >= len(expected) - 10
+        for k, v in got_map.items():
+            assert expected[k] == v
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_dispatch_no_fallthrough():
     assert jobs.dispatch("StreamJobSqlTumbling") is jobs.job_tumbling
     with pytest.raises(KeyError):
