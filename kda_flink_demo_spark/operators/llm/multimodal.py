@@ -83,6 +83,70 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
     return df.select("doc_id", "payload").mapInPandas(_decode, DECODE_SCHEMA)
 
 
+AUDIO_SCHEMA = "doc_id long, sample_rate int, n_samples long, duration_sec double, rms double"
+
+
+def decode_audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Audio decode stage (same contract as image decode): (doc_id, payload) →
+    typed audio features via mapInPandas. STUB: deterministic fake — sample rate
+    from the first byte, sample count from payload length, RMS from byte values.
+    Real decode (librosa/soundfile, absent here) slots into the same schema."""
+    if real_decode:
+        raise NotImplementedError(
+            "real audio decode requires librosa/soundfile, not installed in this "
+            "container; run with real_decode=False for the deterministic stub"
+        )
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        rates = [8000, 16000, 22050, 44100]
+        for pdf in batches:
+            payloads = pdf["payload"]
+            sr = payloads.map(lambda b: rates[(b[0] if len(b) else 0) % 4])
+            n = payloads.map(len) * 4  # fake: 4 samples per byte
+            dur = [
+                math.floor(nn / s * 1e4 + 0.5) / 1e4 for nn, s in zip(n, sr)
+            ]
+            rms = payloads.map(
+                lambda b: math.floor(
+                    math.sqrt(sum(x * x for x in b[:32]) / max(min(len(b), 32), 1)) * 1e4 + 0.5
+                )
+                / 1e4
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(list(sr), dtype="int32"),
+                    "n_samples": pd.Series(list(n), dtype="int64"),
+                    "duration_sec": pd.Series(dur, dtype="float64"),
+                    "rms": pd.Series(list(rms), dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, AUDIO_SCHEMA)
+
+
+AUDIO_ORACLE_SQL = """
+    WITH base AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS nb,
+               [8000, 16000, 22050, 44100][(ord(text[1]) % 4) + 1] AS sr
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(nb * 4 AS BIGINT) AS n_samples,
+           floor(nb * 4.0 / sr * 10000.0 + 0.5) / 10000.0 AS duration_sec,
+           floor(sqrt(list_sum(list_transform(range(1, least(length(text), 32) + 1),
+                                              i -> ord(text[i]) * ord(text[i])))
+                      / least(length(text), 32)) * 10000.0 + 0.5) / 10000.0 AS rms
+    FROM base
+"""
+
+
 def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
     """Frame-sampling stage (row-expanding mapInPandas): each payload fake-decodes
     to ``n_frames = len % 30 + 1`` frames; every ``stride``-th frame is emitted

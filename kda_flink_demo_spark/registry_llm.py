@@ -233,6 +233,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(docs)
 
 
+@register("multimodal_audio_decode", multimodal.AUDIO_ORACLE_SQL)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-decode plumbing via mapInPandas (deterministic stub: sample rate /
+    duration / RMS from the raw bytes; real decode gated on librosa)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_audio_features(docs)
+
+
 @register("multimodal_frame_sample", multimodal.FRAME_ORACLE_SQL)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding mapInPandas frame sampling over binary payloads (every 5th
