@@ -479,6 +479,71 @@ def q_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q14_promo_share",
+    """
+    SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0
+               AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue share over a broadcast part join
+    with pushed-down date predicates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-09-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    return (
+        li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            det_round(100.0 * promo / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3, 4
+    HAVING sum(l_quantity) > 250
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING over a fact-fact join + deterministic
+    top-20 (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            F.sum("l_quantity").alias("_q"),
+        )
+        .filter(F.col("_q") > 250)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", det_round(F.col("_q"), 2).alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part

@@ -2,7 +2,8 @@
 time-ordered chunks through the streaming jobs into the upsert sink, report
 end-to-end rows/sec (including checkpointing and sink writes).
 
-Run: python scripts/bench_streaming.py
+Run: python scripts/bench_streaming.py [n_chunks]   (default 10; fewer chunks =
+bigger micro-batches = higher rows/sec, since per-batch fixed cost dominates)
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ def main() -> None:
         .orderBy("rowtime")
     )
     n_rows = ev.count()
-    chunks = 10
+    chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # time-ordered chunk files via ntile bucketing (no driver collect)
     from pyspark.sql import Window
 
