@@ -2,9 +2,9 @@
 
 Beyond the reference's surface (BASELINE.json north star): exact dedup,
 exact n-gram Jaccard pairs (the correctness oracle), MinHash+LSH (the 100 TB
-path), and SimHash. All candidate generation is DataFrame-native — the only
-Python in any hot path is the SimHash bit-majority, which is an Arrow-batched
-pandas UDF.
+path), and SimHash. Everything is DataFrame-native JVM expressions — zero
+Python in any data path (including the SimHash bit-majority, a getbit/aggregate
+fold).
 
 Scale notes:
 - Exact pairwise Jaccard via a shingle inverted-index self-join is O(sum of
@@ -18,7 +18,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -84,7 +83,7 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
