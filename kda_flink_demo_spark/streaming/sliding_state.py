@@ -88,7 +88,13 @@ def sliding_range_count_stream(
         if wm_ms > 0:
             cutoff = wm_ms * 1000 - interval_us
             merged = merged[np.searchsorted(merged, cutoff, side="left"):]
-        state.update((merged.tolist(),))
+        if len(merged) == 0:
+            # full state hygiene: drop the key entirely once its trailing
+            # buffer empties — with high key cardinality at scale, empty-key
+            # entries would otherwise accumulate forever in the state store
+            state.remove()
+        else:
+            state.update((merged.tolist(),))
         yield pd.DataFrame(
             {
                 "event_id": pdf["event_id"].to_numpy(),

@@ -1,0 +1,67 @@
+"""Skew probe: manufacture a hot key (~90% of rows) and compare a naive
+group-by against the two-stage salted aggregation (operators pattern in
+registry_extra.q_skew_salted). On a real cluster the naive plan leaves one
+reducer with 90% of the data; salting spreads it across salt_buckets reducers.
+
+Run: python scripts/skew_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kda_flink_demo_spark.io.sources import load_table  # noqa: E402
+from kda_flink_demo_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = get_spark("skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    base = load_table(spark, SF_DIR, "events")
+    parts = [base.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000)) for i in range(replicas)]
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    # hot key: ~90% of rows map to key 0
+    skewed = ev.select(
+        F.when(F.rand(seed=42) < 0.9, F.lit(0))
+        .otherwise((F.col("user_id") % 100) + 1)
+        .alias("k"),
+        "value",
+    )
+
+    def bench(df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 2)
+
+    naive = skewed.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+    t_naive = bench(naive)
+
+    salt_buckets = 64
+    salted = (
+        skewed.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+        .groupBy("k", "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_s"))
+        .groupBy("k")
+        .agg(F.sum("_c").alias("cnt"), F.sum("_s").alias("sv"))
+    )
+    t_salted = bench(salted)
+    n = ev.count()
+    print(json.dumps({"rows": n, "naive_sec": t_naive, "salted_sec": t_salted}))
+
+
+if __name__ == "__main__":
+    main()
