@@ -413,6 +413,52 @@ def test_rocksdb_state_store_provider(spark, replay_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_transform_with_state_matches_batch(spark, replay_dir, tmp_path):
+    """The transformWithStateInPandas twin of the sliding operator (Spark 4's
+    successor stateful API) produces identical results to the batch oracle.
+    Skipped where google.protobuf is unavailable (the TWS state-server protocol
+    needs it; this container lacks it — applyInPandasWithState is the tested
+    local path)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires google.protobuf (not installed here)")
+    from kda_flink_demo_spark.streaming.jobs import use_rocksdb_state
+    from kda_flink_demo_spark.streaming.sliding_state import sliding_range_count_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)  # transformWithStateInPandas requires RocksDB
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "tws.duckdb"), "sliding", jobs.SLIDING_SINK_KEYS, jobs.SLIDING_SINK_SCHEMA
+    )
+    try:
+        result = sliding_range_count_tws(_stream(spark, replay_dir), preceding_seconds=30 * 60)
+        _run(spark, result, sink, str(tmp_path / "tws_ckpt"))
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    cols, got = sink.read_all()
+    batch = sliding_range_count(
+        load_table(spark, SF_DIR, "events").select(
+            "event_id", F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+        ),
+        preceding_seconds=30 * 60,
+    )
+    expected = {
+        (r.event_id, r.railway_class, r.rowtime): r.railway_class_count for r in batch.collect()
+    }
+    got_map = {
+        (r[cols.index("event_id")], r[cols.index("railway_class")], r[cols.index("rowtime")]):
+        r[cols.index("railway_class_count")]
+        for r in got
+    }
+    assert len(got_map) == len(expected)
+    mismatches = {k: (v, expected[k]) for k, v in got_map.items() if expected[k] != v}
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
 def test_dispatch_no_fallthrough():
     assert jobs.dispatch("StreamJobSqlTumbling") is jobs.job_tumbling
     with pytest.raises(KeyError):
