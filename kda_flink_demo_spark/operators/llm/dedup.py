@@ -76,7 +76,10 @@ def ngram_jaccard_pairs(
     This is the oracle for the MinHash/LSH approximations; at scale, prefer
     ``minhash_lsh_pairs``.
     """
-    sh = df.select(
+    # spread the CPU-heavy shingle explode across cores (single-file inputs
+    # otherwise pin it to one task; no-op-ish on many-split cluster scans)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
     )
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
