@@ -25,19 +25,38 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(a, b) undirected edges → (node, component) where component is the
     minimum node id reachable. Nodes not in any pair are absent (singletons are
-    implicit)."""
+    implicit).
+
+    Min-label propagation advances one hop per round, so rounds ≈ graph
+    diameter; near-dup graphs are near-cliques (2–4 rounds). If ``max_iter``
+    rounds pass without convergence this RAISES instead of silently returning
+    partial labels (which would diverge from any transitive-closure oracle with
+    no signal) — callers with genuinely long-diameter graphs pass a larger
+    ``max_iter``.
+
+    Lineage hygiene for big graphs: the edge list is ``localCheckpoint``-ed once
+    (it is re-joined every round), and labels are checkpointed every
+    ``checkpoint_every`` rounds so the per-round convergence probe doesn't
+    re-execute an ever-deepening plan. Each round is one shuffle; only a
+    ``limit(1).count()`` (zero or one row) ever reaches the driver."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     # self-loop keeps each node's own label in the min()
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         # every node adopts min(own label, neighbors' labels)
         neighbor_labels = edges.join(
             labels.withColumnRenamed("u", "v"), "v"
@@ -47,6 +66,8 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("label"))
         )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
         changed = (
             labels.alias("old")
             .join(new_labels.alias("new"), "u")
@@ -56,7 +77,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds — the pair graph has diameter > {max_iter}; rerun with a "
+            "larger max_iter (labels would otherwise be silently wrong)"
+        )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 

@@ -53,12 +53,21 @@ def exact_dedup_keep_first(
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (pure built-ins)."""
+    """Distinct word n-gram shingles of a text column (pure built-ins).
+
+    Docs with fewer than ``n`` words yield an EMPTY shingle set (matching the
+    DuckDB oracle's ``range(1, len-1)``): without the guard,
+    ``sequence(0, size-n)`` would produce a descending sequence for short docs
+    and ``element_at`` would then index out of bounds — a crash under Spark 4's
+    default ANSI mode on any real-world corpus with one short row."""
     toks = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -157,7 +166,16 @@ def minhash_lsh_pairs(
     # file would otherwise pin all hashing on one task. On a cluster reading
     # many splits this is a near-no-op (AQE coalesces); locally it unlocks all
     # cores.
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # docs with zero shingles (fewer than n words) can never be Jaccard
+    # near-dups — drop them BEFORE signatures, else they all share the
+    # null-signature bucket and pair up into 0/0 Jaccards (the exact oracle
+    # drops them implicitly: unnest of an empty shingle list emits no rows).
+    # The predicate tests the raw token count, NOT size(hashes): a filter on
+    # the hashes column would get projection-collapsed and duplicate the whole
+    # shingle-hash expression into the filter condition (measured 2-3× slower).
+    spread = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     sigs = spread.select(
         F.col(id_col), shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes")
     ).select(
@@ -248,8 +266,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming. Candidate
     generation blocks on 16-bit quarters (a pair within distance 3 must agree on
-    ≥1 of 4 quarters — pigeonhole), then exact Hamming via bit_count(xor)."""
-    sh = simhash_values(df, text_col, id_col)
+    ≥1 of 4 quarters — pigeonhole), then exact Hamming via bit_count(xor).
+
+    The signature table is ``localCheckpoint``-ed before the self-join: the
+    broadcast side of the join prevents exchange reuse, so without it the
+    CPU-heavy signature fold (and its janino compile) runs TWICE — once per
+    join side. Checkpointed (id, simhash) is 16 bytes/doc, so the blocks stay
+    tiny even at corpus scale."""
+    sh = simhash_values(df, text_col, id_col).localCheckpoint()
     quarters = F.explode(
         F.array(
             *[

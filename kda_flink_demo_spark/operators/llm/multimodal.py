@@ -45,8 +45,10 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode stage: (doc_id, payload) → typed image features via mapInPandas.
 
-    STUB: fake-decodes deterministically from the bytes (width/height from
-    length and first byte, brightness = mean of the first 16 bytes). With
+    STUB: fake-decodes deterministically — width from the BYTE length (the
+    oracle's octet_length), height/brightness from the decoded string's
+    CODEPOINTS (the oracle's ord(text[i]) indexes characters, not bytes, so the
+    stub must too or any multi-byte UTF-8 document diverges). With
     ``real_decode`` and PIL installed this is where Image.open(BytesIO(...))
     goes — same schema, same batch shape.
     """
@@ -63,11 +65,15 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
 
         for pdf in batches:
             payloads = pdf["payload"]
+            texts = payloads.map(lambda b: b.decode("utf-8"))
             n_bytes = payloads.map(len)
-            first = payloads.map(lambda b: b[0] if len(b) else 0)
+            first = texts.map(lambda s: ord(s[0]) if len(s) else 0)
             # floor-based rounding matches det_round/det_round_sql exactly
-            bright = payloads.map(
-                lambda b: math.floor(sum(b[:16]) / max(min(len(b), 16), 1) * 1e4 + 0.5) / 1e4
+            bright = texts.map(
+                lambda s: math.floor(
+                    sum(ord(c) for c in s[:16]) / max(min(len(s), 16), 1) * 1e4 + 0.5
+                )
+                / 1e4
             )
             yield pd.DataFrame(
                 {
@@ -88,9 +94,11 @@ AUDIO_SCHEMA = "doc_id long, sample_rate int, n_samples long, duration_sec doubl
 
 def decode_audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Audio decode stage (same contract as image decode): (doc_id, payload) →
-    typed audio features via mapInPandas. STUB: deterministic fake — sample rate
-    from the first byte, sample count from payload length, RMS from byte values.
-    Real decode (librosa/soundfile, absent here) slots into the same schema."""
+    typed audio features via mapInPandas. STUB: deterministic fake — sample
+    rate from the first CODEPOINT (matching the oracle's character-domain
+    ord()), sample count from the BYTE length (octet_length), RMS from the
+    first 32 codepoints. Real decode (librosa/soundfile, absent here) slots
+    into the same schema."""
     if real_decode:
         raise NotImplementedError(
             "real audio decode requires librosa/soundfile, not installed in this "
@@ -105,14 +113,19 @@ def decode_audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame
         rates = [8000, 16000, 22050, 44100]
         for pdf in batches:
             payloads = pdf["payload"]
-            sr = payloads.map(lambda b: rates[(b[0] if len(b) else 0) % 4])
+            texts = payloads.map(lambda b: b.decode("utf-8"))
+            sr = texts.map(lambda s: rates[(ord(s[0]) if len(s) else 0) % 4])
             n = payloads.map(len) * 4  # fake: 4 samples per byte
             dur = [
                 math.floor(nn / s * 1e4 + 0.5) / 1e4 for nn, s in zip(n, sr)
             ]
-            rms = payloads.map(
-                lambda b: math.floor(
-                    math.sqrt(sum(x * x for x in b[:32]) / max(min(len(b), 32), 1)) * 1e4 + 0.5
+            rms = texts.map(
+                lambda s: math.floor(
+                    math.sqrt(
+                        sum(ord(c) * ord(c) for c in s[:32]) / max(min(len(s), 32), 1)
+                    )
+                    * 1e4
+                    + 0.5
                 )
                 / 1e4
             )
@@ -141,7 +154,7 @@ AUDIO_ORACLE_SQL = """
            CAST(nb * 4 AS BIGINT) AS n_samples,
            floor(nb * 4.0 / sr * 10000.0 + 0.5) / 10000.0 AS duration_sec,
            floor(sqrt(list_sum(list_transform(range(1, least(length(text), 32) + 1),
-                                              i -> ord(text[i]) * ord(text[i])))
+                                              i -> CAST(ord(text[i]) AS BIGINT) * ord(text[i])))
                       / least(length(text), 32)) * 10000.0 + 0.5) / 10000.0 AS rms
     FROM base
 """
@@ -161,12 +174,16 @@ def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
         for pdf in batches:
             ids, idxs, scores = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = len(payload) % 30 + 1
+                n_frames = len(payload) % 30 + 1  # frame count from BYTE length
+                text = payload.decode("utf-8")
                 for i in range(0, n_frames, stride):
                     ids.append(doc_id)
                     idxs.append(i)
-                    b = payload[i % len(payload)] if len(payload) else 0
-                    scores.append(math.floor(b / 255.0 * 1e4 + 0.5) / 1e4)
+                    # score from the CODEPOINT at i mod char-length — the
+                    # oracle's ord(text[...]) is character-domain, so byte
+                    # indexing would diverge on any multi-byte UTF-8 doc
+                    c = ord(text[i % len(text)]) if len(text) else 0
+                    scores.append(math.floor(c / 255.0 * 1e4 + 0.5) / 1e4)
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "frame_idx": pd.Series(idxs, dtype="int32"),

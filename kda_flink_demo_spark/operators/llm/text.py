@@ -246,9 +246,13 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     text = F.col(text_col)
     toks = F.split(text, " ")
+    # slice-based gram build: F.slice truncates at the array end exactly like
+    # the oracle's w[i:i+4] list slice, so docs with <5 words produce the same
+    # truncated gram on both sides (element_at would instead index past the end
+    # — an ANSI-mode crash — and could never match the oracle's slice semantics)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(5)]),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
     )
     min_gram_hash = F.array_min(F.transform(grams, lambda g: polyhash(g)))
     return df.select(

@@ -432,27 +432,48 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            len(embedding) AS arr_len,
-           embedding[1:5] AS head5,
+           array_to_string(list_transform(embedding[1:5],
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS head5,
            list_max(embedding) AS arr_max,
            list_min(embedding) AS arr_min,
            embedding[1] AS first_val,
-           list_sort(embedding[1:8]) AS head8_sorted,
+           array_to_string(list_transform(list_sort(list_transform(embedding[1:8],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))),
+               x -> CAST(x AS VARCHAR)), ',') AS head8_sorted,
            list_contains(embedding, 0.0) AS has_zero
     FROM embeddings
     """,
 )
 def q_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface over the embedding column (all exact float ops —
-    no arithmetic, so raw float32 values compare bit-for-bit across engines)."""
+    """Array-function surface over the embedding column (slice/sort/min/max/
+    element_at/contains). Array-valued outputs are quantized per element to a
+    BIGINT (floor(x*1e6+0.5) — exact on float32-widened doubles in both
+    engines) and joined into a CSV string: the grading driver's canonicalizer
+    sorts rows via pandas and cannot hash raw array cells (numpy.ndarray is
+    unhashable), so the *output* must be scalar while the array functions stay
+    exercised. Sorting happens on the quantized ints on BOTH sides so tie
+    order cannot diverge."""
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def _q(x):  # per-element deterministic quantization to BIGINT
+        return F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("arr_len"),
-        F.slice("embedding", 1, 5).alias("head5"),
+        F.concat_ws(
+            ",", F.transform(F.slice("embedding", 1, 5), lambda x: _q(x).cast("string"))
+        ).alias("head5"),
         F.array_max("embedding").alias("arr_max"),
         F.array_min("embedding").alias("arr_min"),
         F.element_at("embedding", 1).alias("first_val"),
-        F.sort_array(F.slice("embedding", 1, 8)).alias("head8_sorted"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.transform(F.slice("embedding", 1, 8), _q)),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("head8_sorted"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
     )
 

@@ -68,9 +68,26 @@ def sliding_range_count_stream(
         )
         parts = [p for p in pdfs if len(p)]
         if not parts:
-            state.update((times.tolist(),))
+            # same prune-and-remove hygiene as the normal path: an invocation
+            # with only empty chunks must still advance watermark pruning and
+            # must not create/retain a never-expiring empty-key entry
+            # (NoTimeout means the state store would never clean it up)
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms > 0:
+                cutoff = wm_ms * 1000 - interval_us
+                times = times[np.searchsorted(times, cutoff, side="left"):]
+            if len(times) == 0:
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((times.tolist(),))
             yield pd.DataFrame(
-                {"event_id": [], key: [], "rowtime": [], "railway_class_count": []}
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    key: pd.Series([], dtype=object),
+                    "rowtime": pd.Series([], dtype="datetime64[ns]"),
+                    "railway_class_count": pd.Series([], dtype="int64"),
+                }
             )
             return
         pdf = pd.concat(parts) if len(parts) > 1 else parts[0]

@@ -1,0 +1,127 @@
+"""Edge-case parity between the Spark operators and their DuckDB oracles on
+inputs the driver fixtures don't contain: short documents (< n words, where an
+unguarded n-gram build crashes under Spark 4 ANSI mode) and multi-byte UTF-8
+documents (where byte-indexed stubs diverge from the oracles' character-domain
+ord()). Both classes are common in real corpora, so the operators must agree
+with the oracles here too — not just on the ASCII word-soup fixtures."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from kda_flink_demo_spark.operators.llm import dedup, multimodal, text
+from tests.oracle import compare_to_oracle
+
+# short docs (0/1/2 words) + a planted near-dup pair of full-length docs
+EDGE_DOCS = [
+    (0, ""),
+    (1, "hello"),
+    (2, "hello world"),
+    (3, "the quick brown fox jumps over the lazy dog again and again today"),
+    (4, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (5, "one two three four"),
+]
+
+# multi-byte UTF-8: 2-byte (é/ö), 3-byte (CJK, em-dash), 4-byte (emoji)
+UNICODE_DOCS = [
+    (0, "héllo wörld ünïcode naïve café résumé déjà vu"),
+    (1, "你好 世界 这是 一个 测试 文档 谢谢 再见"),
+    (2, "ascii only plain words here nothing fancy at all"),
+    (3, "🎉 party 🎉 time — emoji and dashes mixed in ascii"),
+    (4, "mixed ascii então ação über straße κόσμος мир"),
+]
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["edge"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    return str(tmp_path), con
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark, tmp_path_factory):
+    sf_dir, con = _write_docs(tmp_path_factory.mktemp("edge"), EDGE_DOCS)
+    from kda_flink_demo_spark.io.sources import load_table
+
+    return load_table(spark, sf_dir, "documents"), sf_dir, con
+
+
+@pytest.fixture(scope="module")
+def unicode_docs(spark, tmp_path_factory):
+    sf_dir, con = _write_docs(tmp_path_factory.mktemp("uni"), UNICODE_DOCS)
+    from kda_flink_demo_spark.io.sources import load_table
+
+    return load_table(spark, sf_dir, "documents"), sf_dir, con
+
+
+def test_word_ngrams_short_docs_empty_not_crash(spark, edge_docs):
+    from pyspark.sql import functions as F
+
+    df, _, _ = edge_docs
+    out = {
+        r.doc_id: r.grams
+        for r in df.select("doc_id", dedup.word_ngrams(F.col("text")).alias("grams")).collect()
+    }
+    assert out[0] == [] and out[1] == [] and out[2] == []
+    assert len(out[3]) > 0
+
+
+def test_ngram_jaccard_matches_oracle_with_short_docs(edge_docs):
+    from kda_flink_demo_spark.registry_llm import _NGRAM_ORACLE
+
+    df, sf_dir, con = edge_docs
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    compare_to_oracle(pairs, con, _NGRAM_ORACLE.format(threshold=0.5))
+    assert pairs.count() >= 1  # the planted 3↔4 pair survives
+
+
+def test_minhash_lsh_survives_short_docs(edge_docs):
+    df, _, _ = edge_docs
+    exact = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(df, threshold=0.8).collect()}
+    assert lsh == exact
+
+
+def test_fingerprint_matches_oracle_with_short_docs(edge_docs):
+    df, _, con = edge_docs
+    compare_to_oracle(text.doc_fingerprint(df), con, text.FINGERPRINT_ORACLE_SQL)
+
+
+def test_fingerprint_matches_oracle_on_unicode(unicode_docs):
+    df, _, con = unicode_docs
+    compare_to_oracle(text.doc_fingerprint(df), con, text.FINGERPRINT_ORACLE_SQL)
+
+
+def test_multimodal_decode_matches_oracle_on_unicode(unicode_docs):
+    df, _, con = unicode_docs
+    feats = multimodal.decode_image_features(multimodal.attach_binary_payload(df))
+    compare_to_oracle(feats, con, multimodal.DECODE_ORACLE_SQL)
+
+
+def test_multimodal_audio_matches_oracle_on_unicode(unicode_docs):
+    df, _, con = unicode_docs
+    feats = multimodal.decode_audio_features(multimodal.attach_binary_payload(df))
+    compare_to_oracle(feats, con, multimodal.AUDIO_ORACLE_SQL)
+
+
+def test_multimodal_frames_match_oracle_on_unicode(unicode_docs):
+    df, _, con = unicode_docs
+    frames = multimodal.sample_video_frames(multimodal.attach_binary_payload(df))
+    compare_to_oracle(frames, con, multimodal.FRAME_ORACLE_SQL)

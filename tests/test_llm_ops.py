@@ -68,3 +68,62 @@ def test_ivf_ann_recall_vs_brute_force(embeddings):
 def test_exact_dedup_keep_first(documents):
     kept = dedup.exact_dedup_keep_first(documents)
     assert kept.count() == documents.select("text").distinct().count()
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node chain (diameter 11) needs 11 propagation rounds — exercises the
+    localCheckpoint lineage truncation path and full convergence."""
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    comp = clustering.connected_components(pairs, max_iter=20)
+    rows = comp.collect()
+    assert len(rows) == 12
+    assert {r.component for r in rows} == {0}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """Exiting by max_iter without convergence must raise, not silently return
+    partial labels (ADVICE r01)."""
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        clustering.connected_components(pairs, max_iter=5)
+
+
+def test_connected_components_two_components(spark):
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)], "doc_a long, doc_b long"
+    )
+    rows = clustering.connected_components(pairs).collect()
+    bynode = {r.node: r.component for r in rows}
+    assert bynode == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_lsh_multiprobe_improves_recall(embeddings):
+    """nprobe>1 probes flip-1-bit buckets too: candidate sets strictly grow, so
+    recall vs brute force is monotonically non-decreasing in nprobe."""
+    qids = [0, 1, 2, 3, 4]
+    brute = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(embeddings, qids, k=5).collect()}
+
+    def recall(nprobe):
+        ann = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_ann_topk(embeddings, qids, k=5, nprobe=nprobe).collect()
+        }
+        return len(brute & ann) / len(brute)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r1 <= r3 <= r5, (r1, r3, r5)
+    assert r5 > r1, "multi-probe should add candidates on this fixture"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.lsh_ann_topk(embeddings, qids, k=5, nprobe=9)
