@@ -58,6 +58,39 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
             "container; run with real_decode=False for the deterministic stub"
         )
 
+    if real_decode:
+
+        def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import io as _io
+            import math
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                widths, heights, chans, bright = [], [], [], []
+                for b in pdf["payload"]:
+                    img = Image.open(_io.BytesIO(bytes(b)))
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    chans.append(len(img.getbands()))
+                    gray = img.convert("L")
+                    px = list(gray.getdata())
+                    mean = sum(px) / max(len(px), 1)
+                    bright.append(math.floor(mean * 1e4 + 0.5) / 1e4)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": pd.Series(widths, dtype="int32"),
+                        "height": pd.Series(heights, dtype="int32"),
+                        "channels": pd.Series(chans, dtype="int32"),
+                        "brightness": pd.Series(bright, dtype="float64"),
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    }
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_decode, DECODE_SCHEMA)
+
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 

@@ -151,6 +151,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    chunk_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within equality blocks.
 
@@ -182,10 +183,9 @@ def embedding_near_dup_pairs(
         nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
         n = len(ids)
         a_idx, b_idx, vals = [], [], []
-        chunk = 4096  # bounds the (chunk × block) score matrix
         jj = np.arange(n)
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
+        for s in range(0, n, chunk_rows):  # bounds the (chunk × block) matrix
+            e = min(s + chunk_rows, n)
             cos = (m[s:e] @ m.T) / np.outer(nrm[s:e], nrm)
             mask = (jj[None, :] > np.arange(s, e)[:, None]) & (cos >= threshold)
             ai, bj = np.nonzero(mask)

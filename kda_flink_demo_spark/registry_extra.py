@@ -807,3 +807,84 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"), det_round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+@register(
+    "asof_join_last_purchase",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: every click gets the same user's most recent
+    purchase at or before the click instant (NULLs before the first purchase).
+    Spark lacks a native ASOF JOIN — ``operators.asof.asof_join_backward``
+    implements it as union + running last(ignorenulls) window (one shuffle,
+    linear scan; see that module for the scale argument). Oracle: DuckDB's
+    native ASOF LEFT JOIN — an independent implementation of the semantics.
+    Right-side (user, ts) ties are pre-deduplicated (max event_id) so both
+    engines are deterministic."""
+    from kda_flink_demo_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_backward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        payload_cols=["purchase_ts", "purchase_id"],
+    )
+
+
+@register(
+    "range_join_recent_purchases",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, count(p.pts) AS recent_purchases
+    FROM clicks c LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.pts <= c.ts AND p.pts > c.ts - INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time range join: per click, how many purchases the same user made
+    in the trailing hour. The range predicate rides an EQUI-join on user_id, so
+    Catalyst plans a hash/sort-merge join on the key with the time bounds as
+    join filters — per-key work, not an O(n·m) inequality join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") <= F.col("ts"))
+        & (F.col("pts") > F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("pts").alias("recent_purchases")
+    )

@@ -26,7 +26,9 @@ idempotency argument, batchId-keyed.
 
 from __future__ import annotations
 
+import os
 import threading
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 
@@ -107,6 +109,109 @@ class DuckDBUpsertSink:
             return cols, cur.fetchall()
         finally:
             con.close()
+
+
+class ExecutorStagedUpsertSink(DuckDBUpsertSink):
+    """Executor-parallel production sink: task-side row writes + one
+    transactional MERGE-style promote per micro-batch.
+
+    The reference's sinks write rows from task threads
+    (sink/SinkDataApiTumbling.java:59-85); ``DuckDBUpsertSink`` instead funnels
+    every micro-batch through the driver (``toPandas``) — fine for
+    aggregate-cardinality output, a bottleneck for raw rows. This sink keeps
+    the ROW DATA PATH on the executors: each task writes its partition
+    directly to a batchId-keyed staging directory
+    (``batch_df.write.parquet`` — no rows ever reach the driver), then the
+    driver issues a single ``INSERT … ON CONFLICT`` from the staged files.
+    That is the standard scale pattern (JDBC staging table + MERGE, Delta
+    ``MERGE INTO``): data moves executor→storage in parallel, the commit is
+    one statement.
+
+    Idempotence: a replayed micro-batch (same batchId after failure/restart)
+    overwrites the SAME staging path and re-upserts the same keys — the
+    O5/O8 effectively-exactly-once contract, verified by the same
+    replay/crash tests as the driver-side sink.
+    """
+
+    def __init__(
+        self,
+        db_path: str,
+        table: str,
+        key_cols: list[str],
+        schema_sql: str,
+        staging_dir: str,
+        merge: str = "overwrite",
+    ):
+        super().__init__(db_path, table, key_cols, schema_sql, merge)
+        self.staging_dir = staging_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        staging = os.path.join(self.staging_dir, f"batch_id={batch_id}")
+        # task-side writes: one parquet file per partition, straight from the
+        # executors; mode=overwrite makes batch replay idempotent at this stage
+        batch_df.write.mode("overwrite").parquet(staging)
+        cols = batch_df.columns
+        updates = [c for c in cols if c not in self.key_cols]
+        if self.merge == "max":
+            set_sql = ", ".join(f"{c} = greatest({self.table}.{c}, excluded.{c})" for c in updates)
+        else:
+            set_sql = ", ".join(f"{c} = excluded.{c}" for c in updates)
+        glob = os.path.join(staging, "*.parquet")
+        with self._lock:
+            con = self._connect()
+            try:
+                con.execute(
+                    f"INSERT INTO {self.table} ({', '.join(cols)}) "
+                    f"SELECT {', '.join(cols)} FROM read_parquet('{glob}') "
+                    f"ON CONFLICT ({', '.join(self.key_cols)}) DO UPDATE SET {set_sql}"
+                )
+            finally:
+                con.close()
+
+
+def jdbc_partition_writer(
+    connect_fn: Callable[[], object],
+    table: str,
+    cols: list[str],
+    key_cols: list[str],
+    batch_size: int = 500,
+) -> Callable[[Iterator], None]:
+    """Per-partition JDBC upsert writer — the direct twin of the reference's
+    task-thread sink (sink/SinkDataApiTumbling.java:59-85): every executor
+    partition opens its own connection and streams ``executemany`` upserts.
+
+    Compose inside foreachBatch for a fully executor-parallel sink against a
+    real server (PostgreSQL et al.)::
+
+        writer = jdbc_partition_writer(pg_connect, "t", cols, keys)
+        def sink(batch_df, batch_id):
+            batch_df.foreachPartition(writer)
+
+    ``connect_fn`` must be picklable (module-level function / functools.partial
+    capturing DSN strings, not a live connection). Idempotence comes from the
+    ``ON CONFLICT`` statement itself, so micro-batch replays are safe exactly
+    as in the staged variant. No server ships in this container — the batching
+    and statement logic are unit-tested against a recording fake connection.
+    """
+    sql = jdbc_upsert_sql(table, cols, key_cols)
+
+    def write_partition(rows: Iterator) -> None:
+        con = connect_fn()
+        try:
+            cur = con.cursor()
+            buf = []
+            for row in rows:
+                buf.append(tuple(row[c] for c in cols))
+                if len(buf) >= batch_size:
+                    cur.executemany(sql, buf)
+                    buf = []
+            if buf:
+                cur.executemany(sql, buf)
+            con.commit()
+        finally:
+            con.close()
+
+    return write_partition
 
 
 def jdbc_upsert_sql(table: str, cols: list[str], key_cols: list[str], constraint: str | None = None) -> str:

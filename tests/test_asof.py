@@ -1,0 +1,75 @@
+"""Unit semantics for the as-of backward join (operators/asof.py): inclusive vs
+strict boundary handling, no-match NULLs, and per-key isolation — on a tiny
+hand-built frame where every expected match is enumerable. The registry-level
+oracle check (asof_join_last_purchase vs DuckDB's native ASOF JOIN) covers the
+at-scale behavior."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from kda_flink_demo_spark.operators.asof import asof_join_backward
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_strict(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:05")),
+            (2, 10, _ts("2024-01-01T00:00:10")),  # exactly at a right row
+            (3, 10, _ts("2024-01-01T00:00:02")),  # before any right row
+            (4, 20, _ts("2024-01-01T00:00:30")),  # other key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T00:00:04"), 100),
+            (10, _ts("2024-01-01T00:00:10"), 101),
+            (20, _ts("2024-01-01T00:00:29"), 200),
+        ],
+        "user_id long, rts timestamp, rid long",
+    )
+
+    inclusive = {
+        r.event_id: r.rid
+        for r in asof_join_backward(
+            left, right, on="user_id", left_ts="ts", right_ts="rts", payload_cols=["rid"]
+        ).collect()
+    }
+    assert inclusive == {1: 100, 2: 101, 3: None, 4: 200}
+
+    strict = {
+        r.event_id: r.rid
+        for r in asof_join_backward(
+            left,
+            right,
+            on="user_id",
+            left_ts="ts",
+            right_ts="rts",
+            payload_cols=["rid"],
+            inclusive=False,
+        ).collect()
+    }
+    # at the exact boundary the right row is no longer visible
+    assert strict == {1: 100, 2: 100, 3: None, 4: 200}
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The implementation must stay one hash shuffle on the key (union +
+    window), never a nested-loop inequality join."""
+    left = spark.range(10).selectExpr(
+        "id AS event_id", "id % 3 AS user_id", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts"
+    )
+    right = spark.range(5).selectExpr(
+        "id % 3 AS user_id", "timestamp_micros(CAST(id * 900000 AS LONG)) AS rts", "id AS rid"
+    )
+    df = asof_join_backward(
+        left, right, on="user_id", left_ts="ts", right_ts="rts", payload_cols=["rid"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1

@@ -125,3 +125,37 @@ def test_multimodal_frames_match_oracle_on_unicode(unicode_docs):
     df, _, con = unicode_docs
     frames = multimodal.sample_video_frames(multimodal.attach_binary_payload(df))
     compare_to_oracle(frames, con, multimodal.FRAME_ORACLE_SQL)
+
+
+def test_real_decode_requires_pil_or_runs(spark, unicode_docs):
+    """real_decode=True is an honest gate: without PIL it raises
+    NotImplementedError; with PIL present it decodes real image bytes through
+    the same mapInPandas contract (same schema, same batch shape)."""
+    df, _, _ = unicode_docs
+    payloads = multimodal.attach_binary_payload(df)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except Exception:
+        has_pil = False
+
+    if not has_pil:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.decode_image_features(payloads, real_decode=True)
+        return
+
+    # PIL present (not in this container, but the path must work where it is):
+    # build 1-pixel PNGs as payloads and decode for real
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (2, 3), color=(10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    pdf = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    out = multimodal.decode_image_features(pdf, real_decode=True).collect()
+    assert out[0].width == 2 and out[0].height == 3 and out[0].channels == 3

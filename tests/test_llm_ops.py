@@ -127,3 +127,16 @@ def test_lsh_multiprobe_improves_recall(embeddings):
 
     with _pytest.raises(ValueError):
         similarity.lsh_ann_topk(embeddings, qids, k=5, nprobe=9)
+
+
+def test_embedding_near_dup_chunked_matmul_matches_unchunked(embeddings):
+    """The per-block matmul row-chunks to bound memory; a tiny chunk size must
+    produce the identical pair set (exercises the multi-chunk triangle logic
+    that a big block would hit at scale)."""
+    full = similarity.embedding_near_dup_pairs(embeddings, block_col="label", threshold=0.35)
+    chunked = similarity.embedding_near_dup_pairs(
+        embeddings, block_col="label", threshold=0.35, chunk_rows=7
+    )
+    as_set = lambda df: {(r.vec_a, r.vec_b, r.cosine) for r in df.collect()}
+    assert as_set(full) == as_set(chunked)
+    assert len(as_set(full)) > 0
