@@ -888,3 +888,32 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("pts").alias("recent_purchases")
     )
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 ELSE 10 END
+    """,
+)
+def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted DETERMINISTIC sampling — the corpus-mixing primitive of
+    training-data pipelines (mix sources at fixed rates, reproducibly).
+    ``rand()`` would differ per run/engine/partitioning; hashing the row key
+    (md5 → first 8 hex digits → mod 100) gives an identical sample on every
+    engine, cluster size, and rerun, and the per-source rate is just a CASE on
+    the threshold. Scan-speed narrow filter, no shuffle, no RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("source") == "src0", 50)
+        .when(F.col("source") == "src1", 25)
+        .otherwise(10)
+    )
+    return docs.filter(h < rate).select("doc_id", "source")

@@ -626,3 +626,56 @@ def test_jdbc_partition_writer_batches_and_commits():
     sql = con.log[0][1]
     assert "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v" in sql
     assert sql.startswith("INSERT INTO t (k, v) VALUES (?, ?)")
+
+
+def test_streaming_exact_dedup_emits_each_event_once(spark, replay_dir, tmp_path):
+    """Streaming form of the exact-dedup operator: replay every chunk TWICE
+    (duplicate arrivals are the at-least-once source reality) and assert
+    dropDuplicates state emits each event_id exactly once across the run.
+    Unbounded dedup state here is fine for the bounded test replay; production
+    bounds it with dropDuplicatesWithinWatermark over the dup-arrival horizon."""
+    import glob
+    import shutil
+
+    dup_dir = tmp_path / "dup_replay"
+    dup_dir.mkdir()
+    files = sorted(glob.glob(replay_dir + "/chunk=*/*.parquet"))
+    assert files
+    for i, f in enumerate(files):
+        shutil.copy(f, dup_dir / f"a{i:02d}.parquet")
+        shutil.copy(f, dup_dir / f"b{i:02d}.parquet")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(dup_dir))
+        .dropDuplicates(["event_id"])
+    )
+    emitted = {"rows": 0, "ids": 0}
+
+    def sink(batch_df, batch_id):
+        emitted["rows"] += batch_df.count()
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    n_unique = (
+        spark.read.schema(schema).parquet(str(dup_dir)).select("event_id").distinct().count()
+    )
+    assert emitted["rows"] == n_unique
