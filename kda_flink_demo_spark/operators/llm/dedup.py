@@ -195,7 +195,17 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
-    buckets = sigs.select(F.col(id_col), band_cols).select(id_col, "bb.band", "bb.bucket")
+    # localCheckpoint both reused tables: the candidate generation is a SELF-
+    # join (broadcast sides re-execute their whole upstream, so without this
+    # the 64-permutation signature pipeline runs twice), and the shingle table
+    # feeds BOTH re-verification joins. buckets is 24 bytes/doc/band; the
+    # shingle checkpoint trades executor storage (~corpus-sized) for not
+    # shingling the corpus two more times — the standard space/time call.
+    buckets = (
+        sigs.select(F.col(id_col), band_cols)
+        .select(id_col, "bb.band", "bb.bucket")
+        .localCheckpoint()
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     # candidate pairs are bare (long, long) — dedup them BEFORE fetching shingle
@@ -211,7 +221,9 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    shingles = spread.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("shingles"))
+    shingles = spread.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("shingles")
+    ).localCheckpoint()
     pairs = cand.join(
         shingles.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
     ).join(

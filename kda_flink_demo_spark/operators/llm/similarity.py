@@ -1,10 +1,13 @@
 """Similarity search over an embedding column (array<float>).
 
 Brute-force cosine top-k is the correctness baseline (fully oracle-able);
-random-hyperplane LSH bucketing is the scale path. Dot products run JVM-side
-via zip_with/aggregate (sequential double accumulation — deterministic and
-matching DuckDB's list_dot_product fold order); the LSH bucket computation is a
-single Arrow-batched pandas UDF doing one numpy matmul per batch.
+random-hyperplane LSH bucketing is the scale path. Per-pair dot products in
+the top-k/IVF paths run JVM-side via zip_with/aggregate (sequential double
+accumulation — deterministic and matching DuckDB's list_dot_product fold
+order); the bulk paths are vectorized numpy — LSH bucketing is one matmul per
+Arrow batch, and blocked near-dup pairs are one chunked BLAS matmul per block
+(fold-order FP differences vs the oracle are absorbed by det_round(6) on both
+sides).
 
 Scale notes: brute force is O(N·Q) — fine when Q (queries) is small and
 broadcast; the scan side never shuffles. LSH cuts candidates to same-bucket

@@ -70,3 +70,26 @@ def test_jvm_operators_have_no_python_udf(spark):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in hot path"
         assert "PythonUDF" not in plan or "ArrowEvalPython" in plan
+
+
+def test_embedding_near_dup_is_single_shuffle_pandas(spark):
+    """The blocked cosine matmul must be ONE hash shuffle on the block key into
+    one grouped-pandas stage — no pair-row join, no second exchange."""
+    from kda_flink_demo_spark.operators.llm import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(similarity.embedding_near_dup_pairs(emb, block_col="label", threshold=0.35))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_join_is_equi_join_on_key(spark):
+    """The trailing-hour range join must ride an equi-join on user_id (hash or
+    sort-merge), never a nested-loop over the inequality."""
+    from kda_flink_demo_spark import registry
+    import kda_flink_demo_spark.registry_extra  # noqa: F401 — registers
+
+    df = registry.queries()["range_join_recent_purchases"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
