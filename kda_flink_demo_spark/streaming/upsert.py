@@ -214,6 +214,61 @@ def jdbc_partition_writer(
     return write_partition
 
 
+class ForeachRowUpsertWriter:
+    """Per-RECORD sink shim (reference O2, sink/SinkDataApiSingle.java:19-99):
+    Spark's ``df.writeStream.foreach(writer)`` contract — ``open(partition_id,
+    epoch_id)`` / ``process(row)`` / ``close(error)``. Rows buffer in-process
+    and flush as batched ``ON CONFLICT`` upserts on buffer-full and on close,
+    exactly the reference's buffer-then-flush loop.
+
+    The idiomatic form remains ``foreachBatch`` (micro-batch IS the buffer;
+    SURVEY §2.8) — this class exists for API parity and for sinks that only
+    expose a row-level client. Same picklable ``connect_fn`` contract and
+    statement as ``jdbc_partition_writer``; unit-tested against the recording
+    fake (no DB server in this container).
+    """
+
+    def __init__(
+        self,
+        connect_fn: Callable[[], object],
+        table: str,
+        cols: list[str],
+        key_cols: list[str],
+        buffer_size: int = 200,
+    ):
+        self.connect_fn = connect_fn
+        self.table = table
+        self.cols = cols
+        self.key_cols = key_cols
+        self.buffer_size = buffer_size
+        self._sql = jdbc_upsert_sql(table, cols, key_cols)
+        self._con = None
+        self._buf: list[tuple] = []
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        self._con = self.connect_fn()
+        self._buf = []
+        return True
+
+    def _flush(self) -> None:
+        if self._buf:
+            self._con.cursor().executemany(self._sql, self._buf)
+            self._buf = []
+
+    def process(self, row) -> None:
+        self._buf.append(tuple(row[c] for c in self.cols))
+        if len(self._buf) >= self.buffer_size:
+            self._flush()
+
+    def close(self, error) -> None:
+        try:
+            if error is None:
+                self._flush()
+                self._con.commit()
+        finally:
+            self._con.close()
+
+
 def jdbc_upsert_sql(table: str, cols: list[str], key_cols: list[str], constraint: str | None = None) -> str:
     """The PostgreSQL statement the production JDBC sink issues per row batch —
     same shape as the reference's (sink/SinkDataApiTumbling.java:236-238)."""

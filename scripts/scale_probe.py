@@ -78,7 +78,28 @@ def main() -> None:
             "o_custkey", F.col("o_custkey") % 1500
         )),
     )
-    rows = {"events": ev.count(), "lineitem": li.count()}
+    # LLM scale-path operators: replicated docs (shifted ids; texts perturbed
+    # per replica so dedup candidate counts stay realistic instead of every
+    # replica being an exact duplicate of replica 0) and replicated embeddings.
+    from kda_flink_demo_spark.operators.llm import dedup as _dedup
+    from kda_flink_demo_spark.operators.llm import similarity as _sim
+
+    docs = replicate(load_table(spark, SF_DIR, "documents"), replicas, ["doc_id"])
+    docs = docs.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), (F.col("doc_id") / 10_000_000).cast("long").cast("string"))
+    )
+    emb = replicate(load_table(spark, SF_DIR, "embeddings"), replicas, ["vec_id"])
+
+    bench("exact_dedup", _dedup.exact_dedup_stats(docs))
+    bench("minhash_lsh", _dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    bench("simhash_pairs", _dedup.simhash_pairs(docs))
+    bench(
+        "embedding_near_dup",
+        _sim.embedding_near_dup_pairs(emb, block_col="label", threshold=0.35),
+    )
+    bench("cosine_topk", _sim.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5))
+
+    rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
 
 

@@ -679,3 +679,55 @@ def test_streaming_exact_dedup_emits_each_event_once(spark, replay_dir, tmp_path
         spark.read.schema(schema).parquet(str(dup_dir)).select("event_id").distinct().count()
     )
     assert emitted["rows"] == n_unique
+
+
+def test_foreach_row_writer_buffers_flushes_and_aborts():
+    """Per-record foreach sink shim (reference O2 SinkDataApiSingle): buffer →
+    batched upsert flush on buffer-full and close; no commit on error."""
+    from kda_flink_demo_spark.streaming.upsert import ForeachRowUpsertWriter
+
+    class FakeCursor:
+        def __init__(self, log):
+            self.log = log
+
+        def executemany(self, sql, rows):
+            self.log.append(list(rows))
+
+    class FakeConn:
+        def __init__(self):
+            self.log = []
+            self.committed = False
+            self.closed = False
+
+        def cursor(self):
+            return FakeCursor(self.log)
+
+        def commit(self):
+            self.committed = True
+
+        def close(self):
+            self.closed = True
+
+    conns = []
+
+    def connect():
+        c = FakeConn()
+        conns.append(c)
+        return c
+
+    w = ForeachRowUpsertWriter(connect, "t", ["k", "v"], ["k"], buffer_size=3)
+    assert w.open(partition_id=0, epoch_id=7) is True
+    for i in range(7):
+        w.process({"k": i, "v": i})
+    w.close(None)
+    con = conns[-1]
+    assert [len(c) for c in con.log] == [3, 3, 1]
+    assert con.committed and con.closed
+
+    # error path: buffered rows are NOT committed
+    w2 = ForeachRowUpsertWriter(connect, "t", ["k", "v"], ["k"], buffer_size=10)
+    w2.open(0, 8)
+    w2.process({"k": 1, "v": 1})
+    w2.close(RuntimeError("boom"))
+    con2 = conns[-1]
+    assert con2.log == [] and not con2.committed and con2.closed
