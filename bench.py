@@ -36,9 +36,26 @@ BENCH_QUERIES = [
     "top_customers",
     "rank_parts_in_brand",
     "tpch_q3_shipping",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q13_customer_distribution",
     "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_variety",
+    "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_part_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "asof_join_last_purchase",
+    "range_join_recent_purchases",
+    "deterministic_sample",
     "session_windows_5m",
     "analytic_pack",
     "tumbling_value_stats",

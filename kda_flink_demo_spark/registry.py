@@ -392,6 +392,7 @@ def _ensure_llm_registered() -> None:
     if not _EXTRAS_LOADED:
         import kda_flink_demo_spark.registry_extra  # noqa: F401
         import kda_flink_demo_spark.registry_llm  # noqa: F401
+        import kda_flink_demo_spark.registry_tpch  # noqa: F401
 
         _EXTRAS_LOADED = True
 

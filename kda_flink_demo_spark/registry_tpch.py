@@ -1,0 +1,573 @@
+"""TPC-H-shaped relational suite, adapted to the driver's reduced schema.
+
+The reference (komushi/kda-flink-demo) has no relational engine at all — its
+whole query surface is windowed COUNTs (SURVEY §2.5-2.7). These queries exist to
+demonstrate the full join/aggregate/subquery surface a Spark-native analytics
+engine gets from Catalyst, on the exact TPC-H access patterns that dominate
+100 TB warehouse workloads.
+
+Adaptation notes (testdata is TPC-H-*ish*, TESTDATA.md): there is no partsupp
+table and lineitem lacks commitdate/receiptdate/shipmode/shipinstruct, so
+- Q2 / Q11 / Q21 are not expressible and are intentionally absent;
+- Q4's commit<receipt predicate becomes "shipped >30 days after order date";
+- Q9 has no ps_supplycost term (profit = revenue);
+- Q12 groups by l_linestatus instead of l_shipmode;
+- Q16/Q17/Q19/Q20 substitute available part attributes for container/shipmode.
+Together with pricing_summary (Q1), tpch_q3/q6/q14/q18 in registry_extra and
+revenue_by_region (Q5-star shape) in registry, 19 of the 22 TPC-H query shapes
+are covered.
+
+Physical-strategy policy (same as operators/relational.py): dimension tables
+(region/nation/supplier/part/customer) broadcast explicitly — at 100 TB the
+lineitem/orders fact sides never shuffle for a dim join; the one fact⋈fact join
+(orders⋈lineitem) shuffles on the natural key with AQE skew handling; top-k is
+orderBy+limit → TakeOrderedAndProject.
+
+Cross-engine determinism: every float aggregate is det_round-ed on BOTH sides
+(summation-order safety), integer-width columns are cast to BIGINT on both
+sides, and every LIMIT has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kda_flink_demo_spark.functions import det_round, det_round_sql
+from kda_flink_demo_spark.io.sources import load_table
+from kda_flink_demo_spark.registry import register
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp")
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (priority count via EXISTS): left-semi join with a
+    non-equi residual (shipped >30 days after order date stands in for the
+    absent commitdate<receiptdate). The semi join shuffles once on the order
+    key; the date filter is pushed to the orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name AS nation_name,
+           {det_round_sql(f"sum({_REV})", 2)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper (local supplier volume): the customer⋈supplier
+    same-nation constraint rides the supplier broadcast join as a residual;
+    only orders⋈lineitem shuffles."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    o = t("orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    return (
+        t("lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast(t("supplier")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(det_round(F.sum(_rev_col()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {det_round_sql("sum(volume)", 2)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {_REV} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): nation joined twice
+    under different roles — both broadcast; the symmetric nation-pair predicate
+    lands after both dim joins."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    n1 = t("nation").select(
+        F.col("n_nationkey").alias("n1_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t("nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = t("lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(t("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t("customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_nationkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(det_round(F.sum(_rev_col()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           {det_round_sql(
+               "sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume)", 6
+           )} AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {_REV} AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): conditional-sum ratio per order year.
+    Part filter prunes the fact scan via the broadcast hash join's runtime
+    filter; the ratio is det_round(6)-ed on both sides."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    n1 = t("nation").select(
+        F.col("n_nationkey").alias("n1_nationkey"), F.col("n_regionkey").alias("n1_regionkey")
+    )
+    n2 = t("nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("nation")
+    )
+    o = t("orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    vol = _rev_col()
+    return (
+        t("lineitem")
+        .join(broadcast(t("part").filter(F.col("p_type") == "ECONOMY")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("n1_nationkey"))
+        .join(
+            broadcast(t("region").filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_regionkey") == F.col("r_regionkey"),
+        )
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            det_round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    f"""
+    SELECT nation_name, o_year, {det_round_sql("sum(amount)", 2)} AS profit
+    FROM (
+        SELECT n_name AS nation_name,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {_REV} AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). No partsupp
+    table in this schema, so profit has no ps_supplycost term — revenue only
+    (documented divergence). The LIKE filter shrinks the part broadcast before
+    it reaches the fact scan."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    return (
+        t("lineitem")
+        .join(broadcast(t("part").filter(F.col("p_name").like("%red%"))),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(det_round(F.sum(_rev_col()), 2).alias("profit"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {det_round_sql(f"sum({_REV})", 2)} AS revenue,
+           c_acctbal, n_name AS nation_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter of orders × returnflag='R'
+    lines, grouped per customer, deterministic top-20 (rounded revenue desc,
+    custkey tie-break) via TakeOrderedAndProject."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    o = t("orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = t("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
+        .agg(det_round(F.sum(_rev_col()), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority line counts): no l_shipmode column in
+    this schema, so the group key is l_linestatus (documented adaptation).
+    Conditional counts via count(CASE) ≡ DuckDB's count(*) FILTER."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join with a
+    join-side filter (orderpriority stands in for the absent o_comment NOT
+    LIKE), two-level aggregation; customers with zero orders survive as
+    c_count = 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {det_round_sql(f"sum({_REV})", 2)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): scalar-subquery max over a derived revenue
+    view — expressed as a 1-row broadcast join against the aggregate, so
+    nothing ever gathers to the driver. Equality on the det_round-ed revenue is
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        det_round(F.sum(_rev_col()), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part kind): no partsupp table, so
+    the part↔supplier relation is derived from lineitem (documented
+    adaptation); negated predicates + IN-list on the broadcast part side,
+    COUNT(DISTINCT) on the fact side."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+    SELECT {det_round_sql("sum(l_extendedprice) / 7.0", 2)} AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS t_partkey,
+               {det_round_sql("0.2 * avg(l_quantity)", 6)} AS qty_threshold
+        FROM lineitem GROUP BY 1
+    ) t ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#5' AND l_quantity < qty_threshold
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated avg-quantity
+    subquery as a grouped aggregate re-joined to the fact (broadcast — one row
+    per part), threshold det_round(6)-ed on both sides so the `<` comparison
+    cannot flip across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        det_round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(thresh), F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(det_round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    f"""
+    SELECT {det_round_sql(f"sum({_REV})", 2)} AS revenue, count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the OR-of-ANDs
+    spans both tables so it must evaluate post-join; the per-table residuals
+    (brand IN-list, quantity range) still push into the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            branch("Brand#12", 5, 1, 11)
+            | branch("Brand#23", 10, 10, 20)
+            | branch("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            det_round(F.sum(_rev_col()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_promo_part_suppliers",
+    """
+    SELECT s_suppkey, s_name, n_name AS nation_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND EXISTS (
+          SELECT 1 FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE l_suppkey = s_suppkey AND p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers who shipped promo parts): nested EXISTS over
+    a lineitem⋈part filter, as a left-semi join (no partsupp availqty term in
+    this schema — documented adaptation)."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    shipped = (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(
+            broadcast(t("part").filter(F.col("p_name").like("small%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("l_suppkey")
+    )
+    return (
+        t("supplier")
+        .join(broadcast(t("nation").filter(F.col("n_name") == "NATION_5")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    f"""
+    WITH avg_bal AS (
+        SELECT {det_round_sql("avg(c_acctbal)", 6)} AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode, count(*) AS numcust, {det_round_sql("sum(c_acctbal)", 2)} AS totacctbal
+    FROM (
+        SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) GROUP BY 1
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): scalar-average subquery (1-row
+    broadcast, det_round(6) so the `>` cut is engine-stable), anti-join against
+    orders, country code derived from nationkey (no c_phone column —
+    documented adaptation)."""
+    c = load_table(spark, sf_dir, "customer")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        det_round(F.avg("c_acctbal"), 6).alias("ab")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            det_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
