@@ -32,6 +32,23 @@ def test_minhash_lsh_equals_exact_at_high_threshold(documents):
     assert lsh == exact
 
 
+def test_minhash_udf_signature_bit_identical_to_jvm(documents):
+    """The vectorized pandas-UDF signature must equal the JVM expression
+    element-for-element (pure int64 math on both paths)."""
+    from pyspark.sql import functions as F
+
+    hashes = documents.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", dedup.shingle_hashes(dedup.word_ngrams(F.col("text"), 3)).alias("hashes")
+    )
+    jvm = hashes.select(
+        "doc_id", dedup.minhash_signature_from_hashes(F.col("hashes"), 64, 42).alias("sig")
+    )
+    udf = hashes.select("doc_id", dedup.minhash_signature_udf(64, 42)(F.col("hashes")).alias("sig"))
+    got = {r.doc_id: list(r.sig) for r in udf.collect()}
+    want = {r.doc_id: list(r.sig) for r in jvm.collect()}
+    assert got == want
+
+
 def test_simhash_finds_planted_near_dups(documents):
     exact = {
         (r.doc_a, r.doc_b)
