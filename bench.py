@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "text_language_id",
     "text_quality",
     "text_token_stats",
+    "text_normalize",
+    "contamination_check",
+    "pack_sequences",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",

@@ -275,6 +275,52 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_containment: float = 0.3,
+) -> DataFrame:
+    """Benchmark-decontamination check: for each training document, the
+    fraction of its distinct word ``n``-gram shingles that also appear in some
+    evaluation document (containment, not Jaccard — a 50-word eval prompt
+    verbatim inside a 5000-word train doc is contamination even though Jaccard
+    is tiny).
+
+    Scale shape: the eval set (benchmarks) is always small relative to the
+    corpus, so its shingle index is BROADCAST — the 100 TB train side never
+    shuffles; per-doc shared counts come out of a map-side join + one grouped
+    count. Output: (train_id, eval_id, shared_shingles, containment ≥
+    ``min_containment``).
+    """
+    spread = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
+    tr = spread.select(
+        F.col(id_col).alias("train_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    )
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    )
+    cnt = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("c"))
+    shared = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    containment = F.col("shared_shingles") / F.col("c")
+    return (
+        shared.join(cnt, "train_id")
+        .filter(containment >= min_containment)
+        .select(
+            "train_id",
+            "eval_id",
+            "shared_shingles",
+            det_round(containment, 4).alias("containment"),
+        )
+    )
+
+
 def simhash_values(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

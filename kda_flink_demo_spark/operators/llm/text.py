@@ -10,6 +10,7 @@ pruning (select text only) and parquet scan parallelism.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -279,4 +280,48 @@ FINGERPRINT_ORACLE_SQL = """
                    list_transform(range(1, length(s) + 1), i -> ord(s[i]))),
                    (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_gram_fp
     FROM base b JOIN grams g ON b.doc_id = g.doc_id
+"""
+
+
+def nfc_lower_udf():
+    """Arrow-batched NFC + lowercase (pandas ``.str.normalize('NFC').str.lower()``).
+    The one Python step in this module: Spark has no unicode-normalize builtin.
+    DuckDB twin: ``lower(nfc_normalize(text))``. Known divergence, asserted in
+    tests: Python applies FULL Unicode case mapping (contextual final sigma,
+    İ → i + U+0307) where utf8proc applies the SIMPLE per-codepoint map — the
+    two differ on a handful of codepoints (Σ at word end, İ); everything else
+    (Latin accents, ß, Cyrillic, CJK, emoji) agrees."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc_lower(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC").str.lower()
+
+    return nfc_lower
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-corpus text normalization: NFC unicode normalization +
+    lowercase + whitespace collapse + trim, with a change flag and the
+    normalized codepoint length. Narrow per-row projection — scan-speed at
+    scale; the NFC step is the lone Arrow-batched Python hop."""
+    norm = F.trim(F.regexp_replace(nfc_lower_udf()(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        (norm != F.col(text_col)).alias("changed"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+NORMALIZE_ORACLE_SQL = """
+    SELECT doc_id,
+           norm_text,
+           norm_text <> text AS changed,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+    FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    )
 """

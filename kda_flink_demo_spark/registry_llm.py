@@ -247,3 +247,68 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake frame with a per-frame score)."""
     docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_video_frames(docs)
+
+
+@register(
+    "text_normalize",
+    text.NORMALIZE_ORACLE_SQL,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: NFC + lowercase + whitespace collapse + trim,
+    with change flag and normalized codepoint count."""
+    return text.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "contamination_check",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+           FROM w),
+    tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+    ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    cnt AS (SELECT doc_id, count(*) AS c FROM tr GROUP BY 1),
+    shared AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS shared_shingles
+               FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1, 2)
+    SELECT train_id, eval_id, shared_shingles,
+           floor(shared_shingles / c * 10000.0 + 0.5) / 10000.0 AS containment
+    FROM shared JOIN cnt ON train_id = cnt.doc_id
+    WHERE shared_shingles / c >= 0.3
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-5-gram containment of each training doc
+    (doc_id % 10 != 0) against the eval split (doc_id % 10 == 0); the eval
+    shingle index is broadcast so the corpus side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    return dedup.contamination_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=5,
+        min_containment=0.3,
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM t)
+    SELECT doc_id, n_tokens, start // 2048 AS chunk_id, start % 2048 AS chunk_offset FROM s
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample packing: global token prefix-sum → (chunk_id,
+    chunk_offset) per document at a 2048-token budget, computed with the
+    two-phase distributed prefix sum (range partition → local cumsum →
+    broadcast partition offsets), never a single global sort."""
+    from kda_flink_demo_spark.operators.llm import packing
+
+    return packing.pack_sequences(load_table(spark, sf_dir, "documents"), budget=2048)

@@ -157,3 +157,19 @@ def test_embedding_near_dup_chunked_matmul_matches_unchunked(embeddings):
     as_set = lambda df: {(r.vec_a, r.vec_b, r.cosine) for r in df.collect()}
     assert as_set(full) == as_set(chunked)
     assert len(as_set(full)) > 0
+
+
+def test_pack_sequences_distributed_prefix_sum_is_exact(documents):
+    """chunk_id/chunk_offset must reconstruct the exact global running token
+    offset in doc_id order, and offsets stay inside the budget."""
+    from kda_flink_demo_spark.operators.llm import packing
+
+    budget = 100
+    rows = sorted(
+        packing.pack_sequences(documents, budget=budget).collect(), key=lambda r: r.doc_id
+    )
+    running = 0
+    for r in rows:
+        assert 0 <= r.chunk_offset < budget
+        assert r.chunk_id * budget + r.chunk_offset == running
+        running += r.n_tokens

@@ -93,3 +93,30 @@ def test_range_join_is_equi_join_on_key(spark):
     df = registry.queries()["range_join_recent_purchases"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval-set shingle index must broadcast — the corpus (train) side of a
+    decontamination sweep never shuffles for the shared-shingle join."""
+    from kda_flink_demo_spark.operators.llm import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = dedup.contamination_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_no_global_sort_of_data(spark):
+    """The packed-stream prefix sum must range-partition and never plan a
+    single-partition sort/window over the document table itself (the tiny
+    per-partition-totals window is the only SinglePartition exchange)."""
+    from kda_flink_demo_spark.operators.llm import packing
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(packing.pack_sequences(docs))
+    assert "REPARTITION_BY_NUM" in plan or "rangepartitioning" in plan, plan
+    # the only SinglePartition exchange feeds the per-partition totals (one
+    # row per partition), not the data: it must sit under an aggregate
+    assert plan.count("Exchange SinglePartition") <= 1, plan
