@@ -98,6 +98,15 @@ def main() -> None:
         _sim.embedding_near_dup_pairs(emb, block_col="label", threshold=0.35),
     )
     bench("cosine_topk", _sim.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5))
+    from kda_flink_demo_spark.operators.llm import packing as _packing
+
+    bench(
+        "contamination",
+        _dedup.contamination_pairs(
+            docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+        ),
+    )
+    bench("pack_sequences", _packing.pack_sequences(docs))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

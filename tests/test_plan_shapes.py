@@ -120,3 +120,17 @@ def test_pack_sequences_no_global_sort_of_data(spark):
     # the only SinglePartition exchange feeds the per-partition totals (one
     # row per partition), not the data: it must sit under an aggregate
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path_factory):
+    """write_partitioned → filtered read must plan partition pruning: the scan
+    reads only matching directories, never the full table."""
+    from kda_flink_demo_spark.io.sinks import write_partitioned
+
+    path = str(tmp_path_factory.mktemp("part") / "events_by_type")
+    ev = load_table(spark, SF_DIR, "events")
+    write_partitioned(ev, path, "event_type")
+    rd = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _plan(rd)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
+    assert rd.count() == ev.filter(F.col("event_type") == "click").count()
