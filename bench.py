@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "percentiles_by_type",
     "skew_salted_agg",
+    "grouping_sets_orders",
+    "json_malformed_tolerance",
     "udaf_weighted_avg",
     "approx_distinct_users",
     # function-surface packs (narrow projections — regression canaries)

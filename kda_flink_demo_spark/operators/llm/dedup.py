@@ -282,6 +282,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     min_containment: float = 0.3,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """Benchmark-decontamination check: for each training document, the
     fraction of its distinct word ``n``-gram shingles that also appear in some
@@ -292,15 +293,23 @@ def contamination_pairs(
     Scale shape: the eval set (benchmarks) is always small relative to the
     corpus, so its shingle index is BROADCAST — the 100 TB train side never
     shuffles; per-doc shared counts come out of a map-side join + one grouped
-    count. Output: (train_id, eval_id, shared_shingles, containment ≥
-    ``min_containment``).
+    count. ``join_on_hash`` replaces shingle strings with 8-byte xxhash64 keys
+    in the broadcast index and the join (smaller broadcast, cheaper compares);
+    the ~2⁻⁶⁴-per-pair collision chance is fine for a scale sweep but the
+    default stays exact so the oracle-gated query is collision-free. Output:
+    (train_id, eval_id, shared_shingles, containment ≥ ``min_containment``).
     """
+    grams = (
+        (lambda t: F.transform(word_ngrams(t, n), lambda s: F.xxhash64(s)))
+        if join_on_hash
+        else (lambda t: word_ngrams(t, n))
+    )
     spread = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
     tr = spread.select(
-        F.col(id_col).alias("train_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+        F.col(id_col).alias("train_id"), F.explode(grams(F.col(text_col))).alias("shingle")
     )
     ev = eval_set.select(
-        F.col(id_col).alias("eval_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+        F.col(id_col).alias("eval_id"), F.explode(grams(F.col(text_col))).alias("shingle")
     )
     cnt = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("c"))
     shared = (

@@ -917,3 +917,54 @@ def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(10)
     )
     return docs.filter(h < rate).select("doc_id", "source")
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (asymmetric — not expressible as rollup/cube):
+    Spark plans one Expand + single hash aggregate, same as the rollup path."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D AS total
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "json_malformed_tolerance",
+    """
+    SELECT event_id,
+           CASE WHEN json_valid(c) THEN CAST(json_extract_string(c, '$.k') AS BIGINT) END AS k_value,
+           event_id % 7 = 0 AS is_corrupt
+    FROM (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN substring(props, 1, 5) ELSE props END AS c
+        FROM events
+    )
+    """,
+)
+def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSON tolerance (the reference's schema-less ObjectNode source
+    never fails on bad records; StreamJobSqlTumbling.java:64-77 only guards the
+    timestamp): corrupt every 7th props payload and extract through it —
+    ``get_json_object`` yields NULL on unparseable input, the pipeline keeps
+    flowing. Oracle guards with json_valid (DuckDB's extractor raises)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 5)).otherwise(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.get_json_object(c, "$.k").cast("long").alias("k_value"),
+        (F.col("event_id") % 7 == 0).alias("is_corrupt"),
+    )

@@ -103,7 +103,9 @@ def main() -> None:
     bench(
         "contamination",
         _dedup.contamination_pairs(
-            docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            join_on_hash=True,  # the scale path: 8-byte broadcast keys
         ),
     )
     bench("pack_sequences", _packing.pack_sequences(docs))

@@ -173,3 +173,16 @@ def test_pack_sequences_distributed_prefix_sum_is_exact(documents):
         assert 0 <= r.chunk_offset < budget
         assert r.chunk_id * budget + r.chunk_offset == running
         running += r.n_tokens
+
+
+def test_contamination_hash_join_matches_exact(documents):
+    """join_on_hash=True (8-byte broadcast keys) must produce the identical
+    pair set on real data — collisions are a 2^-64 tail, not a fixture event."""
+    from pyspark.sql import functions as F
+
+    tr = documents.filter(F.col("doc_id") % 10 != 0)
+    ev = documents.filter(F.col("doc_id") % 10 == 0)
+    as_set = lambda df: {(r.train_id, r.eval_id, r.shared_shingles) for r in df.collect()}
+    assert as_set(dedup.contamination_pairs(tr, ev)) == as_set(
+        dedup.contamination_pairs(tr, ev, join_on_hash=True)
+    )
