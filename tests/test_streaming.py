@@ -731,3 +731,108 @@ def test_foreach_row_writer_buffers_flushes_and_aborts():
     w2.close(RuntimeError("boom"))
     con2 = conns[-1]
     assert con2.log == [] and not con2.committed and con2.closed
+
+
+@pytest.fixture(scope="module")
+def replay_full_dir(spark, tmp_path_factory):
+    """Full-column events replay (user_id/value kept) for the join tests."""
+    out = str(tmp_path_factory.mktemp("events_replay_full"))
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts")
+    rows = ev.collect()
+    chunk = (len(rows) + 4) // 5
+    for i in range(5):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(f"{out}/chunk={i:02d}")
+    return out
+
+
+def _full_stream(spark, replay_full_dir):
+    schema = load_table(spark, SF_DIR, "events").schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(replay_full_dir + "/chunk=*")
+    )
+
+
+def test_stream_static_enrichment_matches_batch(spark, replay_full_dir, tmp_path):
+    """Stream-static join: per-micro-batch broadcast of a dimension table into
+    the stream (the standard enrichment pattern — dim lookups never shuffle the
+    stream side)."""
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    enriched = (
+        _full_stream(spark, replay_full_dir)
+        .join(F.broadcast(dim), "event_type")
+        .select("event_id", "category")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.event_id, r.category) for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    want = {
+        (r.event_id, r.category)
+        for r in load_table(spark, SF_DIR, "events").join(dim, "event_type").select("event_id", "category").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, replay_full_dir, tmp_path):
+    """Stream-stream inner join with an event-time interval condition
+    (view→click attribution within an hour): both sides watermarked so state
+    is evictable; inner-join matches emit as they arrive, so the final result
+    equals the batch join exactly."""
+    s = _full_stream(spark, replay_full_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "90 minutes")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "90 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (views.user_id == clicks.user_id)
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select("view_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.view_id, r.click_id) for r in spark.sql("SELECT * FROM attrib_out").collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    want = {
+        (r.view_id, r.click_id)
+        for r in v.join(
+            c,
+            (v.user_id == F.col("c_user_id"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
