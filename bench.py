@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "percentiles_by_type",
     "skew_salted_agg",
     "grouping_sets_orders",
+    "resample_1m_ffill",
     "json_malformed_tolerance",
     "udaf_weighted_avg",
     "approx_distinct_users",

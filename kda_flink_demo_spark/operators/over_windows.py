@@ -40,3 +40,50 @@ def sliding_range_count(
         .rangeBetween(-preceding_seconds * 1_000_000, 0)
     )
     return df.withColumn(count_alias, F.count(F.lit(1)).over(spec))
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 minute",
+) -> DataFrame:
+    """Time-series resampling with forward fill: a dense per-key minute grid
+    over the observed time span, per-bucket aggregates left-joined on, gaps
+    carried forward with ``last(..., ignorenulls)``.
+
+    Scale shape: the grid is span-bound, not data-bound — (span/step) × keys
+    rows regardless of input size (30 days × 1 min × k keys ≈ 43k×k). The
+    expensive side is the per-bucket aggregate (one shuffle, partial map-side);
+    the grid build is a broadcast cross join of one exploded sequence with the
+    distinct keys, and the fill is one window per key. Per-bucket sums are
+    det_round-ed BEFORE the fill so propagated values are cross-engine stable.
+    """
+    from kda_flink_demo_spark.functions import det_round
+
+    bucket = F.date_trunc("minute", F.col(ts_col))
+    agg = df.groupBy(F.col(key_col), bucket.alias("minute")).agg(
+        det_round(F.sum(value_col), 4).alias("bucket_sum"),
+        F.count(F.lit(1)).alias("bucket_count"),
+    )
+    bounds = df.agg(
+        F.date_trunc("minute", F.min(ts_col)).alias("mn"),
+        F.date_trunc("minute", F.max(ts_col)).alias("mx"),
+    )
+    minutes = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr(f"INTERVAL {step}"))).alias("minute")
+    )
+    keys = df.select(F.col(key_col)).distinct()
+    grid = minutes.crossJoin(F.broadcast(keys))
+    w = Window.partitionBy(key_col).orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(agg, [key_col, "minute"], "left")
+        .select(
+            key_col,
+            "minute",
+            F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+            F.coalesce("bucket_count", F.lit(0).cast("long")).alias("bucket_count"),
+            F.col("bucket_sum").isNotNull().alias("had_data"),
+        )
+    )

@@ -968,3 +968,34 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(c, "$.k").cast("long").alias("k_value"),
         (F.col("event_id") % 7 == 0).alias("is_corrupt"),
     )
+
+
+@register(
+    "resample_1m_ffill",
+    """
+    WITH agg AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute,
+               floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS bucket_sum,
+               count(*) AS bucket_count
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT date_trunc('minute', min(ts)) AS mn, date_trunc('minute', max(ts)) AS mx
+               FROM events),
+    minutes AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM bounds),
+    grid AS (SELECT k.event_type, m.minute
+             FROM minutes m CROSS JOIN (SELECT DISTINCT event_type FROM events) k)
+    SELECT g.event_type, g.minute,
+           last_value(a.bucket_sum IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+           coalesce(a.bucket_count, 0) AS bucket_count,
+           a.bucket_sum IS NOT NULL AS had_data
+    FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.minute = a.minute
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-minute resample per event_type with forward-filled gap values —
+    the time-series regularization primitive (span-bound grid, one shuffle)."""
+    from kda_flink_demo_spark.operators.over_windows import resample_ffill
+
+    return resample_ffill(load_table(spark, sf_dir, "events"))

@@ -185,3 +185,30 @@ def test_normalize_matches_oracle_on_messy_whitespace_and_case(spark, tmp_path_f
 
     df = load_table(spark, sf_dir, "documents")
     compare_to_oracle(text.normalize_text(df), con, text.NORMALIZE_ORACLE_SQL)
+
+
+def test_llm_ops_survive_empty_input(spark, tmp_path_factory):
+    """Zero-row corpus: every LLM scale op must plan and execute to an empty
+    (or well-defined) result, never crash — real pipelines hit empty partitions
+    and empty date-slices constantly."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm import packing
+
+    sf_dir, con = _write_docs(tmp_path_factory.mktemp("empty"), [])
+    from kda_flink_demo_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert dedup.exact_dedup_stats(docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+    assert dedup.simhash_pairs(docs).count() == 0
+    assert (
+        dedup.contamination_pairs(
+            docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+        ).count()
+        == 0
+    )
+    assert packing.pack_sequences(docs).count() == 0
+    assert text.normalize_text(docs).count() == 0
+    assert text.doc_fingerprint(docs).count() == 0
