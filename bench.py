@@ -6,8 +6,9 @@ Each query is forced end-to-end with the noop sink (full computation, no driver
 collect). The timer wraps query CONSTRUCTION + execution: some operators
 (simhash, clustering) eagerly localCheckpoint an intermediate at construction
 time, and that work must not escape the measurement. Excluded:
-dedup_ngram_jaccard and dedup_clusters — both ride the deliberately-quadratic
-exact-pairwise oracle path (the benched scale twin is dedup_minhash_lsh).
+dedup_ngram_jaccard — the deliberately-quadratic exact-pairwise oracle
+baseline (its benched scale twin is dedup_minhash_lsh; dedup_clusters rides
+the LSH pair graph and IS benched).
 """
 
 from __future__ import annotations
@@ -88,6 +89,7 @@ BENCH_QUERIES = [
     # LLM-pipeline ops (scale paths)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_lsh",
@@ -120,6 +122,16 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # machine-speed calibration: a fixed, data-independent workload (grouped
+    # aggregate over 200M generated rows). Host contention inflates all wall
+    # clocks; dividing query times by (calib_sec / its historical value)
+    # separates engine changes from environment noise across rounds.
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
+        {"v": "sum"}
+    ).write.format("noop").mode("overwrite").save()
+    calib_sec = round(time.time() - t0, 3)
+
     qs = registry.queries()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -150,6 +162,7 @@ def main() -> None:
                 "sf": float(sf),
                 "flagship_rows_per_sec": flagship_rps,
                 "n_queries": len(times),
+                "calib_sec": calib_sec,
             }
         )
     )

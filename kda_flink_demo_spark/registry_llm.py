@@ -160,15 +160,17 @@ _CLUSTERS_ORACLE = """
 
 @register("dedup_clusters", _CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS (not just pairs): connected components over the exact
+    """Near-dup CLUSTERS (not just pairs): connected components over the
     Jaccard ≥ 0.8 pair graph via iterative min-label propagation — the
-    'iterative algorithm' capability class. Oracle: DuckDB recursive CTE
-    transitive closure (viable at test scale; the Spark loop is the 100 TB
-    path)."""
+    'iterative algorithm' capability class. The pair graph comes from the
+    MinHash+LSH scale path (exact-verified candidates; equals the exact
+    pairwise graph at this threshold — asserted in tests — so the whole
+    pipeline is the one you'd run at 100 TB). Oracle: DuckDB recursive CTE
+    transitive closure over the exact pair graph."""
     from kda_flink_demo_spark.operators.llm import clustering
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
     return clustering.dedup_clusters(docs, pairs)
 
 
