@@ -50,6 +50,10 @@ def asof_join_backward(
     from pyspark.sql import Window
 
     payload = F.struct(*[F.col(c) for c in payload_cols])
+    # ASOF semantics: a right row with NULL timestamp can never be "the most
+    # recent row at or before t" (the comparison is NULL-false in SQL). Without
+    # this filter it would sort nulls-first and back-fill every early left row.
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),

@@ -305,6 +305,12 @@ def contamination_pairs(
         else (lambda t: word_ngrams(t, n))
     )
     spread = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
+    # NOTE the per-doc count deliberately re-derives the shingles (two gram
+    # builds over the corpus). Both "single-scan" alternatives measure WORSE:
+    # retaining the gram array beside the explode trips CollapseProject into
+    # inlining the build per retained column (5× slower at sf0.1), and
+    # localCheckpointing the exploded table materializes ~5× corpus bytes
+    # (slower locally, prohibitive storage at scale). Recompute wins.
     tr = spread.select(
         F.col(id_col).alias("train_id"), F.explode(grams(F.col(text_col))).alias("shingle")
     )

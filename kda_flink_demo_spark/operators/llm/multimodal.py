@@ -100,19 +100,27 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
             payloads = pdf["payload"]
             texts = payloads.map(lambda b: b.decode("utf-8"))
             n_bytes = payloads.map(len)
-            first = texts.map(lambda s: ord(s[0]) if len(s) else 0)
+            # empty payloads decode to NULL features (the oracle's ord('')/x-by-0
+            # expressions are NULL-propagating; matching that beats inventing a
+            # sentinel) — nullable pandas dtypes carry the None through Arrow
+            height = pd.array(
+                [32 + (ord(s[0]) % 224) if len(s) else None for s in texts], dtype="Int32"
+            )
             # floor-based rounding matches det_round/det_round_sql exactly
-            bright = texts.map(
-                lambda s: math.floor(
-                    sum(ord(c) for c in s[:16]) / max(min(len(s), 16), 1) * 1e4 + 0.5
-                )
-                / 1e4
+            bright = pd.array(
+                [
+                    math.floor(sum(ord(c) for c in s[:16]) / min(len(s), 16) * 1e4 + 0.5) / 1e4
+                    if len(s)
+                    else None
+                    for s in texts
+                ],
+                dtype="Float64",
             )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": (32 + n_bytes % 224).astype("int32"),
-                    "height": (32 + first % 224).astype("int32"),
+                    "height": height,
                     "channels": pd.Series([3] * len(pdf), dtype="int32"),
                     "brightness": bright,
                     "n_bytes": n_bytes.astype("int64"),
@@ -147,28 +155,30 @@ def decode_audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame
         for pdf in batches:
             payloads = pdf["payload"]
             texts = payloads.map(lambda b: b.decode("utf-8"))
-            sr = texts.map(lambda s: rates[(ord(s[0]) if len(s) else 0) % 4])
+            # empty payloads → NULL rate/duration/rms, matching the oracle's
+            # NULL-propagating ord('')/division expressions
+            sr = [rates[ord(s[0]) % 4] if len(s) else None for s in texts]
             n = payloads.map(len) * 4  # fake: 4 samples per byte
             dur = [
-                math.floor(nn / s * 1e4 + 0.5) / 1e4 for nn, s in zip(n, sr)
+                math.floor(nn / s * 1e4 + 0.5) / 1e4 if s is not None else None
+                for nn, s in zip(n, sr)
             ]
-            rms = texts.map(
-                lambda s: math.floor(
-                    math.sqrt(
-                        sum(ord(c) * ord(c) for c in s[:32]) / max(min(len(s), 32), 1)
-                    )
-                    * 1e4
-                    + 0.5
+            rms = [
+                math.floor(
+                    math.sqrt(sum(ord(c) * ord(c) for c in s[:32]) / min(len(s), 32)) * 1e4 + 0.5
                 )
                 / 1e4
-            )
+                if len(s)
+                else None
+                for s in texts
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "sample_rate": pd.Series(list(sr), dtype="int32"),
+                    "sample_rate": pd.array(sr, dtype="Int32"),
                     "n_samples": pd.Series(list(n), dtype="int64"),
-                    "duration_sec": pd.Series(dur, dtype="float64"),
-                    "rms": pd.Series(list(rms), dtype="float64"),
+                    "duration_sec": pd.array(dur, dtype="Float64"),
+                    "rms": pd.array(rms, dtype="Float64"),
                 }
             )
 
@@ -215,12 +225,15 @@ def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
                     # score from the CODEPOINT at i mod char-length — the
                     # oracle's ord(text[...]) is character-domain, so byte
                     # indexing would diverge on any multi-byte UTF-8 doc
-                    c = ord(text[i % len(text)]) if len(text) else 0
-                    scores.append(math.floor(c / 255.0 * 1e4 + 0.5) / 1e4)
+                    scores.append(
+                        math.floor(ord(text[i % len(text)]) / 255.0 * 1e4 + 0.5) / 1e4
+                        if len(text)
+                        else None  # oracle: i % 0 → NULL score
+                    )
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "frame_idx": pd.Series(idxs, dtype="int32"),
-                 "frame_score": pd.Series(scores, dtype="float64")}
+                 "frame_score": pd.array(scores, dtype="Float64")}
             )
 
     return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
@@ -229,7 +242,8 @@ def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
 DECODE_ORACLE_SQL = """
     SELECT doc_id,
            CAST(32 + octet_length(encode(text)) % 224 AS INTEGER) AS width,
-           CAST(32 + ord(text[1]) % 224 AS INTEGER) AS height,
+           CASE WHEN length(text) = 0 THEN NULL
+                ELSE CAST(32 + ord(text[1]) % 224 AS INTEGER) END AS height,
            3 AS channels,
            floor(list_sum(list_transform(range(1, least(length(text), 16) + 1),
                                          i -> ord(text[i])))

@@ -187,14 +187,23 @@ def embedding_near_dup_pairs(
         n = len(ids)
         a_idx, b_idx, vals = [], [], []
         jj = np.arange(n)
-        for s in range(0, n, chunk_rows):  # bounds the (chunk × block) matrix
-            e = min(s + chunk_rows, n)
-            cos = (m[s:e] @ m.T) / np.outer(nrm[s:e], nrm)
-            mask = (jj[None, :] > np.arange(s, e)[:, None]) & (cos >= threshold)
-            ai, bj = np.nonzero(mask)
-            a_idx.append(ids[ai + s])
-            b_idx.append(ids[jj[bj]])
-            vals.append(np.floor(cos[ai, bj] * scale + 0.5) / scale)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n, chunk_rows):  # bounds the (chunk × block) matrix
+                e = min(s + chunk_rows, n)
+                cos = (m[s:e] @ m.T) / np.outer(nrm[s:e], nrm)
+                # threshold the ROUNDED cosine (same as the oracle): a pair
+                # sitting within float-fold noise of the threshold must not
+                # flip between engines. NaN (zero-norm vector) never matches.
+                cos_r = np.floor(cos * scale + 0.5) / scale
+                mask = (
+                    (jj[None, :] > np.arange(s, e)[:, None])
+                    & np.isfinite(cos_r)
+                    & (cos_r >= threshold)
+                )
+                ai, bj = np.nonzero(mask)
+                a_idx.append(ids[ai + s])
+                b_idx.append(ids[jj[bj]])
+                vals.append(cos_r[ai, bj])
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(a_idx) if a_idx else np.array([], dtype=np.int64),

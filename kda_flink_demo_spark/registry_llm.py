@@ -108,17 +108,22 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0 + 0.5)
+                   / 1000000.0 AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.nrm > 0 AND b.nrm > 0
+    ) WHERE cosine >= 0.35
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the standard scale
     pattern: an equality blocking key — cluster id, LSH bucket, shard — bounds
     the pairwise comparison to within-block; here the provided label column).
-    Exact cosine within blocks; threshold on the unrounded value on both sides."""
+    Exact cosine within blocks; both sides threshold the det_round(6)-ed
+    cosine, so a pair sitting within float-fold noise of the cut cannot flip
+    between engines; zero-norm vectors never match."""
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35
     )

@@ -27,6 +27,7 @@ idempotency argument, batchId-keyed.
 from __future__ import annotations
 
 import os
+import shutil
 import threading
 from collections.abc import Callable, Iterator
 
@@ -79,16 +80,18 @@ class DuckDBUpsertSink:
         finally:
             con.close()
 
+    def _set_sql(self, cols: list[str]) -> str:
+        updates = [c for c in cols if c not in self.key_cols]
+        if self.merge == "max":
+            return ", ".join(f"{c} = greatest({self.table}.{c}, excluded.{c})" for c in updates)
+        return ", ".join(f"{c} = excluded.{c}" for c in updates)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         pdf = batch_df.toPandas()
         if pdf.empty:
             return
         cols = list(pdf.columns)
-        updates = [c for c in cols if c not in self.key_cols]
-        if self.merge == "max":
-            set_sql = ", ".join(f"{c} = greatest({self.table}.{c}, excluded.{c})" for c in updates)
-        else:
-            set_sql = ", ".join(f"{c} = excluded.{c}" for c in updates)
+        set_sql = self._set_sql(cols)
         with self._lock:
             con = self._connect()
             try:
@@ -146,16 +149,14 @@ class ExecutorStagedUpsertSink(DuckDBUpsertSink):
         self.staging_dir = staging_dir
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # watermark-advance batches: skip the write job + upsert
         staging = os.path.join(self.staging_dir, f"batch_id={batch_id}")
         # task-side writes: one parquet file per partition, straight from the
         # executors; mode=overwrite makes batch replay idempotent at this stage
         batch_df.write.mode("overwrite").parquet(staging)
         cols = batch_df.columns
-        updates = [c for c in cols if c not in self.key_cols]
-        if self.merge == "max":
-            set_sql = ", ".join(f"{c} = greatest({self.table}.{c}, excluded.{c})" for c in updates)
-        else:
-            set_sql = ", ".join(f"{c} = excluded.{c}" for c in updates)
+        set_sql = self._set_sql(cols)
         glob = os.path.join(staging, "*.parquet")
         with self._lock:
             con = self._connect()
@@ -167,6 +168,11 @@ class ExecutorStagedUpsertSink(DuckDBUpsertSink):
                 )
             finally:
                 con.close()
+        # staged data is committed — drop it so a long-running query's staging
+        # dir stays O(1 batch), not O(all batches). A crash BEFORE this point
+        # replays the batch: the overwrite re-stages and the PK upsert is
+        # idempotent, so cleanup does not weaken the exactly-once contract.
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def jdbc_partition_writer(

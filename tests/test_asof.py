@@ -73,3 +73,24 @@ def test_asof_single_shuffle_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") >= 1
+
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A right row with NULL timestamp is not 'the most recent row at or before
+    t' under ASOF semantics (NULL-false comparison); it must not back-fill
+    early left rows via nulls-first ordering."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:00:08"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, 999), (10, _ts("2024-01-01T00:00:09"), 100)],
+        "user_id long, rts timestamp, rid long",
+    )
+    out = {
+        r.event_id: r.rid
+        for r in asof_join_backward(
+            left, right, on="user_id", left_ts="ts", right_ts="rts", payload_cols=["rid"]
+        ).collect()
+    }
+    assert out == {1: None}  # not 999: the NULL-ts row is no match

@@ -212,3 +212,21 @@ def test_llm_ops_survive_empty_input(spark, tmp_path_factory):
     assert packing.pack_sequences(docs).count() == 0
     assert text.normalize_text(docs).count() == 0
     assert text.doc_fingerprint(docs).count() == 0
+
+
+def test_multimodal_all_match_oracle_with_empty_and_short_docs(edge_docs):
+    """EDGE_DOCS plants an empty-text doc: both sides must agree there too —
+    empty payloads yield NULL height/brightness/rate/duration/rms/frame_score
+    (the oracles' ord('')/x-by-0 expressions are NULL-propagating and the stubs
+    mirror that, not a 0 sentinel)."""
+    df, _, con = edge_docs
+    payloads = multimodal.attach_binary_payload(df)
+    compare_to_oracle(
+        multimodal.decode_image_features(payloads), con, multimodal.DECODE_ORACLE_SQL
+    )
+    compare_to_oracle(
+        multimodal.decode_audio_features(payloads), con, multimodal.AUDIO_ORACLE_SQL
+    )
+    compare_to_oracle(
+        multimodal.sample_video_frames(payloads), con, multimodal.FRAME_ORACLE_SQL
+    )
