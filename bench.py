@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "deterministic_sample",
     "session_windows_5m",
     "analytic_pack",
+    "window_frame_pack",
     "tumbling_value_stats",
     "embedding_centroids",
     "customers_with_orders",

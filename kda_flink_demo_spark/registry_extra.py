@@ -999,3 +999,38 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kda_flink_demo_spark.operators.over_windows import resample_ffill
 
     return resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "window_frame_pack",
+    """
+    SELECT event_id,
+           first_value(value) OVER w AS first_in_type,
+           last_value(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_in_type,
+           nth_value(value, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_in_type,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def q_window_frame_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame breadth: first/last/nth_value with explicit full frames,
+    ntile, percent_rank, cume_dist — one shuffle on the partition key, total
+    (ts, event_id) order so every function is deterministic. Ratio functions
+    divide identical integers on both engines, so no rounding is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        F.first("value").over(w).alias("first_in_type"),
+        F.last("value").over(wfull).alias("last_in_type"),
+        F.nth_value("value", 3).over(wfull).alias("third_in_type"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -836,3 +836,29 @@ def test_stream_stream_interval_join_matches_batch(spark, replay_full_dir, tmp_p
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_executor_staged_sink_cleans_staging_and_skips_empty(spark, tmp_path):
+    """Committed staging dirs must be deleted (a long-running query's staging
+    stays O(1 batch), not O(all batches)); empty micro-batches write nothing."""
+    import os
+
+    from kda_flink_demo_spark.streaming.upsert import ExecutorStagedUpsertSink
+
+    staging = str(tmp_path / "staging3")
+    sink = ExecutorStagedUpsertSink(
+        str(tmp_path / "exec_sink3.duckdb"),
+        "t",
+        ["k"],
+        "k BIGINT, v BIGINT",
+        staging_dir=staging,
+    )
+    sink(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), batch_id=0)
+    sink(spark.createDataFrame([(2, 21)], "k long, v long"), batch_id=1)
+    assert not os.path.exists(os.path.join(staging, "batch_id=0"))
+    assert not os.path.exists(os.path.join(staging, "batch_id=1"))
+    empty = spark.createDataFrame([], "k long, v long")
+    sink(empty, batch_id=2)
+    assert not os.path.exists(os.path.join(staging, "batch_id=2"))
+    cols, rows = sink.read_all()
+    assert dict((r[cols.index("k")], r[cols.index("v")]) for r in rows) == {1: 10, 2: 21}
