@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "session_windows_5m",
     "analytic_pack",
     "window_frame_pack",
+    "stats_aggregate_pack",
     "tumbling_value_stats",
     "embedding_centroids",
     "customers_with_orders",

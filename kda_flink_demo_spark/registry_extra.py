@@ -1034,3 +1034,32 @@ def q_window_frame_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "stats_aggregate_pack",
+    """
+    SELECT event_type,
+           floor(stddev_samp(value) * 1000000.0 + 0.5) / 1000000.0 AS sd_value,
+           floor(var_samp(value) * 10000.0 + 0.5) / 10000.0 AS var_value,
+           floor(corr(value, CAST(user_id AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS corr_vu,
+           floor(covar_samp(value, CAST(user_id AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS covar_vu,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: sample stddev/variance, correlation,
+    covariance (all single-pass partial-aggregable — engines use different
+    update formulas, so every output is det_round-ed; skewness/kurtosis are
+    deliberately excluded: Spark and DuckDB disagree on the sample-vs-
+    population definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        det_round(F.stddev_samp("value"), 6).alias("sd_value"),
+        det_round(F.var_samp("value"), 4).alias("var_value"),
+        det_round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        det_round(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
+        F.count(F.lit(1)).alias("n"),
+    )
