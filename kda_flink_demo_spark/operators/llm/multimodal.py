@@ -156,7 +156,7 @@ def decode_audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame
             payloads = pdf["payload"]
             texts = payloads.map(lambda b: b.decode("utf-8"))
             # empty payloads → NULL rate/duration/rms, matching the oracle's
-            # NULL-propagating ord('')/division expressions
+            # explicit CASE guard (and its NULL-propagating divisions)
             sr = [rates[ord(s[0]) % 4] if len(s) else None for s in texts]
             n = payloads.map(len) * 4  # fake: 4 samples per byte
             dur = [
@@ -189,7 +189,8 @@ AUDIO_ORACLE_SQL = """
     WITH base AS (
         SELECT doc_id, text,
                octet_length(encode(text)) AS nb,
-               [8000, 16000, 22050, 44100][(ord(text[1]) % 4) + 1] AS sr
+               CASE WHEN length(text) = 0 THEN NULL
+                    ELSE [8000, 16000, 22050, 44100][(ord(text[1]) % 4) + 1] END AS sr
         FROM documents
     )
     SELECT doc_id,

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from kda_flink_demo_spark.functions import det_round
+from kda_flink_demo_spark.functions import det_round, det_round_np
 
 
 def _as_double(v: Column) -> Column:
@@ -173,7 +173,6 @@ def embedding_near_dup_pairs(
     block means a pathological giant block serializes — for unblocked or
     heavy-tailed corpora compose with ``lsh_buckets`` (or sub-shard the block
     key) so blocks stay ~10⁴ rows."""
-    scale = float(10**round_digits)
     out_schema = "vec_a long, vec_b long, cosine double"
 
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -194,7 +193,7 @@ def embedding_near_dup_pairs(
                 # threshold the ROUNDED cosine (same as the oracle): a pair
                 # sitting within float-fold noise of the threshold must not
                 # flip between engines. NaN (zero-norm vector) never matches.
-                cos_r = np.floor(cos * scale + 0.5) / scale
+                cos_r = det_round_np(cos, round_digits)
                 mask = (
                     (jj[None, :] > np.arange(s, e)[:, None])
                     & np.isfinite(cos_r)

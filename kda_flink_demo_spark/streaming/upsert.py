@@ -80,18 +80,27 @@ class DuckDBUpsertSink:
         finally:
             con.close()
 
-    def _set_sql(self, cols: list[str]) -> str:
+    def _conflict_action(self, cols: list[str]) -> str:
+        """The ON CONFLICT action: keyed update of the non-key columns, or DO
+        NOTHING when every column IS a key (a pure distinct-keys sink —
+        'DO UPDATE SET' with an empty list would be a SQL syntax error)."""
         updates = [c for c in cols if c not in self.key_cols]
+        if not updates:
+            return "DO NOTHING"
         if self.merge == "max":
-            return ", ".join(f"{c} = greatest({self.table}.{c}, excluded.{c})" for c in updates)
-        return ", ".join(f"{c} = excluded.{c}" for c in updates)
+            set_sql = ", ".join(
+                f"{c} = greatest({self.table}.{c}, excluded.{c})" for c in updates
+            )
+        else:
+            set_sql = ", ".join(f"{c} = excluded.{c}" for c in updates)
+        return f"DO UPDATE SET {set_sql}"
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         pdf = batch_df.toPandas()
         if pdf.empty:
             return
         cols = list(pdf.columns)
-        set_sql = self._set_sql(cols)
+        action = self._conflict_action(cols)
         with self._lock:
             con = self._connect()
             try:
@@ -99,7 +108,7 @@ class DuckDBUpsertSink:
                 con.execute(
                     f"INSERT INTO {self.table} ({', '.join(cols)}) "
                     f"SELECT {', '.join(cols)} FROM _batch "
-                    f"ON CONFLICT ({', '.join(self.key_cols)}) DO UPDATE SET {set_sql}"
+                    f"ON CONFLICT ({', '.join(self.key_cols)}) {action}"
                 )
             finally:
                 con.close()
@@ -149,14 +158,17 @@ class ExecutorStagedUpsertSink(DuckDBUpsertSink):
         self.staging_dir = staging_dir
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # watermark-advance batches: skip the write job + upsert
+        # No isEmpty() pre-check: foreachBatch DataFrames re-execute their plan
+        # per action, so probing emptiness would run the batch computation
+        # twice for every NON-empty batch (the common case). An empty batch
+        # just writes a schema-only part file, upserts zero rows, and has its
+        # staging removed below — constant cost, no second plan execution.
         staging = os.path.join(self.staging_dir, f"batch_id={batch_id}")
         # task-side writes: one parquet file per partition, straight from the
         # executors; mode=overwrite makes batch replay idempotent at this stage
         batch_df.write.mode("overwrite").parquet(staging)
         cols = batch_df.columns
-        set_sql = self._set_sql(cols)
+        action = self._conflict_action(cols)
         glob = os.path.join(staging, "*.parquet")
         with self._lock:
             con = self._connect()
@@ -164,7 +176,7 @@ class ExecutorStagedUpsertSink(DuckDBUpsertSink):
                 con.execute(
                     f"INSERT INTO {self.table} ({', '.join(cols)}) "
                     f"SELECT {', '.join(cols)} FROM read_parquet('{glob}') "
-                    f"ON CONFLICT ({', '.join(self.key_cols)}) DO UPDATE SET {set_sql}"
+                    f"ON CONFLICT ({', '.join(self.key_cols)}) {action}"
                 )
             finally:
                 con.close()

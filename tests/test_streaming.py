@@ -840,7 +840,10 @@ def test_stream_stream_interval_join_matches_batch(spark, replay_full_dir, tmp_p
 
 def test_executor_staged_sink_cleans_staging_and_skips_empty(spark, tmp_path):
     """Committed staging dirs must be deleted (a long-running query's staging
-    stays O(1 batch), not O(all batches)); empty micro-batches write nothing."""
+    stays O(1 batch), not O(all batches)); empty micro-batches leave no
+    residue either (their schema-only staging is cleaned like any other —
+    deliberately no isEmpty() pre-check, which would re-execute every
+    non-empty batch's plan a second time)."""
     import os
 
     from kda_flink_demo_spark.streaming.upsert import ExecutorStagedUpsertSink
@@ -862,3 +865,14 @@ def test_executor_staged_sink_cleans_staging_and_skips_empty(spark, tmp_path):
     assert not os.path.exists(os.path.join(staging, "batch_id=2"))
     cols, rows = sink.read_all()
     assert dict((r[cols.index("k")], r[cols.index("v")]) for r in rows) == {1: 10, 2: 21}
+
+
+def test_upsert_sink_all_key_columns_does_nothing_on_conflict(spark, tmp_path):
+    """A sink whose every column is a key (distinct-keys/dedup sink) must emit
+    ON CONFLICT DO NOTHING — 'DO UPDATE SET' with an empty column list is a
+    SQL syntax error."""
+    sink = DuckDBUpsertSink(str(tmp_path / "allkey.duckdb"), "seen", ["k"], "k BIGINT")
+    sink(spark.createDataFrame([(1,), (2,)], "k long"), batch_id=0)
+    sink(spark.createDataFrame([(2,), (3,)], "k long"), batch_id=1)  # 2 conflicts
+    cols, rows = sink.read_all()
+    assert sorted(r[0] for r in rows) == [1, 2, 3]
