@@ -1,0 +1,168 @@
+"""Privacy / corpus-hygiene operators: PII detection + redaction, and
+Gopher-style repetition metrics.
+
+All pure ``pyspark.sql.functions`` — no Python in the data path. Regexes use
+only syntax with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+no backreferences, no lookaround.
+
+Scale notes: ``pii_redact`` is a narrow per-row projection (scan speed at any
+scale; only lever is column pruning). ``repetition_metrics`` is the canonical
+explode → (doc, term) groupBy → per-doc re-aggregate shape: two shuffles keyed
+by (doc_id, term) then doc_id, both with map-side partial aggregation; no
+driver involvement, no corpus-wide state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.functions import det_round, det_round_sql
+
+# PII patterns — same behavior under Java regex and RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Detect and mask emails, phone numbers, and IPv4 addresses.
+
+    Emits per-document match counts plus the redacted text. Redaction order is
+    email → phone → IP (fixed, so engines agree when patterns could nest —
+    e.g. a dotted-quad inside an email domain is consumed by the email mask
+    first). The counts are computed on the ORIGINAL text, before any mask is
+    applied, so they are order-independent.
+    """
+    text = F.col(text_col)
+    red = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PHONE_RE, "[PHONE]")
+    red = F.regexp_replace(red, IPV4_RE, "[IP]")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0))).cast("long").alias("n_ips"),
+        red.alias("red_text"),
+    )
+
+
+def pii_redact_oracle_sql(doc_expr: str) -> str:
+    """DuckDB twin of :func:`pii_redact` over ``doc_expr`` — a subquery/CTE
+    exposing (doc_id, text)."""
+    return rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g'),
+               '{IPV4_RE}', '[IP]', 'g') AS red_text
+    FROM {doc_expr}
+    """
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``dup_word_frac``  — 1 − distinct_words / total_words
+    - ``top_word_frac``  — occurrences of the most frequent word / total_words
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram /
+      total bigrams (0.0 for single-word docs)
+
+    High values flag boilerplate / TCLD (template-generated) documents that
+    pretraining filters drop. Distributed shape: explode once per unit
+    (word, bigram), partial-aggregated groupBy — never a per-row quadratic
+    scan over the token array.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # word-level: explode -> (doc, term) counts -> per-doc stats
+    words = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    wcnt = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wcnt.groupBy(id_col).agg(
+        F.sum("c").alias("total_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.max("c").alias("top_word_count"),
+    )
+    # bigram-level: guarded gram build (short docs -> empty set, no ANSI
+    # out-of-bounds), same explode/groupBy shape
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    bcnt = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bcnt.groupBy(id_col).agg(
+        F.sum("c").alias("total_bigrams"), F.max("c").alias("top_bigram_count")
+    )
+    out = wstats.join(bstats, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("total_words").cast("long").alias("total_words"),
+        det_round(1 - F.col("distinct_words") / F.col("total_words"), 4).alias("dup_word_frac"),
+        det_round(F.col("top_word_count") / F.col("total_words"), 4).alias("top_word_frac"),
+        det_round(
+            F.coalesce(F.col("top_bigram_count"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("total_bigrams"), F.lit(0)), F.lit(1)),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+REPETITION_ORACLE_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    wcnt AS (SELECT doc_id, term, count(*) AS c FROM words GROUP BY 1, 2),
+    wstats AS (
+        SELECT doc_id, sum(c) AS total_words, count(*) AS distinct_words,
+               max(c) AS top_word_count
+        FROM wcnt GROUP BY 1
+    ),
+    bg AS (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                   ELSE [] END) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bstats AS (
+        SELECT doc_id, sum(c) AS total_bigrams, max(c) AS top_bigram_count
+        FROM bcnt GROUP BY 1
+    )
+    SELECT w.doc_id,
+           CAST(w.total_words AS BIGINT) AS total_words,
+           {det_round_sql('1 - w.distinct_words / CAST(w.total_words AS DOUBLE)', 4)} AS dup_word_frac,
+           {det_round_sql('w.top_word_count / CAST(w.total_words AS DOUBLE)', 4)} AS top_word_frac,
+           {det_round_sql(
+               'coalesce(b.top_bigram_count, 0) / CAST(greatest(coalesce(b.total_bigrams, 0), 1) AS DOUBLE)',
+               4,
+           )} AS top_bigram_frac
+    FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+"""
+
+
+def url_domain_stats(df: DataFrame, url_col: str = "url", chars_col: str = "n_chars") -> DataFrame:
+    """Per-domain corpus statistics from a URL column: host extraction via
+    Spark's ``parse_url`` (Catalyst built-in), then a grouped rollup —
+    document count, total/avg document chars. The standard per-source quality
+    dashboard for a crawled corpus; shuffles only (host) keys with map-side
+    partial aggregation.
+    """
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return (
+        df.select(host.alias("domain"), F.col(chars_col))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).cast("long").alias("total_chars"),
+            det_round(F.avg(chars_col), 4).alias("avg_chars"),
+        )
+    )

@@ -5,8 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from kda_flink_demo_spark.io.sources import load_table
-from kda_flink_demo_spark.operators.llm import dedup, multimodal, similarity, text
+from kda_flink_demo_spark.operators.llm import dedup, multimodal, privacy, similarity, text
 from kda_flink_demo_spark.registry import register
 
 _NGRAM_ORACLE = """
@@ -319,3 +321,84 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kda_flink_demo_spark.operators.llm import packing
 
     return packing.pack_sequences(load_table(spark, sf_dir, "documents"), budget=2048)
+
+
+# Deterministic synthetic-PII injection (the corpus is PII-free word soup, so
+# both engines append the same constructed identifiers — the operator is then
+# measured on real matches, not on an empty corpus).
+_PII_DOC_EXPR = """
+    (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS text
+     FROM documents) pii_docs
+"""
+
+
+@register("text_pii_redact", privacy.pii_redact_oracle_sql(_PII_DOC_EXPR))
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking (emails / phones / IPv4) with per-doc match
+    counts. Narrow regex projection — scan speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return privacy.pii_redact(injected)
+
+
+@register("text_repetition", privacy.REPETITION_ORACLE_SQL)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (dup-word / top-word / top-bigram
+    fractions) via the distributed explode → groupBy shape."""
+    return privacy.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "url_domain_stats",
+    """
+    SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+    FROM (SELECT 'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url,
+                 n_chars
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus rollup: host extracted with Spark's ``parse_url``
+    built-in from a URL synthesized off the ``source`` column (the corpus has
+    no URL column; both engines build the same one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "n_chars",
+    )
+    return privacy.url_domain_stats(urls)
