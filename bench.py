@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "json_malformed_tolerance",
     "udaf_weighted_avg",
     "approx_distinct_users",
+    "value_histogram",
+    "merge_changes_cdc",
     # function-surface packs (narrow projections — regression canaries)
     "string_function_pack",
     "date_function_pack",
@@ -102,6 +104,10 @@ BENCH_QUERIES = [
     "text_quality",
     "text_token_stats",
     "text_normalize",
+    "text_pii_redact",
+    "text_repetition",
+    "url_domain_stats",
+    "embedding_quantize",
     "contamination_check",
     "pack_sequences",
     "doc_fingerprint",

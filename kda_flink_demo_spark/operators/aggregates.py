@@ -67,3 +67,29 @@ def rollup_counts(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
 def cube_counts(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
     """A6 breadth: CUBE grouping-sets aggregate."""
     return df.cube(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, width: float, min_val: float = 0.0
+) -> DataFrame:
+    """Fixed-width histogram: bucket index + per-bucket count/sum/min/max.
+
+    Single groupBy on the derived bucket key — partial-aggregated, one shuffle
+    whose cardinality is the bucket count (tiny), so at 100 TB this is a
+    scan + constant-size exchange. Equal-width binning with a known domain
+    needs no first pass; for unknown domains compose with approx quantiles to
+    pick bounds."""
+    from kda_flink_demo_spark.functions import det_round
+
+    bucket = F.floor((F.col(value_col) - F.lit(min_val)) / F.lit(width)).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), F.col(value_col).alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            det_round(F.sum("v"), 4).alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .withColumn("bucket_lo", det_round(F.col("bucket") * width + min_val, 6))
+    )

@@ -1063,3 +1063,78 @@ def q_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT bucket, n, sum_v, min_v, max_v,
+           floor((bucket * 25.0) * 1000000.0 + 0.5) / 1000000.0 AS bucket_lo
+    FROM (
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+               count(*) AS n,
+               floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_v,
+               min(value) AS min_v,
+               max(value) AS max_v
+        FROM events GROUP BY 1
+    )
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over events.value (width 25): one partial-
+    aggregated groupBy whose shuffle cardinality is the bucket count."""
+    from kda_flink_demo_spark.operators.aggregates import value_histogram
+
+    return value_histogram(load_table(spark, sf_dir, "events"), "value", width=25.0)
+
+
+_CDC_BASE_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+@register(
+    "merge_changes_cdc",
+    f"""
+    WITH base AS (
+        SELECT {_CDC_BASE_COLS}, 'I' AS op, 0 AS seq FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0 AS o_totalprice,
+               o_orderdate, o_orderpriority, 'U' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    del AS (
+        SELECT {_CDC_BASE_COLS}, 'D' AS op, 2 AS seq
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    allr AS (
+        SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC, op DESC) AS rn
+        FROM allr
+    )
+    SELECT {_CDC_BASE_COLS} FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_merge_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-apply (Delta-MERGE semantics as union + latest-wins window):
+    a derived change set — +10%-price upserts for keys ≡0 (mod 7), deletes for
+    keys ≡0 (mod 11), deletes sequenced after upserts — applied onto the
+    orders snapshot. Deletes win on overlapping keys (77, 154, …)."""
+    from kda_flink_demo_spark.operators.cdc import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", det_round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    dels = (
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    return apply_changes(orders, upd.unionByName(dels), keys=["o_orderkey"])

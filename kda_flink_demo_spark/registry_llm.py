@@ -8,7 +8,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kda_flink_demo_spark.io.sources import load_table
-from kda_flink_demo_spark.operators.llm import dedup, multimodal, privacy, similarity, text
+from kda_flink_demo_spark.operators.llm import (
+    dedup,
+    embeddings,
+    multimodal,
+    privacy,
+    similarity,
+    text,
+)
 from kda_flink_demo_spark.registry import register
 
 _NGRAM_ORACLE = """
@@ -402,3 +409,11 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return privacy.url_domain_stats(urls)
+
+
+@register("embedding_quantize", embeddings.QUANTIZE_ORACLE_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column (FAISS
+    SQ8-style): per-vector scale, reconstruction MSE, first-8 codes. Narrow
+    JVM-side array projection — scan speed at any scale."""
+    return embeddings.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))

@@ -94,3 +94,28 @@ def test_asof_null_right_timestamp_never_matches(spark):
         ).collect()
     }
     assert out == {1: None}  # not 999: the NULL-ts row is no match
+
+
+def test_cdc_apply_changes_idempotent_and_delete_wins(spark):
+    """Replaying the same change set over an already-merged base is a no-op;
+    a delete sequenced after an upsert removes the key."""
+    from kda_flink_demo_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 22.0, "U", 1),  # update key 2
+            (3, "c", 30.0, "D", 1),   # delete key 3
+            (4, "d", 40.0, "U", 1),   # insert key 4
+            (4, "d", 40.0, "D", 2),   # ... then delete it again
+        ],
+        "k int, s string, v double, op string, seq int",
+    )
+    merged = apply_changes(base, changes, keys=["k"])
+    got = {(r.k, r.s, r.v) for r in merged.collect()}
+    assert got == {(1, "a", 10.0), (2, "b2", 22.0)}
+    # idempotence: applying the same changes onto the merged result is stable
+    again = apply_changes(merged, changes, keys=["k"])
+    assert {(r.k, r.s, r.v) for r in again.collect()} == got

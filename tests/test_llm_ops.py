@@ -186,3 +186,36 @@ def test_contamination_hash_join_matches_exact(documents):
     assert as_set(dedup.contamination_pairs(tr, ev)) == as_set(
         dedup.contamination_pairs(tr, ev, join_on_hash=True)
     )
+
+
+def test_lsh_multiprobe_recall_monotone(embeddings):
+    """Flip-1-bit multi-probe must only ADD candidates: recall at nprobe=3 is
+    >= recall at nprobe=1 (and the nprobe=1 candidate set is a subset)."""
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(embeddings, qids, k=5).collect()
+    }
+    one = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_ann_topk(embeddings, qids, k=5, nprobe=1).collect()
+    }
+    three = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_ann_topk(embeddings, qids, k=5, nprobe=3).collect()
+    }
+    assert len(brute & three) >= len(brute & one)
+    with pytest.raises(ValueError):
+        similarity.lsh_ann_topk(embeddings, qids, k=5, nprobe=99)
+
+
+def test_quantize_roundtrip_error_bound(embeddings):
+    """int8 quantization reconstruction error must respect the half-step bound:
+    mse <= (scale/2)^2 for every vector."""
+    from kda_flink_demo_spark.operators.llm import embeddings as emb
+
+    rows = emb.quantize_embeddings(embeddings).collect()
+    assert rows
+    for r in rows:
+        assert r.mse <= (r.scale / 2.0) ** 2 + 1e-12, (r.vec_id, r.mse, r.scale)
+        assert len(r.q_head.split(",")) == 8
