@@ -1,6 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec}, "sf": ...}
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the LAST stdout line is ONE compact JSON object (<1 KB —
+round 3's full 89-query map overflowed the driver's ~2 KB tail capture and the
+round's bench signal was lost as ``parsed: null``): metric/value/unit/sf,
+n_queries, calib_sec, flagship_rows_per_sec, and the 10 slowest queries. The
+full per-query map is written to ``bench_full.json`` beside this file.
 
 Each query is forced end-to-end with the noop sink (full computation, no driver
 collect). The timer wraps query CONSTRUCTION + execution: some operators
@@ -144,13 +149,19 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(2):  # min of 2 runs: first pays codegen/python-worker spin-up
+        # min of 2 runs (first pays codegen/python-worker spin-up); queries in
+        # the >2 s tail get a third run — co-tenant load spikes on this host
+        # distort exactly those (r03 recorded similarity_ivf_topk at 6.4 s vs
+        # 1.4 s re-measured minutes later)
+        runs = 0
+        while runs < 2 or (runs < 3 and best > 2.0):
             # timer includes construction: eager checkpoints must be measured
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+            runs += 1
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
 
@@ -160,8 +171,10 @@ def main() -> None:
     qs["tumbling_1m"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     flagship_rps = round(ev_rows / max(time.time() - t0, 1e-9))
 
-    print(
-        json.dumps(
+    slowest = dict(sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10])
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
@@ -171,7 +184,25 @@ def main() -> None:
                 "flagship_rows_per_sec": flagship_rps,
                 "n_queries": len(times),
                 "calib_sec": calib_sec,
-            }
+            },
+            f,
+            indent=1,
+        )
+    # LAST stdout line: compact (<1 KB) so the driver's tail capture parses it
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(times),
+                "calib_sec": calib_sec,
+                "flagship_rows_per_sec": flagship_rps,
+                "slowest": slowest,
+                "full": "bench_full.json",
+            },
+            separators=(",", ":"),
         )
     )
 
