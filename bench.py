@@ -147,29 +147,37 @@ def main() -> None:
 
     qs = registry.queries()
     times: dict[str, float] = {}
+    errs: dict[str, str] = {}
     for name in BENCH_QUERIES:
+        # uniform min-of-2 for every query (first run pays codegen/python-worker
+        # spin-up) — r04's conditional third run for the >2 s tail biased the
+        # headline total downward vs earlier rounds; uniform count keeps
+        # cross-round totals comparable. Per-query fault isolation: one broken
+        # query costs one row, never the round (r04's sliding exception killed
+        # the whole bench and left no numbers).
         best = None
-        # min of 2 runs (first pays codegen/python-worker spin-up); queries in
-        # the >2 s tail get a third run — co-tenant load spikes on this host
-        # distort exactly those (r03 recorded similarity_ivf_topk at 6.4 s vs
-        # 1.4 s re-measured minutes later)
-        runs = 0
-        while runs < 2 or (runs < 3 and best > 2.0):
-            # timer includes construction: eager checkpoints must be measured
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-            runs += 1
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                # timer includes construction: eager checkpoints must be measured
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errs[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(times.values()), 3)
 
     # flagship throughput: events rows/sec through the tumbling windowed count
-    ev_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    t0 = time.time()
-    qs["tumbling_1m"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    flagship_rps = round(ev_rows / max(time.time() - t0, 1e-9))
+    try:
+        ev_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        t0 = time.time()
+        qs["tumbling_1m"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        flagship_rps = round(ev_rows / max(time.time() - t0, 1e-9))
+    except Exception as e:  # noqa: BLE001
+        errs["__flagship__"] = f"{type(e).__name__}: {e}"[:300]
+        flagship_rps = None
 
     slowest = dict(sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10])
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -180,15 +188,20 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "errors": errs,
                 "sf": float(sf),
                 "flagship_rows_per_sec": flagship_rps,
                 "n_queries": len(times),
+                "n_errors": len(errs),
+                "runs_per_query": 2,
                 "calib_sec": calib_sec,
             },
             f,
             indent=1,
         )
     # LAST stdout line: compact (<1 KB) so the driver's tail capture parses it
+    # (round 3's full 89-query map overflowed the ~2 KB tail capture). The full
+    # per-query map + error strings live at the absolute path in "full".
     print(
         json.dumps(
             {
@@ -197,10 +210,13 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(times),
+                "n_errors": len(errs),
+                "err_names": sorted(errs)[:5],
+                "runs_per_query": 2,
                 "calib_sec": calib_sec,
                 "flagship_rows_per_sec": flagship_rps,
                 "slowest": slowest,
-                "full": "bench_full.json",
+                "full": full_path,
             },
             separators=(",", ":"),
         )

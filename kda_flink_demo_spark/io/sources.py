@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from kda_flink_demo_spark.schemas import GEOJSON_SCHEMA, TESTDATA_TABLES
 
@@ -38,18 +39,37 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return _NANOS_COLS_CACHE[path]
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-local TimestampType.
+
+    The testdata generator has shipped `ts` as parquet timestamp[ns] (round ≤3)
+    and timestamp[us] without timezone (round 4+); Spark 4 surfaces the latter as
+    TIMESTAMP_NTZ, which `unix_micros`, `withWatermark`, and interval joins all
+    reject. The session timezone is pinned UTC (session.py), so this cast is a
+    pure type relabel — wall-clock values are unchanged and window boundaries
+    still match the DuckDB oracle's naive-timestamp arithmetic. Works on batch
+    and streaming DataFrames alike; applied at the ingest boundary so every
+    operator downstream sees one timestamp type regardless of source format.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-load one synthetic table (one parquet file per table, TESTDATA.md).
 
     TIMESTAMP(NANOS) columns are truncated to microsecond TimestampType — the same
     truncation DuckDB applies — using integer division so 2^62-magnitude nanos
-    don't round through a double.
+    don't round through a double. TIMESTAMP_NTZ columns (the round-4+ testdata
+    format) are relabeled to TimestampType via normalize_timestamps.
     """
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
@@ -106,10 +126,15 @@ def file_geojson_stream(spark: SparkSession, path: str, max_files_per_trigger: i
 def file_events_stream(
     spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """Replay parquet fixture files as a stream (batch-as-oracle testing)."""
-    return (
+    """Replay parquet fixture files as a stream (batch-as-oracle testing).
+
+    NTZ timestamp columns are normalized to TimestampType so `withWatermark`
+    accepts the event-time column whichever parquet flavor the fixture used.
+    """
+    raw = (
         spark.readStream.format("parquet")
         .schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
+    return normalize_timestamps(raw)

@@ -317,7 +317,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
           FROM t)
-    SELECT doc_id, n_tokens, start // 2048 AS chunk_id, start % 2048 AS chunk_offset FROM s
+    SELECT doc_id, n_tokens,
+           CAST(start // 2048 AS BIGINT) AS chunk_id,
+           CAST(start % 2048 AS BIGINT) AS chunk_offset FROM s
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
