@@ -214,9 +214,16 @@ def minhash_lsh_pairs(
     spread = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    sigs = spread.select(
+    # Shingle the corpus ONCE: the hashed shingle set (array<long>, distinct)
+    # feeds BOTH the minhash signatures and the exact re-verification —
+    # Jaccard over distinct xxhash64 shingle hashes equals Jaccard over the
+    # string shingles up to a ~2^-64-per-pair collision, and the checkpoint is
+    # ~8 bytes/shingle instead of the n-word strings (2-3× smaller, and the
+    # verify intersect compares longs, not strings).
+    hashed = spread.select(
         F.col(id_col), shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes")
-    ).select(
+    ).localCheckpoint()
+    sigs = hashed.select(
         F.col(id_col),
         minhash_signature_udf(num_hashes, seed)(F.col("hashes")).alias("sig"),
     )
@@ -233,12 +240,9 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
-    # localCheckpoint both reused tables: the candidate generation is a SELF-
+    # localCheckpoint the bucket table too: candidate generation is a SELF-
     # join (broadcast sides re-execute their whole upstream, so without this
-    # the 64-permutation signature pipeline runs twice), and the shingle table
-    # feeds BOTH re-verification joins. buckets is 24 bytes/doc/band; the
-    # shingle checkpoint trades executor storage (~corpus-sized) for not
-    # shingling the corpus two more times — the standard space/time call.
+    # the 64-permutation signature pipeline runs twice). 24 bytes/doc/band.
     buckets = (
         sigs.select(F.col(id_col), band_cols)
         .select(id_col, "bb.band", "bb.bucket")
@@ -259,13 +263,10 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    shingles = spread.select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("shingles")
-    ).localCheckpoint()
     pairs = cand.join(
-        shingles.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+        hashed.select(F.col(id_col).alias("doc_a"), F.col("hashes").alias("sh_a")), "doc_a"
     ).join(
-        shingles.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
+        hashed.select(F.col(id_col).alias("doc_b"), F.col("hashes").alias("sh_b")), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
