@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "contamination_check",
     "pack_sequences",
+    "chunk_documents",
+    "corpus_shuffle_order",
+    "dedup_apply_fuzzy",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",

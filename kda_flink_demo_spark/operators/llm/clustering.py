@@ -106,3 +106,23 @@ def dedup_clusters(
             F.col("cluster_size"),
         )
     )
+
+
+def apply_dedup(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("source", "n_chars"),
+) -> DataFrame:
+    """The dedup pipeline's OUTPUT: the surviving corpus — every document
+    except non-canonical near-dup cluster members (each cluster keeps its
+    minimum-id representative; singletons were never in a cluster and always
+    survive).
+
+    Shape: one LEFT ANTI join of the corpus against the (tiny relative to the
+    corpus) drop-list of non-canonical members. At 100 TB the drop-list —
+    duplicates only, not the corpus — is usually broadcastable; otherwise it
+    is an 8-byte-key shuffle join on the id. The corpus is scanned once.
+    """
+    drop = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
+    return documents.join(drop, id_col, "left_anti").select(id_col, *keep_cols)

@@ -26,6 +26,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _global_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "_start"
+) -> DataFrame:
+    """Two-phase distributed EXCLUSIVE prefix sum of ``value_col`` in the total
+    order given by ``order_cols`` (which must be a total order — include a
+    unique tie-break column). Adds ``out_col``; never a single global sort:
+    range-partition on the order keys, per-partition windows, then a tiny
+    per-partition-totals cumsum broadcast back. Deterministic regardless of
+    where the sampled range boundaries land."""
+    sc = df.sparkSession.sparkContext
+    ranged = df.repartitionByRange(
+        sc.defaultParallelism, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local_start", F.coalesce(F.sum(value_col).over(w_local), F.lit(0).cast("long"))
+    )
+    # one row per partition: the single-partition window below is over
+    # ~defaultParallelism rows, not the data
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_poff", F.coalesce(F.sum("_ptot").over(w_parts), F.lit(0).cast("long"))
+    ).select("_pid", "_poff")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_start") + F.col("_poff"))
+        .drop("_pid", "_local_start", "_poff")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
@@ -39,31 +74,43 @@ def pack_sequences(
     global_start_offset // budget and ``chunk_offset`` = global_start_offset %
     budget — i.e. the training chunk this document starts in and where.
     """
-    sc = df.sparkSession.sparkContext
     toks = df.select(
         F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens")
     )
-    ranged = toks.repartitionByRange(sc.defaultParallelism, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    start = F.col("_start")
+    return _global_prefix_sum(toks, [id_col], "n_tokens").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor(start / F.lit(budget)).cast("long").alias("chunk_id"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("chunk_offset"),
     )
-    w_local = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    local = ranged.withColumn(
-        "_local_start", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0).cast("long"))
-    )
-    # one row per partition: the single-partition window below is over
-    # ~defaultParallelism rows, not the data
-    totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
-    w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_poff", F.coalesce(F.sum("_ptot").over(w_parts), F.lit(0).cast("long"))
-    ).select("_pid", "_poff")
-    start = F.col("_local_start") + F.col("_poff")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            F.floor(start / F.lit(budget)).cast("long").alias("chunk_id"),
-            F.pmod(start, F.lit(budget)).cast("long").alias("chunk_offset"),
+
+
+def global_shuffle_order(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "42"
+) -> DataFrame:
+    """Deterministic global training order: every document gets a stable
+    position in a pseudo-random permutation of the corpus.
+
+    Training runs need the corpus in a shuffled-but-REPRODUCIBLE order (same
+    order on every rerun, engine, and cluster size — ``rand()`` is none of
+    those). The sort key is the first 15 hex digits of ``md5(seed || ':' ||
+    id)`` (engine-portable, 60 bits → collision-free in practice; ties broken
+    on the id for full determinism). The position is the two-phase prefix sum
+    of 1 in that order — range partition on the hash key, never a
+    single-partition row_number window. Output: (id, shuffle_pos).
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
         )
+        .cast("long")
+        .alias("_hkey"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    return _global_prefix_sum(keyed, ["_hkey", id_col], "_one", out_col="shuffle_pos").select(
+        F.col(id_col), F.col("shuffle_pos")
     )

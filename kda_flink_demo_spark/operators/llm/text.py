@@ -325,3 +325,66 @@ NORMALIZE_ORACLE_SQL = """
         FROM documents
     )
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-window document chunking with overlap — the RAG / context-window
+    preprocessing primitive: split each document into chunks of ``size``
+    whitespace tokens starting every ``stride`` tokens (overlap = size −
+    stride), so no span longer than the overlap is ever cut without appearing
+    whole in some chunk.
+
+    Chunk count is ``1 + ceil(max(0, n_tokens − size) / stride)`` — the final
+    chunk is the only short one and no chunk is wholly contained in another.
+    Row-expanding map (~size/stride × rows), still a NARROW transform: no
+    shuffle, no state, scan-speed at 100 TB. All JVM built-ins
+    (sequence/transform/slice + one explode).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.floor((F.greatest(n - F.lit(size), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.struct(
+                k.cast("long").alias("chunk_idx"),
+                F.slice(toks, k * stride + 1, size).alias("ctoks"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), chunk.alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx"),
+            F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+            F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(size: int = 64, stride: int = 48) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based inclusive list slice
+    clamps exactly like Spark's ``slice``)."""
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id, w,
+               unnest(range(0, 1 + (greatest(len(w) - {size}, 0) + {stride - 1}) // {stride})) AS k
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           array_to_string(w[k * {stride} + 1 : k * {stride} + {size}], ' ') AS chunk_text,
+           CAST(len(w[k * {stride} + 1 : k * {stride} + {size}]) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """

@@ -79,10 +79,13 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_apply_fuzzy",
     "dedup_embedding_cosine",
     "similarity_topk",
     "contamination_check",
     "pack_sequences",
+    "chunk_documents",
+    "corpus_shuffle_order",
     "text_tfidf_top_terms",
     "text_language_id",
     "text_quality",

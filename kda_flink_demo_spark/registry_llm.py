@@ -138,7 +138,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTERS_ORACLE = """
+# Shared recursive-CTE prefix: exact Jaccard ≥ 0.8 pair graph → transitive
+# closure → per-component canonical id + size. Used by the clusters oracle and
+# the apply-dedup (surviving corpus) oracle.
+_CLUSTERS_CTE = """
     WITH RECURSIVE
     sh AS (
         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
@@ -167,9 +170,15 @@ _CLUSTERS_ORACLE = """
     ),
     comp AS (SELECT u, min(r) AS canonical_id FROM reach GROUP BY u),
     sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+"""
+
+_CLUSTERS_ORACLE = (
+    _CLUSTERS_CTE
+    + """
     SELECT comp.u AS doc_id, comp.canonical_id, sizes.cluster_size
     FROM comp JOIN sizes USING (canonical_id)
 """
+)
 
 
 @register("dedup_clusters", _CLUSTERS_ORACLE)
@@ -419,3 +428,60 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQ8-style): per-vector scale, reconstruction MSE, first-8 codes. Narrow
     JVM-side array projection — scan speed at any scale."""
     return embeddings.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_apply_fuzzy",
+    _CLUSTERS_CTE
+    + """
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM comp WHERE comp.u = d.doc_id AND comp.u <> comp.canonical_id
+    )
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup OUTPUT: the surviving corpus after MinHash+LSH →
+    exact verify → connected components → drop non-canonical members. The
+    whole pipeline a training run would execute; one anti join over the
+    corpus. Oracle: recursive-CTE transitive closure over the exact pair
+    graph, then NOT EXISTS against the drop-list."""
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    clusters = clustering.dedup_clusters(docs, pairs)
+    return clustering.apply_dedup(docs, clusters)
+
+
+@register("chunk_documents", text.chunk_documents_oracle_sql(size=64, stride=48))
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking: 64-token chunks every 48 tokens (16-token
+    overlap), final chunk short, none wholly contained in another. Narrow
+    row-expanding map — no shuffle at any scale."""
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+@register(
+    "corpus_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT) AS shuffle_pos
+    FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hkey
+        FROM documents
+    )
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: md5-keyed pseudo-random permutation
+    with positions from the two-phase distributed prefix sum (range partition
+    on the hash key — never a single-partition row_number window). The oracle's
+    row_number is the semantic spec; the engine computes the same order
+    scalably."""
+    from kda_flink_demo_spark.operators.llm import packing
+
+    return packing.global_shuffle_order(load_table(spark, sf_dir, "documents"))

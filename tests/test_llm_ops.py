@@ -219,3 +219,65 @@ def test_quantize_roundtrip_error_bound(embeddings):
     for r in rows:
         assert r.mse <= (r.scale / 2.0) ** 2 + 1e-12, (r.vec_id, r.mse, r.scale)
         assert len(r.q_head.split(",")) == 8
+
+
+def test_apply_dedup_drops_exactly_noncanonical(documents):
+    """Survivor count = corpus − Σ(cluster_size − 1); every canonical survives,
+    no non-canonical does."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
+    clusters = clustering.dedup_clusters(documents, pairs)
+    survivors = clustering.apply_dedup(documents, clusters)
+    n_docs = documents.count()
+    cl = clusters.collect()
+    n_noncanon = sum(1 for r in cl if r.doc_id != r.canonical_id)
+    assert n_noncanon > 0, "fixture should contain planted near-dups"
+    assert survivors.count() == n_docs - n_noncanon
+    surv_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    for r in cl:
+        assert (r.doc_id in surv_ids) == (r.doc_id == r.canonical_id)
+
+
+def test_chunk_documents_reconstructs_and_overlaps(documents):
+    """Stride-wise slices must tile each document: chunk k starts at k*stride,
+    consecutive chunks overlap by size − stride, and concatenating each chunk's
+    non-overlapping head reconstructs the document exactly."""
+    from kda_flink_demo_spark.operators.llm import text as t
+
+    size, stride = 64, 48
+    doc = documents.orderBy("doc_id").limit(5)
+    texts = {r.doc_id: r.text for r in doc.collect()}
+    chunks = t.chunk_documents(doc, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        toks = texts[did].split(" ")
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        rebuilt: list[str] = []
+        for r in rows:
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            start = r.chunk_idx * stride
+            assert ctoks == toks[start : start + size]
+            assert r.n_chunk_tokens == len(ctoks)
+            rebuilt.extend(ctoks[: stride] if r.chunk_idx < len(rows) - 1 else ctoks)
+        # heads of all but the last chunk + the whole last chunk = the document
+        assert rebuilt == toks
+
+
+def test_global_shuffle_order_is_permutation(documents):
+    """Positions are exactly 0..N-1 (a permutation), stable across reruns, and
+    different from the identity order."""
+    from kda_flink_demo_spark.operators.llm import packing
+
+    out = packing.global_shuffle_order(documents).collect()
+    pos = sorted(r.shuffle_pos for r in out)
+    assert pos == list(range(len(out)))
+    again = {r.doc_id: r.shuffle_pos for r in packing.global_shuffle_order(documents).collect()}
+    assert {r.doc_id: r.shuffle_pos for r in out} == again
+    ids_in_order = [r.doc_id for r in sorted(out, key=lambda r: r.shuffle_pos)]
+    assert ids_in_order != sorted(ids_in_order)
