@@ -230,3 +230,45 @@ def test_multimodal_all_match_oracle_with_empty_and_short_docs(edge_docs):
     compare_to_oracle(
         multimodal.sample_video_frames(payloads), con, multimodal.FRAME_ORACLE_SQL
     )
+
+
+def test_doc_fingerprint_kernel_matches_pure_python_spec(spark):
+    """The vectorized prefix-hash kernel must equal the character-fold spec
+    (acc = (acc*31 + codepoint) mod 1e9+7; grams = 5-word slices rejoined with
+    single spaces) on adversarial inputs: space runs / empty words, <5 words,
+    exactly 5, multi-byte unicode, long repetitive text."""
+    import random
+
+    from kda_flink_demo_spark.operators.llm.text import doc_fingerprint
+
+    P = 1_000_000_007
+
+    def ph(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    def spec(s: str) -> tuple[int, int]:
+        ws = s.split(" ")
+        k = max(len(ws) - 5, 0) + 1
+        grams = [" ".join(ws[i : i + 5]) for i in range(k)]
+        return ph(s), min(ph(g) for g in grams)
+
+    rng = random.Random(7)
+    words = ["a", "bb", "", "héllo", "жёлтый", "中文词", "x" * 50, "1.5", "—"]
+    texts = [
+        "",
+        " ",
+        "   ",
+        "one",
+        "one two three four",
+        "one two three four five",
+        "one two three four five six",
+        "a  b   c    d",
+        ("tok " * 500).strip(),
+    ] + [" ".join(rng.choices(words, k=rng.randrange(1, 40))) for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.fingerprint, r.min_gram_fp) for r in doc_fingerprint(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == spec(t), (i, repr(t), got[i], spec(t))

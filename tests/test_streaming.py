@@ -17,6 +17,11 @@ from kda_flink_demo_spark.streaming import jobs
 from kda_flink_demo_spark.streaming.upsert import DuckDBUpsertSink
 from tests.conftest import SF_DIR
 
+TUMBLING_SINK_SCHEMA_SESS = (
+    "railway_class VARCHAR, railway_class_count BIGINT, "
+    "window_start TIMESTAMP, window_end TIMESTAMP"
+)
+
 
 @pytest.fixture(scope="module")
 def replay_dir(spark, tmp_path_factory):
@@ -876,3 +881,49 @@ def test_upsert_sink_all_key_columns_does_nothing_on_conflict(spark, tmp_path):
     sink(spark.createDataFrame([(2,), (3,)], "k long"), batch_id=1)  # 2 conflicts
     cols, rows = sink.read_all()
     assert sorted(r[0] for r in rows) == [1, 2, 3]
+
+
+def test_streaming_session_windows_match_batch(spark, replay_dir, tmp_path):
+    """W6 streaming twin: session_window works under a 0-second watermark in
+    append mode; every session the stream closes must equal the batch
+    sessionization of the same events. (Still-open trailing sessions only
+    emit on EOS, so compare on the intersection with near-complete coverage,
+    as in the tumbling test.)"""
+    from kda_flink_demo_spark.operators.windows import session_counts
+
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "sink_sess.duckdb"),
+        "sessions",
+        ["railway_class", "window_start"],
+        TUMBLING_SINK_SCHEMA_SESS,
+    )
+    stream = _stream(spark, replay_dir).withWatermark("rowtime", "0 seconds")
+    result = session_counts(stream, gap="5 minutes").select(
+        "railway_class", "railway_class_count", "window_start", "window_end"
+    )
+    _run(spark, result, sink, str(tmp_path / "ckpt_sess"))
+
+    cols, got = sink.read_all()
+    batch = session_counts(
+        load_table(spark, SF_DIR, "events").select(
+            F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+        ),
+        gap="5 minutes",
+    )
+    expected = {
+        (r.railway_class, r.window_start): (r.window_end, r.railway_class_count)
+        for r in batch.collect()
+    }
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_start")]): (
+            r[cols.index("window_end")],
+            r[cols.index("railway_class_count")],
+        )
+        for r in got
+    }
+    assert got_map, "stream should close at least one session"
+    # trailing open sessions (one per key at most) may be missing
+    n_keys = len({k for k, _ in expected})
+    assert len(got_map) >= len(expected) - n_keys
+    for k, v in got_map.items():
+        assert expected[k] == v, f"session {k}: stream={v} batch={expected[k]}"
