@@ -109,6 +109,11 @@ def main() -> None:
         ),
     )
     bench("pack_sequences", _packing.pack_sequences(docs))
+    bench("shuffle_order", _packing.global_shuffle_order(docs))
+    from kda_flink_demo_spark.operators.llm import text as _text
+
+    bench("chunk_documents", _text.chunk_documents(docs))
+    bench("doc_fingerprint", _text.doc_fingerprint(docs))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
