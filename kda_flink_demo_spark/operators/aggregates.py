@@ -93,3 +93,59 @@ def value_histogram(
         )
         .withColumn("bucket_lo", det_round(F.col("bucket") * width + min_val, 6))
     )
+
+
+def profile_columns(
+    df: DataFrame, numeric_cols: list[str], string_cols: list[str]
+) -> DataFrame:
+    """Dataset profiling — the standard pipeline-validation primitive: one row
+    per column with row/null/exact-distinct counts plus min/max (numeric
+    columns as DOUBLE, string columns lexicographic; the other pair is NULL).
+
+    Shape: ``stack`` melts the columns in ONE scan per column family, then a
+    grouped aggregate keyed (column_name) with an exact DISTINCT — Spark
+    expands to a two-phase (column_name, value) partial aggregate, so the
+    shuffle carries distinct values only. At 100 TB swap the exact distinct
+    for approx_count_distinct (same plan minus the expand); min/max/null
+    counts are plain partial aggregates either way. Min/max comparisons are
+    engine-portable: native numeric ordering and binary string ordering —
+    never cross-type string formatting (double→VARCHAR rendering differs
+    between engines).
+    """
+    outs = []
+    if numeric_cols:
+        stack_n = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in numeric_cols)
+        melted_n = df.selectExpr(
+            f"stack({len(numeric_cols)}, {stack_n}) AS (column_name, v)"
+        )
+        outs.append(
+            melted_n.groupBy("column_name").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+                F.countDistinct("v").alias("n_distinct"),
+                F.min("v").alias("min_num"),
+                F.max("v").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    if string_cols:
+        stack_s = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in string_cols)
+        melted_s = df.selectExpr(
+            f"stack({len(string_cols)}, {stack_s}) AS (column_name, v)"
+        )
+        outs.append(
+            melted_s.groupBy("column_name").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+                F.countDistinct("v").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min("v").alias("min_str"),
+                F.max("v").alias("max_str"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

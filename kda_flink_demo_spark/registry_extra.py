@@ -1138,3 +1138,45 @@ def q_merge_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.lit(2))
     )
     return apply_changes(orders, upd.unionByName(dels), keys=["o_orderkey"])
+
+
+@register(
+    "dataset_profile",
+    """
+    SELECT 'event_id' AS column_name, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_nulls,
+           count(DISTINCT CAST(event_id AS DOUBLE)) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT CAST(user_id AS DOUBLE)),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+           min(value), max(value), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type), NULL, NULL, min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+           NULL, NULL, min(props), max(props)
+    FROM events
+    """,
+)
+def q_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (validation primitive): per-column row/null/exact-
+    distinct counts + typed min/max over the events table. One melted scan per
+    column family, grouped two-phase aggregate — see
+    operators/aggregates.py:profile_columns for the 100 TB notes."""
+    from kda_flink_demo_spark.operators.aggregates import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "events"),
+        numeric_cols=["event_id", "user_id", "value"],
+        string_cols=["event_type", "props"],
+    )

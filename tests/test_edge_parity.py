@@ -272,3 +272,34 @@ def test_doc_fingerprint_kernel_matches_pure_python_spec(spark):
     got = {r.doc_id: (r.fingerprint, r.min_gram_fp) for r in doc_fingerprint(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == spec(t), (i, repr(t), got[i], spec(t))
+
+
+def test_chunk_documents_matches_pure_python_spec(spark):
+    """Chunk windows (size 64 / stride 48) against the direct Python spec on
+    adversarial token counts: empty text, 1 token, size-1, size, size+1,
+    multiples of stride, and random lengths."""
+    import random
+
+    from kda_flink_demo_spark.operators.llm.text import chunk_documents
+
+    size, stride = 64, 48
+
+    def spec(s: str):
+        ws = s.split(" ")
+        n_chunks = 1 + max(0, -(-max(len(ws) - size, 0) // stride))
+        return [
+            (k, " ".join(ws[k * stride : k * stride + size]), min(size, max(len(ws) - k * stride, 0)))
+            for k in range(n_chunks)
+        ]
+
+    rng = random.Random(11)
+    lengths = [1, 2, size - 1, size, size + 1, stride, 2 * stride, 3 * stride + 1] + [
+        rng.randrange(1, 400) for _ in range(20)
+    ]
+    texts = [""] + [" ".join(f"w{i}" for i in range(n)) for n in lengths]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in chunk_documents(df, size=size, stride=stride).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_chunk_tokens))
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == spec(t), (i, len(t.split(" ")))
