@@ -143,11 +143,14 @@ def main() -> None:
     # aggregate over 200M generated rows). Host contention inflates all wall
     # clocks; dividing query times by (calib_sec / its historical value)
     # separates engine changes from environment noise across rounds.
-    t0 = time.time()
-    spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
-        {"v": "sum"}
-    ).write.format("noop").mode("overwrite").save()
-    calib_sec = round(time.time() - t0, 3)
+    try:
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
+            {"v": "sum"}
+        ).write.format("noop").mode("overwrite").save()
+        calib_sec = round(time.time() - t0, 3)
+    except Exception:  # noqa: BLE001 — calibration must never kill the bench
+        calib_sec = None
 
     qs = registry.queries()
     times: dict[str, float] = {}

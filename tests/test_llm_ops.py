@@ -281,3 +281,19 @@ def test_global_shuffle_order_is_permutation(documents):
     assert {r.doc_id: r.shuffle_pos for r in out} == again
     ids_in_order = [r.doc_id for r in sorted(out, key=lambda r: r.shuffle_pos)]
     assert ids_in_order != sorted(ids_in_order)
+
+
+def test_prefix_sum_ops_invariant_to_input_partitioning(documents):
+    """pack_sequences and global_shuffle_order range-partition internally, so
+    the result must not depend on how the input arrives partitioned."""
+    from kda_flink_demo_spark.operators.llm import packing
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base_pack = key(packing.pack_sequences(documents))
+    base_shuf = key(packing.global_shuffle_order(documents))
+    for n in (1, 7):
+        repart = documents.repartition(n)
+        assert key(packing.pack_sequences(repart)) == base_pack, n
+        assert key(packing.global_shuffle_order(repart)) == base_shuf, n
