@@ -927,3 +927,74 @@ def test_streaming_session_windows_match_batch(spark, replay_dir, tmp_path):
     assert len(got_map) >= len(expected) - n_keys
     for k, v in got_map.items():
         assert expected[k] == v, f"session {k}: stream={v} batch={expected[k]}"
+
+
+def test_streaming_count_windows_match_batch(spark, tmp_path):
+    """Count-window streaming twin (Flink countWindow): closed streaming
+    windows must EXACTLY equal the batch query's full windows — count windows
+    close on arrival of the size-th event, so nothing waits on the watermark;
+    only the final partial per key stays in state."""
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.streaming.count_windows import count_windows_stream
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.col("event_type").alias("railway_class"),
+            F.col("ts").alias("rowtime"),
+            "value",
+        )
+        .orderBy("rowtime", "event_id")
+    )
+    rows = ev.collect()
+    replay = str(tmp_path / "replay_vals")
+    chunk = (len(rows) + 4) // 5
+    for i in range(5):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                f"{replay}/chunk={i:02d}"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(replay + "/chunk=*")
+    )
+    result = count_windows_stream(stream, size=100)
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "sink_cw.duckdb"),
+        "count_windows",
+        ["railway_class", "window_id"],
+        "railway_class VARCHAR, window_id BIGINT, railway_class_count BIGINT, sum_value DOUBLE",
+    )
+    _run(spark, result, sink, str(tmp_path / "ckpt_cw"))
+
+    cols, got = sink.read_all()
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_id")]): (
+            r[cols.index("railway_class_count")],
+            r[cols.index("sum_value")],
+        )
+        for r in got
+    }
+    from kda_flink_demo_spark.registry import queries
+
+    batch = queries()["count_windows_100"](spark, SF_DIR)
+    expected = {
+        (r.railway_class, r.window_id): (r.railway_class_count, r.sum_value)
+        for r in batch.collect()
+        if r.railway_class_count == 100  # full windows only
+    }
+    assert got_map, "stream should close at least one window"
+    assert got_map == expected
