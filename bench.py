@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     "chunk_documents",
     "corpus_shuffle_order",
     "dedup_apply_fuzzy",
+    "dedup_span_stats",
+    "length_buckets",
+    "temperature_resample",
+    "corpus_filter_pipeline",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",

@@ -420,3 +420,82 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+    min_docs: int = 2,
+    group_on_hash: bool = True,
+) -> DataFrame:
+    """Exact substring (token-span) duplicate detection: for each document,
+    how many of its distinct ``span``-token windows also occur in at least
+    ``min_docs`` documents corpus-wide (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the exact-substring
+    complement to MinHash whole-document dedup).
+
+    Plan shape: explode distinct spans, ONE shuffle on the span key for the
+    corpus-wide occurrence count (window aggregate — no join back), then a
+    per-doc grouped count. ``group_on_hash`` hashes each span to its 8-byte
+    xxhash64 BEFORE the explode, so at 100 TB the shuffle carries fixed-width
+    keys instead of the corpus ~``span`` times over (collisions are ~2⁻⁶⁴ per
+    span pair and only perturb a count, never corrupt a row). Docs shorter
+    than ``span`` tokens have no spans and are absent from the output (matches
+    the oracle's empty range). The repartition before the span build is the
+    same move as ``minhash_lsh_pairs``: a single parquet split would pin the
+    whole O(tokens·span) string/hash projection on one task (measured 10× at
+    sf0.1 on local[32]); on a many-split cluster read AQE makes it a near-no-op.
+    """
+    from pyspark.sql import Window
+
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = word_ngrams(F.col(text_col), n=span)
+    if group_on_hash:
+        grams = F.transform(grams, lambda s: F.xxhash64(s))
+    sp = spread.select(F.col(id_col), F.explode(grams).alias("span"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy(F.col("span")))
+    per_doc = (
+        sp.select(F.col(id_col), nd.alias("nd"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= min_docs, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        det_round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias("dup_span_ratio"),
+    )
+
+
+def duplicate_spans_oracle_sql(
+    span: int = 10, min_docs: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB SQL computing the identical span statistics (kept adjacent so the
+    two implementations stay in lockstep)."""
+    from kda_flink_demo_spark.functions import det_round_sql
+
+    ratio = det_round_sql("n_dup_spans / n_spans", 4)
+    return f"""
+    WITH sp AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(w) - {span} + 2),
+                   i -> array_to_string(list_slice(w, i, i + {span} - 1), ' ')))) AS span
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {table})
+    ),
+    cnt AS (SELECT span, count(*) AS nd FROM sp GROUP BY 1),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans
+        FROM sp JOIN cnt USING (span) GROUP BY 1
+    )
+    SELECT doc_id, n_spans, n_dup_spans, {ratio} AS dup_span_ratio FROM per
+    """

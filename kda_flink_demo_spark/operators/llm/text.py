@@ -116,12 +116,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality: length, mean token length, stopword ratio,
-    punctuation ratio → composite in [0,1]-ish, rounded for cross-engine
-    comparison. Mirrors common pretraining-corpus filters (length bounds,
-    symbol-to-word ratio, stopword presence)."""
-    text = F.col(text_col)
+def quality_columns(text: Column) -> dict[str, Column]:
+    """The quality-heuristic component expressions as named Columns — shared by
+    ``quality_score`` and the composed corpus filter pipeline so the two can
+    never drift. All raw (un-rounded); callers apply ``det_round``."""
     toks = F.split(text, " ")
     n_toks = F.size(toks)
     n_chars = F.length(text)
@@ -136,13 +134,28 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.3) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
     )
+    return {
+        "n_tokens": n_toks.cast("long"),
+        "avg_token_len": avg_tok_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword ratio,
+    punctuation ratio → composite in [0,1]-ish, rounded for cross-engine
+    comparison. Mirrors common pretraining-corpus filters (length bounds,
+    symbol-to-word ratio, stopword presence)."""
+    qc = quality_columns(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_toks.cast("long").alias("n_tokens"),
-        det_round(avg_tok_len, 4).alias("avg_token_len"),
-        det_round(stop_ratio, 4).alias("stopword_ratio"),
-        det_round(punct_ratio, 4).alias("punct_ratio"),
-        det_round(score, 4).alias("quality"),
+        qc["n_tokens"].alias("n_tokens"),
+        det_round(qc["avg_token_len"], 4).alias("avg_token_len"),
+        det_round(qc["stopword_ratio"], 4).alias("stopword_ratio"),
+        det_round(qc["punct_ratio"], 4).alias("punct_ratio"),
+        det_round(qc["quality"], 4).alias("quality"),
     )
 
 
@@ -448,4 +461,57 @@ def chunk_documents_oracle_sql(size: int = 64, stride: int = 48) -> str:
            array_to_string(w[k * {stride} + 1 : k * {stride} + {size}], ' ') AS chunk_text,
            CAST(len(w[k * {stride} + 1 : k * {stride} + {size}]) AS BIGINT) AS n_chunk_tokens
     FROM c
+    """
+
+
+def length_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Power-of-two token-length histogram (docs + token mass per bucket) — the
+    planning input for sequence packing and batch-shape selection: bucket
+    ``k`` holds docs with ``2^k ≤ ws_tokens < 2^(k+1)``.
+
+    The bucket index is computed on the INTEGER path (bit-length of the token
+    count, ``length(bin(n)) - 1``), never ``floor(log2(n))`` — float log would
+    invite cross-engine ULP flips exactly at the power-of-two boundaries the
+    histogram cares about. One partial→final grouped aggregate over ≤64
+    buckets; at 100 TB the map-side combine reduces each task to a handful of
+    rows before the (tiny) shuffle.
+    """
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    bucket = (F.length(F.bin(n)) - 1).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            det_round(F.avg("n"), 4).alias("avg_tokens"),
+        )
+        .select(
+            "bucket",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) AS BIGINT)").alias(
+                "bucket_min_tokens"
+            ),
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+        )
+    )
+
+
+def length_buckets_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin: bit-length via binary formatting — same integer-exact path."""
+    avg = det_round_sql("CAST(total_tokens AS DOUBLE) / n_docs", 4)
+    return f"""
+    WITH b AS (
+        SELECT CAST(length(format('{{:b}}', n)) - 1 AS BIGINT) AS bucket, n
+        FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM {table})
+    ),
+    g AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens
+        FROM b GROUP BY 1
+    )
+    SELECT bucket, (CAST(1 AS BIGINT) << bucket) AS bucket_min_tokens,
+           n_docs, total_tokens, {avg} AS avg_tokens
+    FROM g
     """

@@ -12,7 +12,9 @@ from kda_flink_demo_spark.operators.llm import (
     dedup,
     embeddings,
     multimodal,
+    pipeline,
     privacy,
+    sampling,
     similarity,
     text,
 )
@@ -485,3 +487,39 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kda_flink_demo_spark.operators.llm import packing
 
     return packing.global_shuffle_order(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_span_stats", dedup.duplicate_spans_oracle_sql(span=10, min_docs=2))
+def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2021): per document, how
+    many of its distinct 10-token spans occur in ≥2 documents corpus-wide. One
+    shuffle on the (hashed) span key, one per-doc grouped count."""
+    return dedup.duplicate_spans(load_table(spark, sf_dir, "documents"), span=10, min_docs=2)
+
+
+@register("length_buckets", text.length_buckets_oracle_sql())
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram (packing/batch-shape planning input);
+    bucket index on the integer bit-length path, never float log2."""
+    return text.length_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "temperature_resample",
+    sampling.temperature_resample_oracle_sql(alpha=0.5, source_col="lang"),
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-temperature resampling (surviving counts ∝ n_src^0.5):
+    per-source acceptance thresholds broadcast onto a map-side md5 filter — the
+    corpus never shuffles. Grouped on `lang` (the fixture's skewed grouping,
+    64–218 docs at sf0.01; `source` is uniform so thinning would never fire)."""
+    return sampling.temperature_resample(
+        load_table(spark, sf_dir, "documents"), source_col="lang", alpha=0.5
+    )
+
+
+@register("corpus_filter_pipeline", pipeline.filter_pipeline_oracle_sql())
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus filter: length gate → exact-substring duplication gate →
+    quality gate, labelling every doc `kept` or its first failing filter."""
+    return pipeline.filter_pipeline(load_table(spark, sf_dir, "documents"))

@@ -297,3 +297,89 @@ def test_prefix_sum_ops_invariant_to_input_partitioning(documents):
         repart = documents.repartition(n)
         assert key(packing.pack_sequences(repart)) == base_pack, n
         assert key(packing.global_shuffle_order(repart)) == base_shuf, n
+
+
+def test_duplicate_spans_matches_brute_force(spark):
+    """Constructed corpus with a planted shared 10-token span: stats must equal
+    the brute-force python computation."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # 12 toks → 3 spans
+    b = "x0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 y0"  # shares span w1..w10
+    c = "z1 z2 z3 z4 z5 z6 z7 z8 z9"  # 9 toks → no spans
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_ratio)
+        for r in dedup.duplicate_spans(df, span=10).collect()
+    }
+    # brute force
+    docs = {0: a, 1: b, 2: c}
+    spans = {
+        i: {" ".join(t.split()[j : j + 10]) for j in range(len(t.split()) - 9)}
+        for i, t in docs.items()
+    }
+    from collections import Counter
+
+    cnt = Counter(s for ss in spans.values() for s in ss)
+    exp = {}
+    for i, ss in spans.items():
+        if not ss:
+            continue
+        dup = sum(1 for s in ss if cnt[s] >= 2)
+        exp[i] = (len(ss), dup, round(dup / len(ss), 4))
+    assert got == exp
+    assert got[0][1] == 1 and got[1][1] == 1  # the planted span counted once each
+    assert 2 not in got  # sub-span-length doc absent
+
+
+def test_temperature_resample_properties(documents):
+    """Smallest group survives in full; larger groups are thinned toward
+    sqrt-proportional counts; the decision is deterministic."""
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    before = {r["lang"]: r["count"] for r in documents.groupBy("lang").count().collect()}
+    out = sampling.temperature_resample(documents, source_col="lang", alpha=0.5)
+    after = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    n_min = min(before.values())
+    for lang, n in before.items():
+        if n == n_min:
+            assert after[lang] == n  # p=1: smallest source fully kept
+        else:
+            assert after[lang] <= n
+    # deterministic: same rows on a second run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in sampling.temperature_resample(documents, source_col="lang", alpha=0.5).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_filter_pipeline_first_failure_precedence(spark):
+    """A doc failing several gates reports the FIRST (too_short ≻
+    duplicated_spans ≻ low_quality); clean docs are kept."""
+    from kda_flink_demo_spark.operators.llm import pipeline
+
+    stop = "the and of to a in is"
+    dup = " ".join(f"d{i}" for i in range(30))  # identical pair → ratio 1.0
+    kept = " ".join(f"{stop} u{i}" for i in range(8))  # 64 toks, stopword-rich
+    junk = " ".join(["%%%"] * 30)  # punct-heavy, no stopwords
+    df = spark.createDataFrame(
+        [(0, "tiny %%% " + dup), (1, dup), (2, dup), (3, kept), (4, junk)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.verdict for r in pipeline.filter_pipeline(df, min_tokens=25).collect()}
+    assert got[0] != "too_short"  # 32 tokens: length gate passes...
+    assert got[1] == "duplicated_spans" and got[2] == "duplicated_spans"
+    assert got[3] == "kept"
+    assert got[4] == "low_quality"
+    # and a genuinely short doc reports too_short even though it also fails quality
+    short = spark.createDataFrame([(9, "%% %%")], "doc_id long, text string")
+    assert pipeline.filter_pipeline(short, min_tokens=25).collect()[0].verdict == "too_short"
+
+
+def test_length_buckets_powers_of_two(spark):
+    from kda_flink_demo_spark.operators.llm import text as text_ops
+
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate([1, 2, 3, 4, 7, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.bucket: (r.bucket_min_tokens, r.n_docs) for r in text_ops.length_buckets(df).collect()}
+    assert got == {0: (1, 1), 1: (2, 2), 2: (4, 2), 3: (8, 1)}
