@@ -114,6 +114,13 @@ def main() -> None:
 
     bench("chunk_documents", _text.chunk_documents(docs))
     bench("doc_fingerprint", _text.doc_fingerprint(docs))
+    from kda_flink_demo_spark.operators.llm import pipeline as _pipeline
+    from kda_flink_demo_spark.operators.llm import sampling as _sampling
+
+    bench("duplicate_spans", _dedup.duplicate_spans(docs))
+    bench("filter_pipeline", _pipeline.filter_pipeline(docs))
+    bench("temperature_resample", _sampling.temperature_resample(docs, source_col="lang"))
+    bench("length_buckets", _text.length_buckets(docs))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
