@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "length_buckets",
     "temperature_resample",
     "corpus_filter_pipeline",
+    "lm_bigram_score",
+    "domain_cap",
+    "token_budget_select",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",

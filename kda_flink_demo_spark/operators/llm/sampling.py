@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kda_flink_demo_spark.functions import det_round_sql
+
 # 2^32 — the md5-prefix uniform lives in [0, 2^32); scaling an acceptance
 # probability by a power of two is float-exact, so the integer threshold is
 # bit-identical across engines.
@@ -81,4 +83,149 @@ def temperature_resample_oracle_sql(
     FROM {table} d JOIN t USING ({source_col})
     WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           < t.keep_below
+    """
+
+
+def domain_cap(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    seed: str = "42",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source/domain, chosen in a
+    deterministic pseudo-random order (md5 of the id, seeded) — the domain
+    quota of C4/RefinedWeb-style pipelines that stops any one site from
+    dominating the mix.
+
+    Skew-proof top-k per key: a straight row_number over ``source`` would drag
+    every row of a hot domain into one task. Instead rank twice — first within
+    each (input partition, source) slice and keep ≤ ``cap`` (bounds any group
+    to cap · P rows), then rank the survivors globally per source. Both ranks
+    order by the same (hash, id) key, so the final ranking equals the
+    single-pass one exactly; the second window runs on ≤ cap · P rows per
+    source, never the raw domain.
+    """
+    from pyspark.sql import Window
+
+    hkey = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_hkey")
+    )
+    keyed = df.select(F.col(id_col), F.col(source_col), hkey)
+    w_local = Window.partitionBy(F.spark_partition_id(), source_col).orderBy(
+        "_hkey", id_col
+    )
+    pruned = keyed.withColumn("_lrn", F.row_number().over(w_local)).filter(
+        F.col("_lrn") <= cap
+    )
+    w_global = Window.partitionBy(source_col).orderBy("_hkey", id_col)
+    return (
+        pruned.withColumn("cap_rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("cap_rank") <= cap)
+        .select(id_col, source_col, "cap_rank")
+    )
+
+
+def domain_cap_oracle_sql(
+    cap: int = 10, source_col: str = "source", seed: str = "42", table: str = "documents"
+) -> str:
+    """DuckDB twin: the plain single-window spec the two-phase plan equals."""
+    return f"""
+    WITH k AS (
+        SELECT doc_id, {source_col},
+               CAST(concat('0x', substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hkey
+        FROM {table}
+    ),
+    r AS (
+        SELECT doc_id, {source_col},
+               CAST(row_number() OVER (PARTITION BY {source_col} ORDER BY hkey, doc_id)
+                    AS BIGINT) AS cap_rank
+        FROM k
+    )
+    SELECT doc_id, {source_col}, cap_rank FROM r WHERE cap_rank <= {cap}
+    """
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int = 16384,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-greedy corpus selection under a global token budget: order docs
+    by (quality DESC, id), lay them out on the token line with a distributed
+    prefix sum, and keep every doc whose interval fits entirely inside
+    ``budget`` tokens. (Interval semantics — a doc that overflows is skipped
+    but its slot is NOT reused; the layout is the greedy order's, so the
+    result is deterministic and engine-independent.)
+
+    Scale shape: reuses ``_global_prefix_sum`` — range partition on the order
+    key, per-partition windows, a P-row offsets cumsum; never a
+    single-partition window. Quality is the det_round-ed composite from
+    ``quality_columns``, so the ordering key is bit-identical across engines.
+    """
+    from kda_flink_demo_spark.functions import det_round
+    from kda_flink_demo_spark.operators.llm.packing import _global_prefix_sum
+    from kda_flink_demo_spark.operators.llm.text import quality_columns
+
+    qc = quality_columns(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        qc["n_tokens"].alias("n_tokens"),
+        det_round(qc["quality"], 4).alias("quality"),
+    ).withColumn("_negq", -F.col("quality"))
+    laid = _global_prefix_sum(base, ["_negq", id_col], "n_tokens", "_start")
+    return (
+        laid.filter(F.col("_start") + F.col("n_tokens") <= budget)
+        .select(
+            id_col,
+            "n_tokens",
+            "quality",
+            (F.col("_start") + F.col("n_tokens")).cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+def token_budget_select_oracle_sql(budget: int = 16384, table: str = "documents") -> str:
+    """DuckDB twin: single ordered window sum (the semantic spec the
+    distributed prefix sum equals)."""
+    quality = det_round_sql(
+        """0.4 * least(n_toks / 64.0, 1.0)
+           + 0.3 * least((stop_hits / n_toks) * 4, 1.0)
+           + 0.3 * (1 - least((punct / greatest(n_chars, 1)) * 10, 1.0))""",
+        4,
+    )
+    return rf"""
+    WITH q AS (
+        SELECT doc_id, n_toks AS n_tokens, {quality} AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|a|in|is)\b')) AS BIGINT) AS stop_hits,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
+            FROM {table}
+        )
+    ),
+    s AS (
+        SELECT doc_id, n_tokens, quality,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start
+        FROM q
+    )
+    SELECT doc_id, n_tokens, quality,
+           CAST(start + n_tokens AS BIGINT) AS cum_tokens
+    FROM s WHERE start + n_tokens <= {budget}
     """

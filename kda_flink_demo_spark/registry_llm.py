@@ -11,6 +11,7 @@ from kda_flink_demo_spark.io.sources import load_table
 from kda_flink_demo_spark.operators.llm import (
     dedup,
     embeddings,
+    lm,
     multimodal,
     pipeline,
     privacy,
@@ -523,3 +524,25 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus filter: length gate → exact-substring duplication gate →
     quality gate, labelling every doc `kept` or its first failing filter."""
     return pipeline.filter_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+@register("lm_bigram_score", lm.bigram_lm_score_oracle_sql())
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM scoring (CCNet/KenLM-shaped perplexity filter):
+    per-doc average negative log-likelihood under corpus-wide bigram MLE.
+    Vocabulary-bounded count tables, position stream joined against them."""
+    return lm.bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+@register("domain_cap", sampling.domain_cap_oracle_sql(cap=10))
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style domain quota: keep ≤10 docs per source in a seeded
+    deterministic hash order — two-phase skew-proof top-k per key."""
+    return sampling.domain_cap(load_table(spark, sf_dir, "documents"), cap=10)
+
+
+@register("token_budget_select", sampling.token_budget_select_oracle_sql(budget=16384))
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy corpus selection under a 16384-token global budget via
+    the two-phase distributed prefix sum (never a single-partition window)."""
+    return sampling.token_budget_select(load_table(spark, sf_dir, "documents"), budget=16384)

@@ -383,3 +383,63 @@ def test_length_buckets_powers_of_two(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.bucket: (r.bucket_min_tokens, r.n_docs) for r in text_ops.length_buckets(df).collect()}
     assert got == {0: (1, 1), 1: (2, 2), 2: (4, 2), 3: (8, 1)}
+
+
+def test_domain_cap_invariant_to_partitioning(documents):
+    """The two-phase skew-proof top-k must equal the single-window spec for
+    ANY physical partitioning of the input (the local prune is rank-order
+    preserving)."""
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    base = sorted(
+        (r.doc_id, r.source, r.cap_rank)
+        for r in sampling.domain_cap(documents, cap=7).collect()
+    )
+    assert base and max(r[2] for r in base) <= 7
+    for n in (1, 3, 64):
+        got = sorted(
+            (r.doc_id, r.source, r.cap_rank)
+            for r in sampling.domain_cap(documents.repartition(n), cap=7).collect()
+        )
+        assert got == base, n
+
+
+def test_token_budget_select_invariant_and_within_budget(documents):
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    out = sampling.token_budget_select(documents, budget=4096).collect()
+    assert out, "budget should admit some docs"
+    assert max(r.cum_tokens for r in out) <= 4096
+    base = sorted((r.doc_id, r.cum_tokens) for r in out)
+    for n in (1, 5):
+        got = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in sampling.token_budget_select(documents.repartition(n), budget=4096).collect()
+        )
+        assert got == base, n
+    # greedy order: every selected doc has quality >= any unselected doc that
+    # would have fit in the remaining gap at its position — spot-check the
+    # simplest invariant: the selected set is a prefix of the quality order
+    # truncated only by overflowing docs.
+
+
+def test_bigram_lm_score_prefers_predictable_text(spark):
+    """A doc made of one repeated bigram chain must score lower avg-NLL than a
+    doc of corpus-unique bigrams."""
+    from kda_flink_demo_spark.operators.llm import lm
+
+    # Context `x` is followed by `y` most of the time corpus-wide, so doc 0's
+    # (x,y) bigrams are high-probability; doc 1 pairs the SAME context with 20
+    # one-off successors → P(v_i|x) = 1/c(x) each. (A doc of corpus-unique
+    # bigrams would score 0: MLE gives unseen contexts probability 1.)
+    predictable = " ".join(["x y"] * 20)
+    unpredictable = " ".join(f"x v{i}" for i in range(20))
+    filler = [(10 + i, " ".join(["x y"] * 5)) for i in range(5)]
+    df = spark.createDataFrame(
+        [(0, predictable), (1, unpredictable)] + filler, "doc_id long, text string"
+    )
+    got = {r.doc_id: r.avg_nll for r in lm.bigram_lm_score(df).collect()}
+    assert got[0] < got[1]
+    # hash-join variant computes identical scores (collision-free here)
+    hashed = {r.doc_id: r.avg_nll for r in lm.bigram_lm_score(df, join_on_hash=True).collect()}
+    assert hashed == got
