@@ -121,6 +121,11 @@ def main() -> None:
     bench("filter_pipeline", _pipeline.filter_pipeline(docs))
     bench("temperature_resample", _sampling.temperature_resample(docs, source_col="lang"))
     bench("length_buckets", _text.length_buckets(docs))
+    from kda_flink_demo_spark.operators.llm import lm as _lm
+
+    bench("lm_bigram_score", _lm.bigram_lm_score(docs, join_on_hash=True))
+    bench("domain_cap", _sampling.domain_cap(docs, cap=10))
+    bench("token_budget_select", _sampling.token_budget_select(docs, budget=1 << 20))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
