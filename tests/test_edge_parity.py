@@ -212,6 +212,15 @@ def test_llm_ops_survive_empty_input(spark, tmp_path_factory):
     assert packing.pack_sequences(docs).count() == 0
     assert text.normalize_text(docs).count() == 0
     assert text.doc_fingerprint(docs).count() == 0
+    from kda_flink_demo_spark.operators.llm import lm, pipeline, sampling
+
+    assert dedup.duplicate_spans(docs).count() == 0
+    assert text.length_buckets(docs).count() == 0
+    assert sampling.temperature_resample(docs, source_col="lang").count() == 0
+    assert sampling.domain_cap(docs).count() == 0
+    assert sampling.token_budget_select(docs).count() == 0
+    assert pipeline.filter_pipeline(docs).count() == 0
+    assert lm.bigram_lm_score(docs).count() == 0
 
 
 def test_multimodal_all_match_oracle_with_empty_and_short_docs(edge_docs):
