@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "lm_bigram_score",
     "domain_cap",
     "token_budget_select",
+    "ingest_dedup",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",

@@ -499,3 +499,30 @@ def duplicate_spans_oracle_sql(
     )
     SELECT doc_id, n_spans, n_dup_spans, {ratio} AS dup_span_ratio FROM per
     """
+
+
+def ingest_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: drop incoming documents whose text
+    already exists in the standing corpus — the continuous-crawl shape, where
+    today's batch (or stream) must not re-add what the corpus already holds.
+
+    LEFT ANTI join on ``xxhash64(text)``: the corpus side reduces to a
+    distinct 8-byte hash index (at 100 TB: ~8 bytes/doc, shuffled once or
+    maintained as a bucketed table; never the corpus text), the incoming side
+    is hashed map-side. The join works identically when ``new_df`` is a
+    STREAMING DataFrame (stream-static anti join) — the batch-as-oracle
+    streaming test replays the same frames through both paths. Within-stream
+    duplicate arrivals are a separate concern (``dropDuplicates`` /
+    ``dropDuplicatesWithinWatermark`` upstream); near-dup ingest extends the
+    same shape by joining the incoming MinHash band buckets against the
+    corpus's standing bucket table instead of the exact-hash index.
+    """
+    idx = corpus_df.select(F.xxhash64(F.col(text_col)).alias("_corpus_h")).distinct()
+    return new_df.join(
+        idx, F.xxhash64(F.col(text_col)) == F.col("_corpus_h"), "left_anti"
+    )

@@ -546,3 +546,30 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-greedy corpus selection under a 16384-token global budget via
     the two-phase distributed prefix sum (never a single-partition window)."""
     return sampling.token_budget_select(load_table(spark, sf_dir, "documents"), budget=16384)
+
+
+@register(
+    "ingest_dedup",
+    """
+    WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+    incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
+    SELECT i.doc_id FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = i.text)
+    """,
+)
+def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup: an incoming batch (new docs + re-crawled
+    duplicates of corpus docs, simulated by re-keying doc_id<50) anti-joined on
+    hashed text against the standing corpus. Stream-static capable — the
+    streaming twin is batch-as-oracle tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    recrawl = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10000)
+    )
+    incoming = docs.filter(F.col("doc_id") >= 400).unionByName(recrawl)
+    return dedup.ingest_dedup_against_corpus(incoming, corpus).select("doc_id")

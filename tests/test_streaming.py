@@ -998,3 +998,55 @@ def test_streaming_count_windows_match_batch(spark, tmp_path):
     }
     assert got_map, "stream should close at least one window"
     assert got_map == expected
+
+
+def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
+    """Stream-static anti join (incremental-ingest exact dedup): replaying the
+    incoming batch as a file stream against the static corpus index must emit
+    exactly the batch anti-join's surviving doc_ids."""
+    from kda_flink_demo_spark.operators.llm.dedup import ingest_dedup_against_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    recrawl = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10000)
+    )
+    incoming = docs.filter(F.col("doc_id") >= 400).unionByName(recrawl)
+
+    replay = tmp_path / "incoming"
+    replay.mkdir()
+    # three arrival chunks, duplicates interleaved with genuinely-new docs
+    rows = incoming.collect()
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], incoming.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(replay / f"chunk{i}"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay) + "/chunk*")
+    )
+    got = set()
+
+    def sink(batch_df, batch_id):
+        got.update(r.doc_id for r in batch_df.select("doc_id").collect())
+
+    q = (
+        ingest_dedup_against_corpus(stream, corpus)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = {
+        r.doc_id for r in ingest_dedup_against_corpus(incoming, corpus).select("doc_id").collect()
+    }
+    assert expected, "fixture must leave survivors"
+    assert got == expected
+    # every planted re-crawl was dropped
+    assert not any(i >= 10000 for i in got)
