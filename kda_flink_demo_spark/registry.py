@@ -88,17 +88,21 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_shuffle_order",
     "text_tfidf_top_terms",
     "text_language_id",
-    "text_quality",
-    "text_token_stats",
-    "text_normalize",
-    "text_pii_redact",
     "text_repetition",
-    "url_domain_stats",
     "doc_fingerprint",
     "embedding_quantize",
-    "multimodal_decode",
-    "multimodal_audio_decode",
-    "multimodal_frame_sample",
+    # round-5 additions: pinned for first driver exposure; the text/multimodal
+    # rows they displaced (quality/token_stats/normalize/pii/url_domain/
+    # multimodal_*) were green in CORRECTNESS_r04, stay covered by
+    # tests/test_registry_oracle.py, and rotate back through the tail.
+    "dedup_span_stats",
+    "length_buckets",
+    "temperature_resample",
+    "corpus_filter_pipeline",
+    "lm_bigram_score",
+    "domain_cap",
+    "token_budget_select",
+    "ingest_dedup",
 ]
 
 _DRIVER_WINDOW = 50
