@@ -99,8 +99,9 @@ def filter_pipeline_oracle_sql(
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
                    CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(regexp_extract_all(lower(text),
-                        '\b(the|and|of|to|a|in|is)\b')) AS BIGINT) AS stop_hits,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')))
+                        AS BIGINT) AS stop_hits,
                    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
             FROM {table}
         )

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from kda_flink_demo_spark.functions import det_round, det_round_sql
 
-# PII patterns — same behavior under Java regex and RE2.
+# PII patterns. Known, documented divergence on the ``\b``-bounded patterns:
+# Java's ``\b`` is Unicode-aware while RE2's (DuckDB) is ASCII-only, so a
+# digit run immediately adjacent to a non-ASCII word character ("é555-123-4567")
+# is a boundary for RE2 but not for Java. ASCII-adjacent PII (the
+# overwhelmingly common case, and everything in the fixtures) matches
+# identically; RE2 cannot express the lookaround that would unify the rest, so
+# the Java behavior (don't redact digits glued to letters) is kept as spec.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 from kda_flink_demo_spark.functions import det_round, det_round_sql
 
-# Tiny per-language stopword sets for the n-gram/stopword heuristic. Word-boundary
-# regexes behave identically in Java regex (Spark) and RE2 (DuckDB).
+# Tiny per-language stopword sets for the n-gram/stopword heuristic. Counted
+# by exact token equality (see _stopword_count): Java regex ``\b`` is
+# Unicode-aware while RE2's is ASCII-only, so boundary-regex counting diverges
+# on any non-ASCII neighbour character.
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a", "in", "is"],
     "de": ["der", "die", "das", "und", "ist", "nicht"],
@@ -29,9 +31,23 @@ _LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break preferen
 
 
 def _stopword_count(text: Column, words: list[str]) -> Column:
-    pattern = r"\b(" + "|".join(words) + r")\b"
+    """Stopword hits by EXACT token equality, not ``\\b``-bounded regex: Java's
+    ``\\b`` is Unicode-aware (``ç``/CJK count as word chars) while DuckDB's RE2
+    ``\\b`` is ASCII-only, so ``\\ba\\b`` matches inside "ação" in one engine
+    and not the other. Token equality has one cross-engine semantics (and is
+    the cheaper plan: one split shared by every stopword set).
+    """
+    toks = F.split(F.lower(text), " ")
     # cast: DuckDB len() is BIGINT, Spark size() is int — align schemas
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0))).cast("long")
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def _stopword_count_sql(words: list[str], text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`_stopword_count` (kept adjacent — one semantics)."""
+    quoted = ", ".join("'" + w + "'" for w in words)
+    return (
+        f"len(list_filter(string_split(lower({text_expr}), ' '), t -> t IN ({quoted})))"
+    )
 
 
 def language_scores(text: Column) -> dict[str, Column]:
@@ -77,9 +93,8 @@ def language_id_oracle_sql(table: str = "documents") -> str:
     implementation so the two stay in lockstep)."""
     score_exprs = []
     for lang in _LANG_ORDER:
-        pattern = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
         score_exprs.append(
-            f"len(regexp_extract_all(lower(text), '{pattern}')) AS score_{lang}"
+            f"{_stopword_count_sql(LANG_STOPWORDS[lang])} AS score_{lang}"
         )
     case_parts = []
     for lang in _LANG_ORDER:
@@ -172,7 +187,8 @@ QUALITY_ORACLE_SQL = rf"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS BIGINT) AS stop_hits,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is'))) AS BIGINT) AS stop_hits,
                CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
         FROM documents
     )

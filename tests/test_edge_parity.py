@@ -312,3 +312,33 @@ def test_chunk_documents_matches_pure_python_spec(spark):
         got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_chunk_tokens))
     for i, t in enumerate(texts):
         assert sorted(got[i]) == spec(t), (i, len(t.split(" ")))
+
+
+@pytest.mark.parametrize("fixture_name", ["edge_docs", "unicode_docs"])
+def test_round5_ops_match_oracle_on_edge_docs(request, fixture_name):
+    """The span/LM/mixing/pipeline operators must agree with their oracles on
+    short, empty, and multi-byte-UTF-8 documents too — every guard (empty
+    span range, <2-token LM docs, 1-token 'empty' split semantics, null span
+    ratio) has an engine-specific failure mode this pins down."""
+    from kda_flink_demo_spark.operators.llm import lm, pipeline, sampling
+
+    df, _sf, con = request.getfixturevalue(fixture_name)
+    compare_to_oracle(
+        dedup.duplicate_spans(df, span=10), con, dedup.duplicate_spans_oracle_sql(span=10)
+    )
+    compare_to_oracle(lm.bigram_lm_score(df), con, lm.bigram_lm_score_oracle_sql())
+    compare_to_oracle(text.length_buckets(df), con, text.length_buckets_oracle_sql())
+    compare_to_oracle(
+        sampling.temperature_resample(df, source_col="lang"),
+        con,
+        sampling.temperature_resample_oracle_sql(source_col="lang"),
+    )
+    compare_to_oracle(
+        sampling.domain_cap(df, cap=3), con, sampling.domain_cap_oracle_sql(cap=3)
+    )
+    compare_to_oracle(
+        sampling.token_budget_select(df, budget=30),
+        con,
+        sampling.token_budget_select_oracle_sql(budget=30),
+    )
+    compare_to_oracle(pipeline.filter_pipeline(df), con, pipeline.filter_pipeline_oracle_sql())
