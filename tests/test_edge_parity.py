@@ -342,3 +342,47 @@ def test_round5_ops_match_oracle_on_edge_docs(request, fixture_name):
         sampling.token_budget_select_oracle_sql(budget=30),
     )
     compare_to_oracle(pipeline.filter_pipeline(df), con, pipeline.filter_pipeline_oracle_sql())
+
+
+# Every oracle-backed registry query that reads ONLY the documents table: the
+# unicode fixture must produce engine-identical results for all of them, not
+# just the handful with dedicated edge tests — this sweep is what surfaced the
+# Java-vs-RE2 \b divergence in stopword counting.
+_DOCS_ONLY_ORACLE_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_apply_fuzzy",
+    "dedup_span_stats",
+    "contamination_check",
+    "pack_sequences",
+    "chunk_documents",
+    "corpus_shuffle_order",
+    "deterministic_sample",
+    "text_tfidf_top_terms",
+    "text_language_id",
+    "text_quality",
+    "text_token_stats",
+    "text_normalize",
+    "text_pii_redact",
+    "text_repetition",
+    "url_domain_stats",
+    "doc_fingerprint",
+    "length_buckets",
+    "temperature_resample",
+    "domain_cap",
+    "token_budget_select",
+    "corpus_filter_pipeline",
+    "lm_bigram_score",
+    "ingest_dedup",
+]
+
+
+@pytest.mark.parametrize("name", _DOCS_ONLY_ORACLE_QUERIES)
+def test_registry_documents_queries_match_oracle_on_unicode(spark, unicode_docs, name):
+    from kda_flink_demo_spark import registry
+
+    _df, sf_dir, con = unicode_docs
+    oracles = registry.oracle_sql()
+    compare_to_oracle(registry.queries()[name](spark, sf_dir), con, oracles[name])
