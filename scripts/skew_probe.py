@@ -59,8 +59,37 @@ def main() -> None:
         .agg(F.sum("_c").alias("cnt"), F.sum("_s").alias("sv"))
     )
     t_salted = bench(salted)
+
+    # per-key top-k under the same 90%-hot key: naive single window vs the
+    # two-phase local-prune ranking domain_cap uses (operators/llm/sampling.py)
+    from pyspark.sql import Window
+
+    docs = skewed.select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("k").cast("string").alias("source")
+    )
+    cap = 10
+    w_naive = Window.partitionBy("source").orderBy("doc_id")
+    naive_cap = (
+        docs.withColumn("r", F.row_number().over(w_naive)).filter(F.col("r") <= cap)
+    )
+    t_cap_naive = bench(naive_cap)
+
+    from kda_flink_demo_spark.operators.llm.sampling import domain_cap
+
+    t_cap_twophase = bench(domain_cap(docs, cap=cap))
+
     n = ev.count()
-    print(json.dumps({"rows": n, "naive_sec": t_naive, "salted_sec": t_salted}))
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "naive_sec": t_naive,
+                "salted_sec": t_salted,
+                "topk_naive_sec": t_cap_naive,
+                "topk_twophase_sec": t_cap_twophase,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
