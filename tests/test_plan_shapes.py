@@ -134,3 +134,43 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path_factory):
     plan = _plan(rd)
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
     assert rd.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_temperature_resample_corpus_side_is_broadcast_join(spark):
+    """The corpus must meet the per-source thresholds via a broadcast hash
+    join (map-side filter) — a shuffled corpus here would be a 100 TB
+    exchange for a handful of threshold rows."""
+    from kda_flink_demo_spark.operators.llm.sampling import temperature_resample
+
+    plan = _plan(temperature_resample(load_table(spark, SF_DIR, "documents"), source_col="lang"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the one non-broadcast exchange family belongs to the tiny threshold
+    # build side (per-source counts), never a join of the corpus
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_duplicate_spans_shuffles_hashed_longs_not_span_text(spark):
+    """The span occurrence count must window over xxhash64 longs — exchanging
+    span STRINGS would carry the corpus ~span times over the wire."""
+    from kda_flink_demo_spark.operators.llm.dedup import duplicate_spans
+
+    plan = _plan(duplicate_spans(load_table(spark, SF_DIR, "documents")))
+    assert "xxhash64" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ingest_dedup_is_anti_join_on_hash(spark):
+    from kda_flink_demo_spark.operators.llm.dedup import ingest_dedup_against_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(ingest_dedup_against_corpus(docs.limit(100), docs))
+    assert "LeftAnti" in plan, plan
+    assert "xxhash64" in plan, plan
+
+
+def test_lm_bigram_score_has_partial_final_counts_no_python(spark):
+    from kda_flink_demo_spark.operators.llm.lm import bigram_lm_score
+
+    plan = _plan(bigram_lm_score(load_table(spark, SF_DIR, "documents")))
+    assert plan.count("HashAggregate") >= 4, plan  # two count tables, partial+final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
