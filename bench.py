@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "token_budget_select",
     "ingest_dedup",
+    "shard_assignment",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",

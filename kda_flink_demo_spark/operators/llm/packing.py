@@ -114,3 +114,62 @@ def global_shuffle_order(
     return _global_prefix_sum(keyed, ["_hkey", id_col], "_one", out_col="shuffle_pos").select(
         F.col(id_col), F.col("shuffle_pos")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced output sharding: lay documents (in id order) on the
+    global token line and cut it into ``n_shards`` equal-token spans —
+    ``shard = (start · n) DIV total`` clamped to the last shard. The write-side
+    layout planner for training corpora: every shard carries the same token
+    mass to within one document, so no trainer reads a fat shard while others
+    starve.
+
+    Entirely integer arithmetic (BIGINT multiply + integer division — no float
+    path to drift between engines), on the same two-phase distributed prefix
+    sum as ``pack_sequences``; the corpus total is a one-row aggregate
+    broadcast back. Output: (id, n_tokens, shard).
+    """
+    toks = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens")
+    )
+    laid = _global_prefix_sum(toks, [id_col], "n_tokens")
+    total = toks.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    return (
+        laid.crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.least(
+                F.expr(f"CAST((_start * {int(n_shards)}) DIV _total AS BIGINT)"),
+                F.lit(int(n_shards) - 1).cast("long"),
+            ).alias("shard"),
+        )
+    )
+
+
+def assign_shards_oracle_sql(n_shards: int = 8, table: str = "documents") -> str:
+    """DuckDB twin: ordered window sum + integer division."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM {table}
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start,
+               CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(least((start * {int(n_shards)}) // total, {int(n_shards) - 1}) AS BIGINT)
+               AS shard
+    FROM s
+    """

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from kda_flink_demo_spark.io.sources import load_table
 from kda_flink_demo_spark.operators.llm import (
     dedup,
+    packing as packing_mod,
     embeddings,
     lm,
     multimodal,
@@ -573,3 +574,11 @@ def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incoming = docs.filter(F.col("doc_id") >= 400).unionByName(recrawl)
     return dedup.ingest_dedup_against_corpus(incoming, corpus).select("doc_id")
+
+
+@register("shard_assignment", packing_mod.assign_shards_oracle_sql(n_shards=8))
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding (write-side layout planning): the global
+    token line cut into 8 equal-token spans via the distributed prefix sum;
+    pure integer arithmetic, no float drift."""
+    return packing_mod.assign_shards(load_table(spark, sf_dir, "documents"), n_shards=8)

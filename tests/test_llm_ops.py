@@ -443,3 +443,64 @@ def test_bigram_lm_score_prefers_predictable_text(spark):
     # hash-join variant computes identical scores (collision-free here)
     hashed = {r.doc_id: r.avg_nll for r in lm.bigram_lm_score(df, join_on_hash=True).collect()}
     assert hashed == got
+
+
+def test_assign_shards_balanced_and_invariant(documents):
+    """Every shard's token mass is within one max-document of the ideal
+    total/n slice, and assignments don't depend on input partitioning."""
+    from kda_flink_demo_spark.operators.llm import packing
+
+    n = 8
+    out = packing.assign_shards(documents, n_shards=n).collect()
+    total = sum(r.n_tokens for r in out)
+    max_doc = max(r.n_tokens for r in out)
+    per_shard = {}
+    for r in out:
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + r.n_tokens
+    assert set(per_shard) == set(range(n))
+    for mass in per_shard.values():
+        assert mass <= total / n + max_doc
+    base = sorted((r.doc_id, r.shard) for r in out)
+    for parts in (1, 5):
+        got = sorted(
+            (r.doc_id, r.shard)
+            for r in packing.assign_shards(documents.repartition(parts), n_shards=n).collect()
+        )
+        assert got == base, parts
+
+
+def test_duplicate_spans_fuzz_vs_brute_force(spark):
+    """Seeded-random tiny corpora with a small vocabulary (forcing shared
+    spans): operator output must equal the python brute force every time."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        span = rng.choice([2, 3, 5])
+        docs = {
+            i: " ".join(rng.choice("abcdef") for _ in range(rng.randint(0, 12)))
+            for i in range(12)
+        }
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_ratio)
+            for r in dedup.duplicate_spans(df, span=span).collect()
+        }
+        spans = {
+            i: {
+                " ".join(t.split(" ")[j : j + span])
+                for j in range(len(t.split(" ")) - span + 1)
+            }
+            for i, t in docs.items()
+        }
+        import math
+
+        cnt = Counter(s for ss in spans.values() for s in ss)
+        exp = {}
+        for i, ss in spans.items():
+            if not ss:
+                continue
+            dup = sum(1 for s in ss if cnt[s] >= 2)
+            exp[i] = (len(ss), dup, math.floor(dup / len(ss) * 10000 + 0.5) / 10000)
+        assert got == exp, (trial, span)
