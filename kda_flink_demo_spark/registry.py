@@ -103,6 +103,7 @@ _DRIVER_PRIORITY: list[str] = [
     "domain_cap",
     "token_budget_select",
     "ingest_dedup",
+    "shard_assignment",
 ]
 
 _DRIVER_WINDOW = 50

@@ -126,6 +126,13 @@ def main() -> None:
     bench("lm_bigram_score", _lm.bigram_lm_score(docs, join_on_hash=True))
     bench("domain_cap", _sampling.domain_cap(docs, cap=10))
     bench("token_budget_select", _sampling.token_budget_select(docs, budget=1 << 20))
+    bench(
+        "ingest_dedup",
+        _dedup.ingest_dedup_against_corpus(
+            docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+        ),
+    )
+    bench("shard_assignment", _packing.assign_shards(docs, n_shards=64))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

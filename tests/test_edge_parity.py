@@ -376,6 +376,7 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "corpus_filter_pipeline",
     "lm_bigram_score",
     "ingest_dedup",
+    "shard_assignment",
 ]
 
 
@@ -384,5 +385,17 @@ def test_registry_documents_queries_match_oracle_on_unicode(spark, unicode_docs,
     from kda_flink_demo_spark import registry
 
     _df, sf_dir, con = unicode_docs
+    oracles = registry.oracle_sql()
+    compare_to_oracle(registry.queries()[name](spark, sf_dir), con, oracles[name])
+
+
+@pytest.mark.parametrize("name", _DOCS_ONLY_ORACLE_QUERIES)
+def test_registry_documents_queries_match_oracle_on_short_docs(spark, edge_docs, name):
+    """Same sweep on the short/empty-doc fixture: empty strings, 1-2 token
+    docs, and a planted near-dup pair — every guard for sub-n-gram docs and
+    zero-token division must agree across engines."""
+    from kda_flink_demo_spark import registry
+
+    _df, sf_dir, con = edge_docs
     oracles = registry.oracle_sql()
     compare_to_oracle(registry.queries()[name](spark, sf_dir), con, oracles[name])
