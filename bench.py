@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "similarity_ann_lsh",
     "similarity_ivf_topk",
     "dedup_embedding_cosine",
+    "embedding_kmeans",
+    "semantic_dedup",
     "text_tfidf_top_terms",
     "text_language_id",
     "text_quality",

@@ -67,11 +67,10 @@ _DRIVER_PRIORITY: list[str] = [
     "distinct_users_per_type",
     "rollup_nation_region",
     "revenue_by_region",
-    "customers_without_orders",
-    "customers_with_orders",
     "top_customers",
-    "nation_set_ops",
     "rank_parts_in_brand",
+    # (customers_with/without_orders + nation_set_ops, green r01–r04, unpinned
+    # to the rotating tail — keeps ≥10 rotation slots as the registry grows)
     # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
     # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
     # pool since the driver's check adds nothing beyond rows-present for them)
@@ -104,6 +103,8 @@ _DRIVER_PRIORITY: list[str] = [
     "token_budget_select",
     "ingest_dedup",
     "shard_assignment",
+    "embedding_kmeans",
+    "semantic_dedup",
 ]
 
 _DRIVER_WINDOW = 50

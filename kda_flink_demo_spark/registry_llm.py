@@ -12,6 +12,7 @@ from kda_flink_demo_spark.operators.llm import (
     dedup,
     packing as packing_mod,
     embeddings,
+    kmeans,
     lm,
     multimodal,
     pipeline,
@@ -574,6 +575,30 @@ def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incoming = docs.filter(F.col("doc_id") >= 400).unionByName(recrawl)
     return dedup.ingest_dedup_against_corpus(incoming, corpus).select("doc_id")
+
+
+@register("embedding_kmeans", kmeans.kmeans_oracle_sql(k=10, iters=3))
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=10, 3 assignment rounds) over the
+    embeddings table: deterministic md5-ordered seeding, broadcast-centroid
+    assignment on rounded dot-product distances, posexplode+avg centroid
+    update. Iterative-algorithm category alongside connected components — the
+    oracle unrolls the same three rounds as DuckDB CTEs."""
+    return kmeans.kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=10, iters=3)
+
+
+@register(
+    "semantic_dedup",
+    kmeans.semantic_dedup_oracle_sql(k=10, iters=3, threshold=0.35),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs: k-means clusters as the
+    blocking key (no label needed — the unsupervised twin of
+    dedup_embedding_cosine), exact chunked-BLAS cosine within clusters at the
+    det_round(6)-ed threshold."""
+    return kmeans.semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), k=10, iters=3, threshold=0.35
+    )
 
 
 @register("shard_assignment", packing_mod.assign_shards_oracle_sql(n_shards=8))

@@ -504,3 +504,70 @@ def test_duplicate_spans_fuzz_vs_brute_force(spark):
             dup = sum(1 for s in ss if cnt[s] >= 2)
             exp[i] = (len(ss), dup, math.floor(dup / len(ss) * 10000 + 0.5) / 10000)
         assert got == exp, (trial, span)
+
+
+def test_kmeans_objective_nonincreasing_and_partition_invariant(embeddings):
+    """Lloyd's guarantee: the mean squared distance to the assigned centroid
+    is non-increasing in the number of assignment rounds (the synthetic
+    embeddings have no recoverable label structure — supervised
+    label-centroid assignment only reaches ~0.41 purity — so the objective,
+    not purity, is the testable property). Assignments must also be invariant
+    to input partitioning: seeding is a global hash top-k and the argmin is
+    per-row map-side."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm import kmeans
+
+    means = [
+        kmeans.kmeans_assign(embeddings, k=10, iters=i)
+        .agg(F.avg("dist2"))
+        .collect()[0][0]
+        for i in (1, 2, 3)
+    ]
+    assert means[0] >= means[1] >= means[2]
+    assert means[0] > means[2]  # three rounds actually move the centroids
+
+    a = {
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans.kmeans_assign(embeddings.repartition(1), k=10, iters=3).collect()
+    }
+    b = {
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans.kmeans_assign(embeddings.repartition(13), k=10, iters=3).collect()
+    }
+    assert a == b
+
+
+def test_kmeans_empty_input_and_k_exceeding_n(spark):
+    """Zero-row corpora must plan to empty results; with k > n every row seeds
+    its own cluster and sits at distance 0 from it."""
+    from kda_flink_demo_spark.operators.llm import kmeans
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans.kmeans_assign(empty).count() == 0
+    assert kmeans.semantic_dedup_pairs(empty).count() == 0
+
+    three = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    out = kmeans.kmeans_assign(three, k=10, iters=2).collect()
+    assert len(out) == 3
+    assert all(r.dist2 == 0.0 for r in out)
+    assert len({r.cluster for r in out}) == 3
+
+
+def test_semantic_dedup_pairs_within_clusters_only(embeddings):
+    """Every emitted pair must share a k-means cluster (blocking soundness)
+    and carry a cosine at/above the threshold."""
+    from kda_flink_demo_spark.operators.llm import kmeans
+
+    asg = {
+        r.vec_id: r.cluster
+        for r in kmeans.kmeans_assign(embeddings, k=10, iters=3).collect()
+    }
+    pairs = kmeans.semantic_dedup_pairs(embeddings, k=10, iters=3, threshold=0.35).collect()
+    assert pairs, "fixture should contain within-cluster near-dups"
+    for r in pairs:
+        assert asg[r.vec_a] == asg[r.vec_b]
+        assert r.cosine >= 0.35
+        assert r.vec_a < r.vec_b

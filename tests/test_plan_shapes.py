@@ -174,3 +174,22 @@ def test_lm_bigram_score_has_partial_final_counts_no_python(spark):
     plan = _plan(bigram_lm_score(load_table(spark, SF_DIR, "documents")))
     assert plan.count("HashAggregate") >= 4, plan  # two count tables, partial+final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    """Every assignment round must be map-side: each corpus FileScan feeds the
+    broadcast cross join directly (no Exchange between scan and join), seeding
+    is TakeOrdered, and the only exchanges carry centroid-sized data
+    ((cluster,pos) cells, cluster lists, the single collected struct row)."""
+    from kda_flink_demo_spark.operators.llm import kmeans
+
+    plan = _plan(kmeans.kmeans_assign(load_table(spark, SF_DIR, "embeddings"), k=10, iters=3))
+    assert "TakeOrderedAndProject(limit=10" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # one per round
+    assert "SortMergeJoin" not in plan and "BatchEvalPython" not in plan
+    # no corpus-wide exchange: every Exchange is hash(cluster[,pos]) or the
+    # SinglePartition fold of k structs — never partitioning on vec_id or a
+    # RoundRobin/range repartition of the scan
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "hashpartitioning(cluster" in line or "SinglePartition" in line, line
