@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "token_budget_select",
     "ingest_dedup",
     "shard_assignment",
+    "dedup_keep_best",
+    "dataset_split",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",

@@ -53,6 +53,33 @@ def exact_dedup_keep_first(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    group_on_hash: bool = True,
+) -> DataFrame:
+    """Exact dedup keeping the HIGHEST-QUALITY member of each duplicate group
+    (ties break to the smallest id) — real pipelines keep the best rendering
+    of a re-crawled page, not the first-seen one. Returns
+    ``(id, quality, dup_count)`` for the surviving member.
+
+    Same scale shape as ``exact_dedup_keep_first``: one shuffle on the 8-byte
+    ``xxhash64(text)`` key (never the text itself), ranking and group count in
+    the same window pass."""
+    from pyspark.sql import Window
+
+    key = F.xxhash64(F.col(text_col)) if group_on_hash else F.col(text_col)
+    w = Window.partitionBy(key).orderBy(F.col(quality_col).desc(), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, quality_col, "dup_count")
+    )
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (pure built-ins).
 

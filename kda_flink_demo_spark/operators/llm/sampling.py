@@ -86,6 +86,61 @@ def temperature_resample_oracle_sql(
     """
 
 
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 8 hex digits of
+    ``md5(seed:id)`` give a uniform 32-bit integer; split boundaries are exact
+    integer thresholds at the cumulative weights (computed in Python — no
+    float division can disagree between engines). Map-only: no shuffle, no
+    state, reproducible at any parallelism — the property that matters when
+    the split must stay stable across recomputations of a 100 TB corpus."""
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError("weights and names must align, with >= 2 buckets")
+    total = sum(weights)
+    bounds = []
+    acc = 0
+    for wgt in weights[:-1]:
+        acc += wgt
+        bounds.append(_HASH_SPACE * acc // total)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    expr = F.lit(names[-1])
+    for b, name in zip(reversed(bounds), reversed(names[:-1])):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def dataset_split_oracle_sql(
+    weights: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split",
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    total = sum(weights)
+    bounds = []
+    acc = 0
+    for wgt in weights[:-1]:
+        acc += wgt
+        bounds.append(_HASH_SPACE * acc // total)
+    u = (
+        f"CAST(concat('0x', substring(md5(concat('{seed}:', CAST({id_col} AS VARCHAR))), 1, 8)) "
+        "AS BIGINT)"
+    )
+    case = "CASE " + " ".join(
+        f"WHEN {u} < {b} THEN '{n}'" for b, n in zip(bounds, names[:-1])
+    ) + f" ELSE '{names[-1]}' END"
+    return f"SELECT {id_col}, {case} AS split FROM {table}"
+
+
 def domain_cap(
     df: DataFrame,
     source_col: str = "source",

@@ -69,13 +69,13 @@ _DRIVER_PRIORITY: list[str] = [
     "revenue_by_region",
     "top_customers",
     "rank_parts_in_brand",
-    # (customers_with/without_orders + nation_set_ops, green r01–r04, unpinned
+    # (customers_with/without_orders, nation_set_ops, ngram_jaccard, tfidf,
+    # doc_fingerprint, embedding_quantize — all green r03–r04 — unpinned
     # to the rotating tail — keeps ≥10 rotation slots as the registry grows)
     # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
     # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
     # pool since the driver's check adds nothing beyond rows-present for them)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_apply_fuzzy",
@@ -85,11 +85,8 @@ _DRIVER_PRIORITY: list[str] = [
     "pack_sequences",
     "chunk_documents",
     "corpus_shuffle_order",
-    "text_tfidf_top_terms",
     "text_language_id",
     "text_repetition",
-    "doc_fingerprint",
-    "embedding_quantize",
     # round-5 additions: pinned for first driver exposure; the text/multimodal
     # rows they displaced (quality/token_stats/normalize/pii/url_domain/
     # multimodal_*) were green in CORRECTNESS_r04, stay covered by
@@ -105,6 +102,8 @@ _DRIVER_PRIORITY: list[str] = [
     "shard_assignment",
     "embedding_kmeans",
     "semantic_dedup",
+    "dedup_keep_best",
+    "dataset_split",
 ]
 
 _DRIVER_WINDOW = 50

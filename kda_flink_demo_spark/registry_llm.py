@@ -577,6 +577,33 @@ def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ingest_dedup_against_corpus(incoming, corpus).select("doc_id")
 
 
+@register(
+    "dedup_keep_best",
+    """
+    SELECT doc_id, n_chars, dup_count FROM (
+        SELECT doc_id, n_chars,
+               count(*) OVER (PARTITION BY text) AS dup_count,
+               row_number() OVER (PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping each duplicate group's highest-quality member
+    (longest text, ties to smallest id) — the keep-best variant of
+    dedup_exact; one 8-byte xxhash64 shuffle, rank + group count in one
+    window pass."""
+    return dedup.exact_dedup_keep_best(load_table(spark, sf_dir, "documents"))
+
+
+@register("dataset_split", sampling.dataset_split_oracle_sql())
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment via integer md5
+    thresholds — map-only, reproducible at any parallelism and across
+    recomputations of the corpus."""
+    return sampling.dataset_split(load_table(spark, sf_dir, "documents"))
+
+
 @register("embedding_kmeans", kmeans.kmeans_oracle_sql(k=10, iters=3))
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (k=10, 3 assignment rounds) over the

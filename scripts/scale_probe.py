@@ -133,6 +133,12 @@ def main() -> None:
         ),
     )
     bench("shard_assignment", _packing.assign_shards(docs, n_shards=64))
+    from kda_flink_demo_spark.operators.llm import kmeans as _kmeans
+
+    bench("embedding_kmeans", _kmeans.kmeans_assign(emb, k=10, iters=3))
+    bench("semantic_dedup", _kmeans.semantic_dedup_pairs(emb, k=10, iters=3))
+    bench("dedup_keep_best", _dedup.exact_dedup_keep_best(docs))
+    bench("dataset_split", _sampling.dataset_split(docs))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

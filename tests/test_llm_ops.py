@@ -571,3 +571,56 @@ def test_semantic_dedup_pairs_within_clusters_only(embeddings):
         assert asg[r.vec_a] == asg[r.vec_b]
         assert r.cosine >= 0.35
         assert r.vec_a < r.vec_b
+
+
+def test_dataset_split_deterministic_proportioned_partition_invariant(documents):
+    """The split must be a total assignment, roughly proportioned to the
+    weights, identical across partitioning, and stable doc-by-doc (train/val/
+    test membership must not move when the corpus is recomputed)."""
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    a = {r.doc_id: r.split for r in sampling.dataset_split(documents).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sampling.dataset_split(documents.repartition(13)).collect()
+    }
+    assert a == b
+    assert len(a) == documents.count()
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.8 * n <= c["train"] <= 0.97 * n  # 90% ± sampling noise at n=500
+    # custom weights route through the same integer-threshold path
+    d = {
+        r.doc_id: r.split
+        for r in sampling.dataset_split(documents, weights=(1, 1), names=("a", "b")).collect()
+    }
+    cd = Counter(d.values())
+    assert abs(cd["a"] - cd["b"]) < 0.2 * n
+
+
+def test_dedup_keep_best_keeps_longest_member(spark):
+    from kda_flink_demo_spark.operators.llm import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 10),
+            (2, "same text", 30),  # longest duplicate -> survives
+            (3, "same text", 30),  # tie -> loses to smaller id 2
+            (4, "unique", 7),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.dup_count)
+        for r in dedup.exact_dedup_keep_best(df).collect()
+    }
+    assert got == {2: (30, 3), 4: (7, 1)}
+    # hash-grouped and text-grouped paths agree
+    got_text = {
+        r.doc_id: (r.n_chars, r.dup_count)
+        for r in dedup.exact_dedup_keep_best(df, group_on_hash=False).collect()
+    }
+    assert got_text == got
