@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "approx_distinct_users",
     "value_histogram",
     "merge_changes_cdc",
+    "events_interval_dedup",
     "dataset_profile",
     # function-surface packs (narrow projections — regression canaries)
     "string_function_pack",

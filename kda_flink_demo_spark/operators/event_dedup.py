@@ -1,0 +1,132 @@
+"""Time-bounded event deduplication (recrawl/retry suppression).
+
+Event streams carry re-deliveries: the same logical event (same key) arrives
+again seconds or minutes later — retries, producer re-sends, re-crawls. The
+operator keeps an arrival iff no KEPT arrival of the same key exists within
+the preceding interval (the greedy anchor chain: the first arrival is kept
+and becomes the anchor; arrivals at ``ts <= anchor + interval`` are dropped;
+the next arrival beyond the interval is kept and becomes the new anchor).
+
+This is the BATCH twin of Structured Streaming's
+``dropDuplicatesWithinWatermark`` (whose contract is: duplicates within the
+delay are guaranteed dropped, duplicates beyond it may or may not be —
+state eviction is watermark-timed). The batch operator pins the exact greedy
+semantics so replays are reproducible; the streaming test asserts the
+containment invariants between the two
+(tests/test_streaming.py::test_drop_duplicates_within_watermark_invariants).
+
+Scale notes: one shuffle on the key columns (groupBy → per-key sorted
+``(ts, id)`` arrays); the sequential chain walk runs as ONE Arrow-batched
+pandas UDF over the key rows — thousands of keys per UDF invocation on
+integer microseconds, not one ``applyInPandas`` call per group (the
+per-group-call variant spent ~95% of its time in invocation overhead:
+21.9 s → 0.9 s at sf0.1 for the same values). Kept rows are re-expanded
+JVM-side (array filter + explode). Like the batch W5 sliding window, a
+pathologically hot key's history must fit one task's array; event dedup keys
+(user × type, document hash) are naturally fine-grained.
+
+Reference parity: none (the reference has no dedup operator); this extends
+the ingest-hygiene surface next to ``llm/dedup.py: ingest_dedup``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    interval_sec: int = 300,
+) -> DataFrame:
+    """Greedy anchor-chain dedup: keep an event iff its ``ts`` is strictly
+    more than ``interval_sec`` past the previously KEPT event of the same
+    key (ties within a key ordered by ``(ts, id)``). Returns the kept rows
+    as ``(id, *key_cols, ts)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    delta_us = int(interval_sec) * 1_000_000
+
+    @pandas_udf("array<long>")
+    def _kept_ids(ts_arrs: pd.Series, id_arrs: pd.Series) -> pd.Series:
+        out = []
+        for ts, ids in zip(ts_arrs, id_arrs):
+            kept = []
+            anchor = None
+            for t, i in zip(ts, ids):
+                if anchor is None or t > anchor + delta_us:
+                    kept.append(int(i))
+                    anchor = t
+            out.append(kept)
+        return pd.Series(out)
+
+    # per key: arrivals sorted by (ts, id) as two aligned integer arrays —
+    # exact microsecond arithmetic, identical to the oracle's INTERVAL compare
+    grouped = (
+        df.groupBy(*[F.col(k) for k in key_cols])
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("t"),
+                        F.col(id_col).cast("long").alias("i"),
+                    )
+                )
+            ).alias("_arr")
+        )
+        .withColumn("_kept", _kept_ids(
+            F.transform("_arr", lambda s: s["t"]),
+            F.transform("_arr", lambda s: s["i"]),
+        ))
+    )
+    return (
+        grouped.select(
+            *key_cols,
+            F.explode(
+                F.filter("_arr", lambda s: F.array_contains(F.col("_kept"), s["i"]))
+            ).alias("_e"),
+        )
+        .select(
+            F.col("_e.i").alias(id_col),
+            *key_cols,
+            F.timestamp_micros(F.col("_e.t")).alias(ts_col),
+        )
+    )
+
+
+def interval_dedup_oracle_sql(
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    interval_sec: int = 300,
+    table: str = "events",
+) -> str:
+    """DuckDB twin: the greedy chain as a recursive CTE — each recursion step
+    advances every key's anchor to its next arrival strictly beyond the
+    interval (LATERAL min-rn probe)."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"e.{k} = k.{k}" for k in key_cols)
+    return f"""
+    WITH RECURSIVE ev AS (
+        SELECT {keys}, {id_col}, {ts_col},
+               row_number() OVER (PARTITION BY {keys} ORDER BY {ts_col}, {id_col}) AS rn
+        FROM {table}
+    ),
+    keep AS (
+        SELECT {keys}, {id_col}, {ts_col}, rn FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT n.* FROM keep k
+        JOIN LATERAL (
+            SELECT {keys}, {id_col}, {ts_col}, rn FROM ev e
+            WHERE {on}
+              AND e.{ts_col} > k.{ts_col} + INTERVAL {interval_sec} SECOND
+              AND e.rn > k.rn
+            ORDER BY e.rn LIMIT 1
+        ) n ON true
+    )
+    SELECT {id_col}, {keys}, {ts_col} FROM keep
+    """

@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup",
     "dedup_keep_best",
     "dataset_split",
+    "events_interval_dedup",
 ]
 
 _DRIVER_WINDOW = 50

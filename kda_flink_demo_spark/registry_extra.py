@@ -1180,3 +1180,23 @@ def q_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=["event_id", "user_id", "value"],
         string_cols=["event_type", "props"],
     )
+
+
+@register(
+    "events_interval_dedup",
+    __import__(
+        "kda_flink_demo_spark.operators.event_dedup", fromlist=["interval_dedup_oracle_sql"]
+    ).interval_dedup_oracle_sql(interval_sec=86400),
+)
+def q_events_interval_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded event dedup (retry/re-delivery suppression): per
+    (user_id, event_type), keep an arrival iff it is strictly more than one
+    day past the previously KEPT arrival (the fixture's per-key cadence makes
+    a day the interesting horizon: ~31% of arrivals are suppressed) — the greedy anchor chain, the
+    batch twin of streaming dropDuplicatesWithinWatermark. One shuffle on the
+    key; the per-key chain walks sequentially inside one Arrow task; the
+    oracle advances every key's anchor per recursion step (recursive CTE +
+    LATERAL)."""
+    from kda_flink_demo_spark.operators.event_dedup import interval_dedup
+
+    return interval_dedup(load_table(spark, sf_dir, "events"), interval_sec=86400)

@@ -45,7 +45,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    ev = replicate(load_table(spark, SF_DIR, "events"), replicas, ["event_id"]).select(
+    # user_id also shifted so the interval-dedup key space scales with the data
+    ev_raw = replicate(
+        load_table(spark, SF_DIR, "events"), replicas, ["event_id", "user_id"]
+    )
+    ev = ev_raw.select(
         "event_id", F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
     )
     li = replicate(load_table(spark, SF_DIR, "lineitem"), replicas, ["l_orderkey"])
@@ -139,6 +143,9 @@ def main() -> None:
     bench("semantic_dedup", _kmeans.semantic_dedup_pairs(emb, k=10, iters=3))
     bench("dedup_keep_best", _dedup.exact_dedup_keep_best(docs))
     bench("dataset_split", _sampling.dataset_split(docs))
+    from kda_flink_demo_spark.operators.event_dedup import interval_dedup as _idedup
+
+    bench("events_interval_dedup", _idedup(ev_raw, interval_sec=86400))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

@@ -624,3 +624,126 @@ def test_dedup_keep_best_keeps_longest_member(spark):
         for r in dedup.exact_dedup_keep_best(df, group_on_hash=False).collect()
     }
     assert got_text == got
+
+
+def test_kmeans_fuzz_vs_python_reference(spark):
+    """Seeded-random tiny corpora vs a pure-Python reference implementing the
+    documented spec exactly (md5-ordered seeding, left-fold dot products,
+    det_round(6) distances with ties to the smallest cluster, det_round(6)
+    centroid means). Catches tie-break / fold-order / seeding drift the
+    structural DuckDB oracle shares with the Spark side by construction.
+    Values are multiples of 1/64 so parallel-sum reassociation cannot sit on
+    a rounding boundary."""
+    import hashlib
+    import math
+    import random
+
+    from kda_flink_demo_spark.operators.llm import kmeans
+
+    def rnd6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def ref_kmeans(vecs, k, iters):
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        seeds = sorted(vecs, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))[:k]
+        cent = {c: list(v) for c, (_i, v) in enumerate(seeds)}
+        asg = {}
+        for it in range(iters):
+            cn2 = {c: dot(v, v) for c, v in cent.items()}
+            asg = {}
+            for i, v in vecs:
+                vn2 = dot(v, v)
+                best = min(
+                    (rnd6(vn2 + cn2[c] - 2.0 * dot(v, cent[c])), c) for c in cent
+                )
+                asg[i] = best[1]
+            if it < iters - 1:
+                dim = len(vecs[0][1])
+                new = {}
+                for c in set(asg.values()):
+                    members = [v for i, v in vecs if asg[i] == c]
+                    new[c] = [
+                        rnd6(sum(m[p] for m in members) / len(members))
+                        for p in range(dim)
+                    ]
+                cent = new
+        return asg
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n, dim, k, iters = rng.choice([(20, 4, 3, 2), (30, 3, 5, 3), (12, 6, 4, 2)])
+        vecs = [
+            (i, [rng.randrange(-64, 65) / 64.0 for _ in range(dim)]) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs], "vec_id long, embedding array<float>"
+        )
+        # float32 storage: the reference must see the same float64 values the
+        # engine casts to — multiples of 1/64 are exact in float32
+        got = {
+            r.vec_id: r.cluster
+            for r in kmeans.kmeans_assign(df, k=k, iters=iters).collect()
+        }
+        want = ref_kmeans(vecs, k, iters)
+        assert got == want, (trial, n, dim, k, iters)
+
+
+def test_interval_dedup_matches_brute_force_and_partitioning(spark):
+    """Dense synthetic arrivals: the greedy anchor chain must equal a python
+    walk exactly (boundary case ts == anchor + interval is a DROP; strictly
+    beyond is a KEEP), for every partitioning of the input."""
+    import datetime as dt
+
+    from kda_flink_demo_spark.operators.event_dedup import interval_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # key A: arrivals at 0,100,200,300,301,601,901 sec -> keep 0,301,901 @ gap 300
+    for i, s in enumerate([0, 100, 200, 300, 301, 601, 901]):
+        rows.append((i, 1, "A", base + dt.timedelta(seconds=s)))
+    # key B: tie on ts -> smaller id anchors, other dropped
+    rows.append((100, 1, "B", base))
+    rows.append((99, 1, "B", base))
+    rows.append((101, 1, "B", base + dt.timedelta(seconds=300)))  # == anchor+300: drop
+    rows.append((102, 1, "B", base + dt.timedelta(seconds=300, microseconds=1)))  # keep
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+    def brute(rows, gap=300.0):
+        from collections import defaultdict
+
+        bykey = defaultdict(list)
+        for eid, uid, et, ts in rows:
+            bykey[(uid, et)].append((ts, eid))
+        kept = set()
+        for arr in bykey.values():
+            anchor = None
+            for ts, eid in sorted(arr):
+                if anchor is None or (ts - anchor).total_seconds() > gap:
+                    kept.add(eid)
+                    anchor = ts
+        return kept
+
+    want = brute(rows)
+    assert want == {0, 4, 6, 99, 102}  # sanity of the spec itself
+    for parts in (1, 7):
+        got = {
+            r.event_id
+            for r in interval_dedup(df.repartition(parts), interval_sec=300).collect()
+        }
+        assert got == want, parts
+
+
+def test_interval_dedup_empty_and_single(spark):
+    from kda_flink_demo_spark.operators.event_dedup import interval_dedup
+
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    assert interval_dedup(empty).count() == 0

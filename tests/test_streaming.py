@@ -1050,3 +1050,91 @@ def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
     assert got == expected
     # every planted re-crawl was dropped
     assert not any(i >= 10000 for i in got)
+
+
+
+
+def test_drop_duplicates_within_watermark_invariants(spark, tmp_path):
+    """Streaming twin of operators/event_dedup.interval_dedup: replay dense
+    per-key arrivals through ``dropDuplicatesWithinWatermark`` (the watermark
+    delay is the dedup horizon) and assert the contract that survives
+    arbitrary within-batch processing order:
+    (1) no two kept arrivals of a key are within the delay of each other —
+        every kept arrival resets the key's expiry to ts+delay and a later
+        keep must exceed it, so kept timestamps form a chain with gaps > delay;
+    (2) every key keeps at least one arrival;
+    (3) per key, the stream keeps AT MOST as many as the batch greedy chain —
+        earliest-anchor greedy is the maximal such chain, any processing
+        order yields a subchain-sized set."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.event_dedup import interval_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        for et in ("click", "view"):
+            for s in (0, 60, 120, 301, 302, 500, 700, 1000, 1302, 1400):
+                rows.append((eid, uid, et, base + dt.timedelta(seconds=s + eid % 3)))
+                eid += 1
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    # ordered replay: one file per 300 s event-time slice, one batch per file
+    files_dir = tmp_path / "flat"
+    files_dir.mkdir()
+    for i, lo in enumerate(range(0, 1500, 300)):
+        sl = df.filter(
+            (F.col("ts") >= base + dt.timedelta(seconds=lo))
+            & (F.col("ts") < base + dt.timedelta(seconds=lo + 300))
+        )
+        d = tmp_path / f"s{i:02d}"
+        sl.coalesce(1).write.mode("overwrite").parquet(str(d))
+        for j, f in enumerate(sorted(glob.glob(str(d / "*.parquet")))):
+            shutil.copy(f, files_dir / f"f{i:02d}_{j}.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(files_dir))
+        .withWatermark("ts", "300 seconds")  # the watermark delay IS the horizon
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    got = []
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wmdedup"))
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert got, "stream must emit something"
+
+    by_key = {}
+    for r in got:
+        by_key.setdefault((r.user_id, r.event_type), []).append(r.ts)
+    greedy = {}
+    for r in interval_dedup(df, interval_sec=300).collect():
+        greedy.setdefault((r.user_id, r.event_type), []).append(r.ts)
+
+    assert set(by_key) == set(greedy)  # (2): all 4 keys represented
+    for key, tss in by_key.items():
+        tss.sort()
+        for a, b in zip(tss, tss[1:]):  # (1): chain gaps strictly > delay
+            assert (b - a).total_seconds() > 300, (key, a, b)
+        assert len(tss) <= len(greedy[key])  # (3): greedy is maximal
