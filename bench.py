@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_audio_decode",
+    "multimodal_resize",
     "multimodal_frame_sample",
 ]
 

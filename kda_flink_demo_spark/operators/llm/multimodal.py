@@ -264,3 +264,115 @@ FRAME_ORACLE_SQL = """
            floor(ord(text[(CAST(frame_idx AS INTEGER) % length(text)) + 1]) / 255.0 * 10000.0 + 0.5) / 10000.0 AS frame_score
     FROM f
 """
+
+
+RESIZE_ORACLE_SQL = """
+    WITH p AS (
+        SELECT doc_id, encode(text) AS payload,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    ), g AS (
+        SELECT doc_id, payload, n,
+               CAST(32 + n % 224 AS INTEGER) AS in_w,
+               CAST(32 + (n * 7) % 224 AS INTEGER) AS in_h
+        FROM p
+    ), r AS (
+        SELECT doc_id, payload, in_w, in_h,
+               least(n, (n * 64 * 64) // (in_w * in_h)) AS keep_n
+        FROM g
+    )
+    SELECT doc_id, in_w, in_h,
+           CAST(64 AS INTEGER) AS out_w, CAST(64 AS INTEGER) AS out_h,
+           CAST(keep_n AS BIGINT) AS n_bytes_out,
+           md5(lower(substring(hex(payload), 1, CAST(keep_n * 2 AS BIGINT)))) AS out_md5
+    FROM r
+"""
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, in_w int, in_h int, out_w int, out_h int, n_bytes_out long, out_md5 string"
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 64, target_h: int = 64, real_decode: bool = False
+) -> DataFrame:
+    """Resize stage: (doc_id, payload) → target-geometry payload summary.
+
+    STUB (no PIL in this container): fake geometry derives from byte stats
+    (``in_w = 32 + n % 224``, ``in_h = 32 + 7n % 224`` — pure integer byte
+    math, all-JVM) and the "resized" payload is the byte-proportional prefix
+    ``keep_n = min(n, n·tw·th div (in_w·in_h))`` — integer division on both
+    engines, so no float boundary can disagree. The output carries
+    ``md5(prefix)`` instead of raw bytes (verifiable without hashing binary
+    columns in the comparator). With ``real_decode`` and PIL this is
+    ``Image.open → resize((tw,th)) → PNG bytes → md5`` via the same
+    mapInPandas shape as the decode stage.
+
+    Scale notes: the stub is a narrow all-JVM projection (no Python at all —
+    resize planning/bookkeeping costs scan speed); the real path decodes
+    partition-local Arrow batches exactly like ``decode_image_features``."""
+    if real_decode and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL, which is not installed in this "
+            "container; run with real_decode=False for the deterministic stub"
+        )
+    if real_decode:
+
+        def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import hashlib
+            import io as _io
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                in_w, in_h, nout, md5s = [], [], [], []
+                for b in pdf["payload"]:
+                    img = Image.open(_io.BytesIO(bytes(b)))
+                    in_w.append(img.width)
+                    in_h.append(img.height)
+                    buf = _io.BytesIO()
+                    img.resize((target_w, target_h)).save(buf, format="PNG")
+                    out = buf.getvalue()
+                    nout.append(len(out))
+                    # same checksum form as the stub: md5 of the lowercase hex
+                    md5s.append(hashlib.md5(out.hex().encode()).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "in_w": pd.Series(in_w, dtype="int32"),
+                        "in_h": pd.Series(in_h, dtype="int32"),
+                        "out_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                        "out_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                        "n_bytes_out": pd.Series(nout, dtype="int64"),
+                        "out_md5": md5s,
+                    }
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_resize, RESIZE_SCHEMA)
+
+    n = F.octet_length("payload").cast("long")
+    out = (
+        df.select("doc_id", "payload")
+        .withColumn("_n", n)
+        .withColumn("in_w", (F.lit(32) + F.col("_n") % 224).cast("int"))
+        .withColumn("in_h", (F.lit(32) + (F.col("_n") * 7) % 224).cast("int"))
+        .withColumn(
+            "_keep",
+            F.least(
+                F.col("_n"),
+                F.expr(f"(_n * {target_w} * {target_h}) div (in_w * in_h)"),
+            ),
+        )
+        .withColumn("_resized", F.expr("substring(payload, 1, int(_keep))"))
+    )
+    return out.select(
+        "doc_id",
+        "in_w",
+        "in_h",
+        F.lit(target_w).cast("int").alias("out_w"),
+        F.lit(target_h).cast("int").alias("out_h"),
+        F.col("_keep").cast("long").alias("n_bytes_out"),
+        F.md5(F.lower(F.hex("_resized"))).alias("out_md5"),
+    )

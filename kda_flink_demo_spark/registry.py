@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_keep_best",
     "dataset_split",
     "events_interval_dedup",
+    "multimodal_resize",
 ]
 
 _DRIVER_WINDOW = 50

@@ -271,6 +271,18 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_features(docs)
 
 
+@register("multimodal_resize", multimodal.RESIZE_ORACLE_SQL)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage on the opaque payload column: stub geometry is pure
+    integer byte math (all-JVM narrow projection — no Python in the stub
+    path), "resized" bytes are the integer-proportional prefix, output
+    carries md5(prefix) so the result is verifiable without binary-column
+    hashing; real PIL resize behind real_decode=True (same mapInPandas shape
+    as decode)."""
+    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(docs)
+
+
 @register("multimodal_frame_sample", multimodal.FRAME_ORACLE_SQL)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding mapInPandas frame sampling over binary payloads (every 5th

@@ -145,6 +145,8 @@ def test_real_decode_requires_pil_or_runs(spark, unicode_docs):
 
         with _pytest.raises(NotImplementedError, match="PIL"):
             multimodal.decode_image_features(payloads, real_decode=True)
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.resize_images(payloads, real_decode=True)
         return
 
     # PIL present (not in this container, but the path must work where it is):
@@ -238,6 +240,10 @@ def test_multimodal_all_match_oracle_with_empty_and_short_docs(edge_docs):
     )
     compare_to_oracle(
         multimodal.sample_video_frames(payloads), con, multimodal.FRAME_ORACLE_SQL
+    )
+    # resize: empty payload keeps 0 bytes → md5('') on both sides, no NULLs
+    compare_to_oracle(
+        multimodal.resize_images(payloads), con, multimodal.RESIZE_ORACLE_SQL
     )
 
 

@@ -193,3 +193,30 @@ def test_kmeans_assignment_never_shuffles_corpus(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "BroadcastExchange" not in line:
             assert "hashpartitioning(cluster" in line or "SinglePartition" in line, line
+
+
+def test_interval_dedup_single_key_shuffle_arrow_not_batch_python(spark):
+    """One hash Exchange on the key columns (the groupBy to per-key arrays);
+    the chain walk is an Arrow-batched pandas UDF over key rows — never
+    row-at-a-time BatchEvalPython — and re-expansion is JVM array ops."""
+    from kda_flink_demo_spark.operators.event_dedup import interval_dedup
+
+    plan = _plan(interval_dedup(load_table(spark, SF_DIR, "events"), interval_sec=86400))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan  # the vectorized kernel
+    shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) == 1 and "user_id" in shuffles[0] and "event_type" in shuffles[0], shuffles
+
+
+def test_multimodal_resize_stub_is_pure_jvm_projection(spark):
+    """The stub resize path must stay entirely JVM-side (no Python eval of any
+    kind) and shuffle nothing — resize bookkeeping at scan speed."""
+    from kda_flink_demo_spark.operators.llm import multimodal
+
+    docs = multimodal.attach_binary_payload(load_table(spark, SF_DIR, "documents"))
+    plan = _plan(multimodal.resize_images(docs))
+    assert "EvalPython" not in plan  # covers Batch- and Arrow- variants
+    assert "Exchange" not in plan
