@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "tpch_q20_promo_part_suppliers",
     "tpch_q22_global_sales_opportunity",
     "asof_join_last_purchase",
+    "asof_join_next_purchase",
     "range_join_recent_purchases",
     "deterministic_sample",
     "session_windows_5m",

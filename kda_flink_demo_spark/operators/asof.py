@@ -1,9 +1,11 @@
-"""As-of (backward) join — a time-series operator Spark has no built-in for.
+"""As-of joins (backward and forward) — time-series operators Spark has no
+built-in for.
 
-Semantics: for every left row, attach the payload of the single right row with
-the largest ``right_ts`` ≤ the left row's ``left_ts`` within the same key
-(NULLs when no such row) — the trades-vs-quotes join of kdb/Flink/Pandas
-``merge_asof``.
+Semantics (backward): for every left row, attach the payload of the single
+right row with the largest ``right_ts`` ≤ the left row's ``left_ts`` within
+the same key (NULLs when no such row) — the trades-vs-quotes join of
+kdb/Flink/Pandas ``merge_asof``. The forward join mirrors it (smallest
+``right_ts`` ≥ left): event attribution's "next purchase after this click".
 
 Spark-first implementation: NOT a range self-join (quadratic per key, and
 Catalyst would plan an O(n·m) broadcast-nested-loop for the inequality).
@@ -76,6 +78,56 @@ def asof_join_backward(
     )
     out = (
         merged.withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return out.select(*left.columns, F.col("_match.*"))
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Forward as-of join: for every left row, the single right row with the
+    SMALLEST ``right_ts`` ≥ the left timestamp within the key (NULLs when
+    none follows) — event attribution's "next purchase after this click".
+
+    Mirror of :func:`asof_join_backward`: union-tag the sides, one shuffle on
+    the key, and ``first(payload, ignorenulls=True)`` over CURRENT ROW ..
+    UNBOUNDED FOLLOWING. At equal timestamps the right row sorts first when
+    ``inclusive`` (visible to that left row), after it for strict ``<``.
+    Same single-shuffle linear-scan cost as the backward join."""
+    from pyspark.sql import Window
+
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    right = right.filter(F.col(right_ts).isNotNull())
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        payload.alias("_p"),
+        F.lit(0).alias("_side"),
+    )
+    l = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
+        .withColumn("_side", F.lit(1))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # the frame is CURRENT..FOLLOWING, so at equal ts the right row must sort
+    # AFTER the left row to be visible (inclusive) — the tie order is the
+    # MIRROR of the backward join's
+    side_order = -F.col("_side") if inclusive else F.col("_side")
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), side_order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        merged.withColumn("_match", F.first("_p", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
     return out.select(*left.columns, F.col("_match.*"))

@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dataset_split",
     "events_interval_dedup",
     "multimodal_resize",
+    "asof_join_next_purchase",
 ]
 
 _DRIVER_WINDOW = 50

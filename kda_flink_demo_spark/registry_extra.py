@@ -1200,3 +1200,45 @@ def q_events_interval_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kda_flink_demo_spark.operators.event_dedup import interval_dedup
 
     return interval_dedup(load_table(spark, sf_dir, "events"), interval_sec=86400)
+
+
+@register(
+    "asof_join_next_purchase",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (event attribution): every click gets the same
+    user's EARLIEST purchase at or after the click instant (NULLs after the
+    last purchase) — the mirror of asof_join_last_purchase, implemented as
+    union + first(ignorenulls) over CURRENT..FOLLOWING (one shuffle, linear
+    scan; operators/asof.py). Oracle: DuckDB's native forward ASOF
+    (``c.ts <= p.purchase_ts``)."""
+    from kda_flink_demo_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        payload_cols=["purchase_ts", "purchase_id"],
+    )

@@ -119,3 +119,51 @@ def test_cdc_apply_changes_idempotent_and_delete_wins(spark):
     # idempotence: applying the same changes onto the merged result is stable
     again = apply_changes(merged, changes, keys=["k"])
     assert {(r.k, r.s, r.v) for r in again.collect()} == got
+
+
+def test_asof_forward_inclusive_and_strict(spark):
+    """Forward mirror: smallest right ts ≥ (inclusive) / > (strict) the left
+    ts; NULL after the last right row; exact-tie rows visible only when
+    inclusive."""
+    from kda_flink_demo_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:05")),
+            (2, 10, _ts("2024-01-01T00:00:10")),  # exactly at a right row
+            (3, 10, _ts("2024-01-01T00:00:12")),  # after the last right row
+            (4, 20, _ts("2024-01-01T00:00:28")),  # other key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T00:00:04"), 100),
+            (10, _ts("2024-01-01T00:00:10"), 101),
+            (20, _ts("2024-01-01T00:00:29"), 200),
+        ],
+        "user_id long, rts timestamp, rid long",
+    )
+
+    inclusive = {
+        r.event_id: r.rid
+        for r in asof_join_forward(
+            left, right, on="user_id", left_ts="ts", right_ts="rts", payload_cols=["rid"]
+        ).collect()
+    }
+    assert inclusive == {1: 101, 2: 101, 3: None, 4: 200}
+
+    strict = {
+        r.event_id: r.rid
+        for r in asof_join_forward(
+            left,
+            right,
+            on="user_id",
+            left_ts="ts",
+            right_ts="rts",
+            payload_cols=["rid"],
+            inclusive=False,
+        ).collect()
+    }
+    # at the exact boundary the right row is no longer visible
+    assert strict == {1: 101, 2: None, 3: None, 4: 200}
