@@ -1138,3 +1138,73 @@ def test_drop_duplicates_within_watermark_invariants(spark, tmp_path):
         for a, b in zip(tss, tss[1:]):  # (1): chain gaps strictly > delay
             assert (b - a).total_seconds() > 300, (key, a, b)
         assert len(tss) <= len(greedy[key])  # (3): greedy is maximal
+
+
+def test_stream_stream_interval_left_outer_join_emits_nulls(spark, replay_full_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: a view with no click within the
+    hour must eventually emit (view_id, NULL) — but only once the watermark
+    has passed its join window and evicted its state. Robust assertions that
+    avoid the eviction boundary: (a) matched pairs equal the batch inner
+    join; (b) every unmatched view safely past the horizon (view_ts + join
+    interval + watermark delay < max event ts) has emitted its NULL row;
+    (c) no view emits BOTH a match and a NULL."""
+    s = _full_stream(spark, replay_full_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (views.user_id == clicks.user_id)
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "leftOuter",
+    ).select("view_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_attrib_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM outer_attrib_out").collect()
+    got_pairs = {(r.view_id, r.click_id) for r in rows if r.click_id is not None}
+    got_nulls = {r.view_id for r in rows if r.click_id is None}
+
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    batch_inner = v.join(
+        c,
+        (v.user_id == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    want_pairs = {(r.view_id, r.click_id) for r in batch_inner.collect()}
+    assert got_pairs == want_pairs and len(want_pairs) > 0  # (a)
+
+    matched_ids = {p[0] for p in want_pairs}
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(minutes=60 + 30 + 5)  # join + wm delay + slack
+    must_null = {
+        r.view_id
+        for r in v.collect()
+        if r.view_id not in matched_ids and r.view_ts < horizon
+    }
+    assert must_null, "fixture should contain safely-expired unmatched views"
+    assert must_null <= got_nulls  # (b)
+    assert not (got_nulls & matched_ids)  # (c)
