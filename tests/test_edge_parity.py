@@ -383,6 +383,9 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "lm_bigram_score",
     "ingest_dedup",
     "shard_assignment",
+    "dedup_keep_best",
+    "dataset_split",
+    "multimodal_resize",
 ]
 
 
