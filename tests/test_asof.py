@@ -167,3 +167,56 @@ def test_asof_forward_inclusive_and_strict(spark):
     }
     # at the exact boundary the right row is no longer visible
     assert strict == {1: 101, 2: None, 3: None, 4: 200}
+
+
+def test_asof_fuzz_vs_pandas_merge_asof(spark):
+    """Seeded-random corpora vs pandas merge_asof — an INDEPENDENT third
+    implementation of as-of semantics (direction backward/forward,
+    allow_exact_matches = inclusive/strict). Right (key, ts) pairs are unique
+    per trial (exact-tie right rows are undefined order in every asof engine;
+    the registered queries pre-dedup them the same way)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from kda_flink_demo_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    base = dt.datetime(2024, 1, 1)
+    rng = random.Random(4242)
+    for trial in range(3):
+        keys = [rng.randrange(4) for _ in range(120)]
+        lts = [rng.randrange(500) for _ in range(120)]
+        left_rows = [
+            (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(zip(keys, lts))
+        ]
+        right_pairs = set()
+        while len(right_pairs) < 60:
+            right_pairs.add((rng.randrange(4), rng.randrange(500)))
+        right_rows = [
+            (k, base + dt.timedelta(seconds=s), 1000 + j)
+            for j, (k, s) in enumerate(sorted(right_pairs))
+        ]
+        left = spark.createDataFrame(left_rows, "event_id long, k long, ts timestamp")
+        right = spark.createDataFrame(right_rows, "k long, rts timestamp, rid long")
+        lpd = pd.DataFrame(left_rows, columns=["event_id", "k", "ts"]).sort_values("ts", kind="mergesort")
+        rpd = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values("rts", kind="mergesort")
+
+        for direction, fn in (("backward", asof_join_backward), ("forward", asof_join_forward)):
+            for inclusive in (True, False):
+                got = {
+                    r.event_id: r.rid
+                    for r in fn(
+                        left, right, on="k", left_ts="ts", right_ts="rts",
+                        payload_cols=["rid"], inclusive=inclusive,
+                    ).collect()
+                }
+                ref = pd.merge_asof(
+                    lpd, rpd, left_on="ts", right_on="rts", by="k",
+                    direction=direction, allow_exact_matches=inclusive,
+                )
+                want = {
+                    int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+                    for r in ref.itertuples()
+                }
+                assert got == want, (trial, direction, inclusive)
