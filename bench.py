@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "token_budget_select",
     "ingest_dedup",
+    "ingest_dedup_fuzzy",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

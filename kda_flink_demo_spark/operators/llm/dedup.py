@@ -553,3 +553,100 @@ def ingest_dedup_against_corpus(
     return new_df.join(
         idx, F.xxhash64(F.col(text_col)) == F.col("_corpus_h"), "left_anti"
     )
+
+
+def ingest_dedup_fuzzy(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental-ingest NEAR-dup dedup: drop incoming documents whose
+    n-gram Jaccard vs ANY standing-corpus document is ≥ ``threshold`` (exact
+    re-crawls are J=1 and drop too) — the fuzzy extension of
+    :func:`ingest_dedup_against_corpus` promised in its docstring.
+
+    Same banding machinery as :func:`minhash_lsh_pairs`, with candidates
+    restricted to CROSS-side (incoming × corpus) bucket collisions; survivors
+    come out of one anti join of the incoming batch against the matched-id
+    set. Incoming docs with fewer than ``n`` words have no shingles, can
+    never be near-dups, and always survive (both engines agree by
+    construction). At 100 TB the corpus signature/bucket table is computed
+    ONCE offline and reused across ingest batches (the standing index);
+    here it is derived in-query so each bench run pays the honest full cost.
+    Incoming-vs-incoming duplicates are out of scope (same contract as the
+    exact ingest: handle within-batch dups upstream)."""
+    r = num_hashes // bands
+    para = new_df.sparkSession.sparkContext.defaultParallelism
+
+    def _prep(df: DataFrame, side: int) -> DataFrame:
+        spread = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).repartition(para)
+        return spread.select(
+            F.lit(side).alias("_side"),
+            F.col(id_col),
+            shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes"),
+        )
+
+    hashed = _prep(corpus_df, 0).unionByName(_prep(new_df, 1)).localCheckpoint()
+    sigs = hashed.select(
+        "_side",
+        F.col(id_col),
+        minhash_signature_udf(num_hashes, seed)(F.col("hashes")).alias("sig"),
+    )
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.col("sig")[i * r + j] for j in range(r)])
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+    ).alias("bb")
+    buckets = (
+        sigs.select("_side", F.col(id_col), band_cols)
+        .select("_side", id_col, "bb.band", "bb.bucket")
+        .localCheckpoint()
+    )
+    c = buckets.filter(F.col("_side") == 0).alias("c")
+    i = buckets.filter(F.col("_side") == 1).alias("i")
+    cand = (
+        i.join(
+            c,
+            (F.col("i.band") == F.col("c.band")) & (F.col("i.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col(f"i.{id_col}").alias("_new_id"), F.col(f"c.{id_col}").alias("_corpus_id")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            hashed.filter(F.col("_side") == 1).select(
+                F.col(id_col).alias("_new_id"), F.col("hashes").alias("sh_i")
+            ),
+            "_new_id",
+        )
+        .join(
+            hashed.filter(F.col("_side") == 0).select(
+                F.col(id_col).alias("_corpus_id"), F.col("hashes").alias("sh_c")
+            ),
+            "_corpus_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_i", "sh_c"))
+    union = F.size("sh_i") + F.size("sh_c") - inter
+    matched = (
+        verified.filter(inter / union >= threshold)
+        .select(F.col("_new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")

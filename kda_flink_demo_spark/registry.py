@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_interval_dedup",
     "multimodal_resize",
     "asof_join_next_purchase",
+    "ingest_dedup_fuzzy",
 ]
 
 _DRIVER_WINDOW = 50

@@ -640,6 +640,59 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ingest_dedup_fuzzy",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+    ),
+    shc AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+    ),
+    shi AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM incoming)
+    ),
+    cc AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
+    ic AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY 1),
+    shared AS (
+        SELECT i.doc_id AS i_id, c.doc_id AS c_id, count(*) AS s
+        FROM shi i JOIN shc c ON i.shingle = c.shingle
+        GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT DISTINCT sh.i_id FROM shared sh
+        JOIN ic ON ic.doc_id = sh.i_id
+        JOIN cc ON cc.doc_id = sh.c_id
+        WHERE CAST(sh.s AS DOUBLE) / (ic.c + cc.c - sh.s) >= 0.8
+    )
+    SELECT doc_id FROM incoming
+    WHERE doc_id NOT IN (SELECT i_id FROM matched)
+    """,
+)
+def q_ingest_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-dup dedup (the fuzzy twin of ingest_dedup):
+    incoming docs — new docs plus re-keyed exact re-crawls — are LSH-probed
+    against the standing corpus's band buckets; cross-side candidates are
+    exactly re-verified at trigram-Jaccard ≥ 0.8, survivors come out of one
+    anti join. Oracle is the exact cross-side pairwise Jaccard (LSH recall at
+    these parameters is exact on this fixture — the same invariant
+    test_minhash_lsh_equals_exact_at_high_threshold asserts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    recrawl = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10000)
+    )
+    incoming = docs.filter(F.col("doc_id") >= 400).unionByName(recrawl)
+    return dedup.ingest_dedup_fuzzy(incoming, corpus).select("doc_id")
+
+
 @register("shard_assignment", packing_mod.assign_shards_oracle_sql(n_shards=8))
 def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced output sharding (write-side layout planning): the global

@@ -146,6 +146,12 @@ def main() -> None:
     from kda_flink_demo_spark.operators.event_dedup import interval_dedup as _idedup
 
     bench("events_interval_dedup", _idedup(ev_raw, interval_sec=86400))
+    bench(
+        "ingest_dedup_fuzzy",
+        _dedup.ingest_dedup_fuzzy(
+            docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+        ),
+    )
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

@@ -747,3 +747,31 @@ def test_interval_dedup_empty_and_single(spark):
         [], "event_id long, user_id long, event_type string, ts timestamp"
     )
     assert interval_dedup(empty).count() == 0
+
+
+def test_ingest_dedup_fuzzy_drops_edited_recrawls_keeps_fresh(spark):
+    """A re-crawl with a tiny edit (high but non-1.0 Jaccard) must drop; a
+    genuinely new doc and a short (<n words) doc must survive; within-batch
+    duplicates are out of scope and both survive."""
+    # long enough that a one-word edit keeps trigram Jaccard >= 0.8:
+    # c trigrams, 3 lost -> J=(c-3)/(c+3) >= 0.8 needs c >= 27 (>= 29 words)
+    base = " ".join(
+        f"w{i} token{i} filler{i}" for i in range(12)
+    ) + " the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "completely different corpus text about spark engines at scale ok")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, base),                                   # exact re-crawl -> drop
+            (101, base.replace("lazy", "sleepy")),         # near-dup edit  -> drop
+            (102, "a wholly new document about training data pipelines and dedup"),
+            (103, "too short"),                            # no shingles    -> keep
+            (104, "another fresh doc"),
+            (105, "another fresh doc"),                    # within-batch dup: kept (out of scope)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in dedup.ingest_dedup_fuzzy(incoming, corpus).select("doc_id").collect()}
+    assert got == {102, 103, 104, 105}
