@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "range_join_recent_purchases",
     "deterministic_sample",
     "session_windows_5m",
+    "session_windows_dynamic_gap",
     "analytic_pack",
     "window_frame_pack",
     "stats_aggregate_pack",

@@ -101,3 +101,38 @@ def session_counts(
             F.col("w.end").alias("window_end"),
         )
     )
+
+
+def session_counts_dynamic_gap(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_col=None,
+) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression (Spark's dynamic
+    ``session_window``): each event extends its session by its own gap —
+    e.g. purchases hold a session open longer than clicks. Windows
+    [ts, ts+gap) that overlap merge; the session spans min start .. max end.
+
+    Same one-shuffle shape as the fixed-gap session aggregate. The oracle
+    formulation (registry) is the prefix-max islands identity: sorted per
+    key, an event starts a NEW session iff its ts ≥ max(prev ts+gap) over all
+    earlier events of the key — the global prefix max equals the
+    within-session prefix max because every new session's first window end
+    strictly exceeds every closed session's end (gap > 0)."""
+    from pyspark.sql import functions as F
+
+    if gap_col is None:
+        gap_col = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+            F.lit("5 minutes")
+        )
+    return (
+        df.groupBy(F.session_window(F.col(ts), gap_col).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -70,7 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "top_customers",
     "rank_parts_in_brand",
     # (customers_with/without_orders, nation_set_ops, ngram_jaccard, tfidf,
-    # doc_fingerprint, embedding_quantize — all green r03–r04 — unpinned
+    # doc_fingerprint, embedding_quantize, language_id, repetition — all
+    # green r03–r04 — unpinned
     # to the rotating tail — keeps ≥10 rotation slots as the registry grows)
     # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
     # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
@@ -85,8 +86,6 @@ _DRIVER_PRIORITY: list[str] = [
     "pack_sequences",
     "chunk_documents",
     "corpus_shuffle_order",
-    "text_language_id",
-    "text_repetition",
     # round-5 additions: pinned for first driver exposure; the text/multimodal
     # rows they displaced (quality/token_stats/normalize/pii/url_domain/
     # multimodal_*) were green in CORRECTNESS_r04, stay covered by
@@ -108,6 +107,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_resize",
     "asof_join_next_purchase",
     "ingest_dedup_fuzzy",
+    "session_windows_dynamic_gap",
 ]
 
 _DRIVER_WINDOW = 50

@@ -1242,3 +1242,41 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="purchase_ts",
         payload_cols=["purchase_ts", "purchase_id"],
     )
+
+
+@register(
+    "session_windows_dynamic_gap",
+    """
+    WITH e AS (
+        SELECT user_id, ts,
+               ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 10 MINUTE
+                         ELSE INTERVAL 5 MINUTE END AS w_end
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts, w_end,
+               max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM e
+    ),
+    i AS (
+        SELECT user_id, ts, w_end,
+               sum(CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, max(w_end) AS session_end,
+           count(*) AS n_events
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def q_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: each event holds its session open by its
+    OWN gap (purchases 10 min, everything else 5) via Spark's expression-gap
+    ``session_window``. The oracle is the prefix-max islands identity (an
+    event opens a new session iff its ts ≥ the running max of earlier
+    ts+gap) — proven equal to Spark's interval-merge semantics because a new
+    session's first window end strictly exceeds every closed session's end."""
+    from kda_flink_demo_spark.operators.windows import session_counts_dynamic_gap
+
+    return session_counts_dynamic_gap(load_table(spark, sf_dir, "events"))

@@ -775,3 +775,40 @@ def test_ingest_dedup_fuzzy_drops_edited_recrawls_keeps_fresh(spark):
     )
     got = {r.doc_id for r in dedup.ingest_dedup_fuzzy(incoming, corpus).select("doc_id").collect()}
     assert got == {102, 103, 104, 105}
+
+
+def test_dynamic_gap_session_merge_semantics(spark):
+    """Hand-built chains: a purchase's 10-min gap keeps a session open where
+    a click's 5-min gap would have closed it; the session end is the max
+    member window end (not the last event + its gap when an earlier long-gap
+    window reaches further)."""
+    import datetime as dt
+
+    from kda_flink_demo_spark.operators.windows import session_counts_dynamic_gap
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1: click@0 (5m) then event at +7m -> separate sessions
+        (1, "click", base),
+        (1, "click", base + dt.timedelta(minutes=7)),
+        # key 2: purchase@0 (10m) then event at +7m -> ONE session;
+        # end = max(0+10m, 7m+5m) = 12m
+        (2, "purchase", base),
+        (2, "click", base + dt.timedelta(minutes=7)),
+        # key 3: purchase@0 (10m), click@+9m (5m->14m), click@+13m -> one session, end 18m
+        (3, "purchase", base),
+        (3, "click", base + dt.timedelta(minutes=9)),
+        (3, "click", base + dt.timedelta(minutes=13)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_counts_dynamic_gap(df).collect()
+    }
+    m = dt.timedelta
+    assert got == {
+        (1, base, base + m(minutes=5), 1),
+        (1, base + m(minutes=7), base + m(minutes=12), 1),
+        (2, base, base + m(minutes=12), 2),
+        (3, base, base + m(minutes=18), 3),
+    }
