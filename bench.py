@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "skew_salted_agg",
     "grouping_sets_orders",
     "resample_1m_ffill",
+    "resample_1m_interp",
     "json_malformed_tolerance",
     "udaf_weighted_avg",
     "approx_distinct_users",

@@ -87,3 +87,71 @@ def resample_ffill(
             F.col("bucket_sum").isNotNull().alias("had_data"),
         )
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 minute",
+) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation: the same span-bound
+    per-key grid as :func:`resample_ffill`, but gap buckets take
+    ``prev + (next − prev) · Δt/ΔT`` between the surrounding observed
+    buckets; grid cells before the first or after the last observation stay
+    NULL (no extrapolation). Observed buckets keep their exact aggregate.
+
+    Same scale shape as the ffill variant (one aggregate shuffle + two
+    windows per key). The time fraction is computed on integer epoch
+    seconds and the surrounding values are pre-rounded, so both engines run
+    the identical double arithmetic; the interpolated value is
+    ``det_round(4)``-ed on top."""
+    from kda_flink_demo_spark.functions import det_round
+
+    bucket = F.date_trunc("minute", F.col(ts_col))
+    agg = df.groupBy(F.col(key_col), bucket.alias("minute")).agg(
+        det_round(F.sum(value_col), 4).alias("bucket_sum"),
+    )
+    bounds = df.agg(
+        F.date_trunc("minute", F.min(ts_col)).alias("mn"),
+        F.date_trunc("minute", F.max(ts_col)).alias("mx"),
+    )
+    minutes = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr(f"INTERVAL {step}"))).alias("minute")
+    )
+    keys = df.select(F.col(key_col)).distinct()
+    grid = minutes.crossJoin(F.broadcast(keys))
+    base = grid.join(agg, [key_col, "minute"], "left").withColumn(
+        "had_data", F.col("bucket_sum").isNotNull()
+    )
+    wp = Window.partitionBy(key_col).orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # "next observed" as a REVERSE-ordered RUNNING window, not
+    # first(ignorenulls) over CurrentRow..UnboundedFollowing: Spark's
+    # WindowExec re-scans the remaining buffer per row for shrinking
+    # ignore-nulls frames — O(n²) per partition, measured 354 s vs 1.5 s at
+    # sf0.1 on the 43k-minute grid. last(ignorenulls) over DESC order is the
+    # same value via the O(n) running-frame path.
+    wn = Window.partitionBy(key_col).orderBy(F.col("minute").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = F.unix_timestamp("minute")
+    obs_minute = F.when(F.col("had_data"), F.col("minute"))
+    prev_v = F.last("bucket_sum", ignorenulls=True).over(wp)
+    prev_t = F.unix_timestamp(F.last(obs_minute, ignorenulls=True).over(wp))
+    next_v = F.last("bucket_sum", ignorenulls=True).over(wn)
+    next_t = F.unix_timestamp(F.last(obs_minute, ignorenulls=True).over(wn))
+    interp = det_round(
+        prev_v + (next_v - prev_v) * ((t - prev_t) / (next_t - prev_t)), 4
+    )
+    return base.select(
+        key_col,
+        "minute",
+        F.when(F.col("had_data"), F.col("bucket_sum"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("interp_sum"),
+        "had_data",
+    )

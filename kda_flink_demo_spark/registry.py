@@ -108,6 +108,7 @@ _DRIVER_PRIORITY: list[str] = [
     "asof_join_next_purchase",
     "ingest_dedup_fuzzy",
     "session_windows_dynamic_gap",
+    "resample_1m_interp",
 ]
 
 _DRIVER_WINDOW = 50

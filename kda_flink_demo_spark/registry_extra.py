@@ -1280,3 +1280,60 @@ def q_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     from kda_flink_demo_spark.operators.windows import session_counts_dynamic_gap
 
     return session_counts_dynamic_gap(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "resample_1m_interp",
+    """
+    WITH agg AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute,
+               floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS bucket_sum
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT date_trunc('minute', min(ts)) AS mn, date_trunc('minute', max(ts)) AS mx
+               FROM events),
+    minutes AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM bounds),
+    grid AS (SELECT k.event_type, m.minute
+             FROM minutes m CROSS JOIN (SELECT DISTINCT event_type FROM events) k),
+    base AS (
+        SELECT g.event_type, g.minute, a.bucket_sum,
+               a.bucket_sum IS NOT NULL AS had_data
+        FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.minute = a.minute
+    ),
+    win AS (
+        SELECT event_type, minute, bucket_sum, had_data,
+               last_value(bucket_sum IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               epoch(last_value(CASE WHEN had_data THEN minute END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS prev_t,
+               first_value(bucket_sum IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               epoch(first_value(CASE WHEN had_data THEN minute END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS next_t
+        FROM base
+    )
+    SELECT event_type, minute,
+           CASE WHEN had_data THEN bucket_sum
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                    floor((prev_v + (next_v - prev_v) *
+                           ((epoch(minute) - prev_t) / (next_t - prev_t))) * 10000.0 + 0.5)
+                        / 10000.0
+                ELSE NULL END AS interp_sum,
+           had_data
+    FROM win
+    """,
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling on the span-bound minute grid: gap
+    buckets take prev + (next−prev)·Δt/ΔT between the surrounding observed
+    buckets (integer epoch-second fractions, pre-rounded endpoints — both
+    engines run identical double arithmetic); no extrapolation past either
+    end. Completes the time-series family next to ffill, as-of (both
+    directions), and the event-time range join."""
+    from kda_flink_demo_spark.operators.over_windows import resample_interp
+
+    return resample_interp(load_table(spark, sf_dir, "events"))

@@ -812,3 +812,36 @@ def test_dynamic_gap_session_merge_semantics(spark):
         (2, base, base + m(minutes=12), 2),
         (3, base, base + m(minutes=18), 3),
     }
+
+
+def test_resample_interp_exact_linear_values_and_edges(spark):
+    """Hand fixture: observed 10.0@t0 and 40.0@t0+3min -> gaps at +1m/+2m
+    interpolate to exactly 20.0/30.0; cells before the first and after the
+    last observation stay NULL (no extrapolation); observed buckets keep
+    their aggregate."""
+    import datetime as dt
+
+    from kda_flink_demo_spark.operators.over_windows import resample_interp
+
+    t0 = dt.datetime(2024, 1, 1, 0, 2)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(minutes=3), 40.0),
+        # key b spans the full grid so the overall bounds include t0-2m..t0+4m
+        ("b", t0 - dt.timedelta(minutes=2), 1.0),
+        ("b", t0 + dt.timedelta(minutes=4), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r.event_type, r.minute): (r.interp_sum, r.had_data)
+        for r in resample_interp(df).collect()
+    }
+    m = dt.timedelta
+    assert got[("a", t0)] == (10.0, True)
+    assert got[("a", t0 + m(minutes=1))] == (20.0, False)
+    assert got[("a", t0 + m(minutes=2))] == (30.0, False)
+    assert got[("a", t0 + m(minutes=3))] == (40.0, True)
+    assert got[("a", t0 - m(minutes=1))] == (None, False)  # before first obs
+    assert got[("a", t0 + m(minutes=4))] == (None, False)  # after last obs
+    # key b: 6 one-minute gaps between 1.0 and 2.0 -> 1/6 steps, rounded to 4
+    assert got[("b", t0)] == (1.3333, False)
