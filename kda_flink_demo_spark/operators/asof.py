@@ -117,17 +117,21 @@ def asof_join_forward(
         .withColumn("_side", F.lit(1))
     )
     merged = l.unionByName(r, allowMissingColumns=True)
-    # the frame is CURRENT..FOLLOWING, so at equal ts the right row must sort
-    # AFTER the left row to be visible (inclusive) — the tie order is the
-    # MIRROR of the backward join's
-    side_order = -F.col("_side") if inclusive else F.col("_side")
+    # "first following match" computed as a REVERSE-ordered RUNNING
+    # last(ignorenulls) — NOT first(ignorenulls) over
+    # CurrentRow..UnboundedFollowing, whose shrinking ignore-nulls frame makes
+    # Spark's WindowExec re-scan the rest of the buffer per row (O(n²) per
+    # key; same trap measured at 354 s vs 1.5 s in resample_interp). In the
+    # DESC ordering the tie rule mirrors again: at equal ts the right row
+    # must come LATER in the reversed scan to be visible when inclusive.
+    side_order = F.col("_side") if inclusive else -F.col("_side")
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts"), side_order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_ts").desc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
-        merged.withColumn("_match", F.first("_p", ignorenulls=True).over(w))
+        merged.withColumn("_match", F.last("_p", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
     return out.select(*left.columns, F.col("_match.*"))
