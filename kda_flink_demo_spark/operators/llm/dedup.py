@@ -581,20 +581,47 @@ def ingest_dedup_fuzzy(
     here it is derived in-query so each bench run pays the honest full cost.
     Incoming-vs-incoming duplicates are out of scope (same contract as the
     exact ingest: handle within-batch dups upstream)."""
+    buckets, hashes = build_fuzzy_ingest_index(
+        corpus_df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+    )
+    return ingest_dedup_fuzzy_probe(
+        new_df,
+        buckets.localCheckpoint(),
+        hashes.localCheckpoint(),
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+    )
+
+
+def _shingle_hashed(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, hashes): distinct hashed shingles per doc, short docs dropped,
+    hashing spread across cores (single-file inputs otherwise pin it)."""
+    para = df.sparkSession.sparkContext.defaultParallelism
+    spread = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).repartition(para)
+    return spread.select(
+        F.col(id_col), shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes")
+    )
+
+
+def _band_buckets(
+    hashed: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(id, band, bucket): LSH band buckets from per-doc shingle hashes."""
     r = num_hashes // bands
-    para = new_df.sparkSession.sparkContext.defaultParallelism
-
-    def _prep(df: DataFrame, side: int) -> DataFrame:
-        spread = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).repartition(para)
-        return spread.select(
-            F.lit(side).alias("_side"),
-            F.col(id_col),
-            shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes"),
-        )
-
-    hashed = _prep(corpus_df, 0).unionByName(_prep(new_df, 1)).localCheckpoint()
     sigs = hashed.select(
-        "_side",
         F.col(id_col),
         minhash_signature_udf(num_hashes, seed)(F.col("hashes")).alias("sig"),
     )
@@ -611,13 +638,49 @@ def ingest_dedup_fuzzy(
             ]
         )
     ).alias("bb")
-    buckets = (
-        sigs.select("_side", F.col(id_col), band_cols)
-        .select("_side", id_col, "bb.band", "bb.bucket")
-        .localCheckpoint()
-    )
-    c = buckets.filter(F.col("_side") == 0).alias("c")
-    i = buckets.filter(F.col("_side") == 1).alias("i")
+    return sigs.select(F.col(id_col), band_cols).select(id_col, "bb.band", "bb.bucket")
+
+
+def build_fuzzy_ingest_index(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING index for incremental near-dup ingest: ``(buckets,
+    hashes)`` for the corpus — ``(id, band, bucket)`` plus ``(id, hashes)``.
+    At 100 TB this pair is materialized ONCE (ideally ``write_bucketed`` on
+    the bucket key, so probe joins read it co-partitioned with zero index-side
+    exchange — asserted in tests/test_bucketed_join.py) and every ingest
+    batch probes it via :func:`ingest_dedup_fuzzy_probe`."""
+    hashed = _shingle_hashed(corpus_df, text_col, id_col, n)
+    return _band_buckets(hashed, id_col, num_hashes, bands, seed), hashed
+
+
+def ingest_dedup_fuzzy_probe(
+    new_df: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe an incoming batch against a prebuilt standing index (see
+    :func:`build_fuzzy_ingest_index`): band the batch, join cross-side on
+    (band, bucket), exactly re-verify candidates at Jaccard ≥ threshold, and
+    anti-join the matches. Only the (small) incoming side is banded per
+    batch — the corpus index is reused as-is."""
+    new_hashed = _shingle_hashed(new_df, text_col, id_col, n).localCheckpoint()
+    new_buckets = _band_buckets(new_hashed, id_col, num_hashes, bands, seed)
+    i = new_buckets.alias("i")
+    c = corpus_buckets.alias("c")
     cand = (
         i.join(
             c,
@@ -630,13 +693,11 @@ def ingest_dedup_fuzzy(
     )
     verified = (
         cand.join(
-            hashed.filter(F.col("_side") == 1).select(
-                F.col(id_col).alias("_new_id"), F.col("hashes").alias("sh_i")
-            ),
+            new_hashed.select(F.col(id_col).alias("_new_id"), F.col("hashes").alias("sh_i")),
             "_new_id",
         )
         .join(
-            hashed.filter(F.col("_side") == 0).select(
+            corpus_hashes.select(
                 F.col(id_col).alias("_corpus_id"), F.col("hashes").alias("sh_c")
             ),
             "_corpus_id",
