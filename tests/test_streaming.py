@@ -1208,3 +1208,68 @@ def test_stream_stream_interval_left_outer_join_emits_nulls(spark, replay_full_d
     assert must_null, "fixture should contain safely-expired unmatched views"
     assert must_null <= got_nulls  # (b)
     assert not (got_nulls & matched_ids)  # (c)
+
+
+def test_streaming_fuzzy_ingest_probe_matches_batch(spark, tmp_path):
+    """Streaming near-dup ingest: incoming docs replay as a file stream; each
+    micro-batch probes the PREBUILT standing corpus index via foreachBatch
+    (the per-batch twin of ingest_dedup_fuzzy_probe). Survivors across the
+    run must equal the batch operator on the full incoming set — per-batch
+    probing is exact because each batch is checked independently against the
+    same static index (no cross-batch state needed for corpus-vs-batch
+    dedup)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.io.sources import load_table
+    from kda_flink_demo_spark.operators.llm import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 400).unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    ).select("doc_id", "text")
+
+    buckets, hashes = dedup.build_fuzzy_ingest_index(corpus)
+    buckets = buckets.localCheckpoint()
+    hashes = hashes.localCheckpoint()
+
+    # replay the incoming batch as 4 files -> 4 micro-batches
+    replay = tmp_path / "fuzzy_replay"
+    replay.mkdir()
+    for i in range(4):
+        sl = incoming.filter(F.col("doc_id") % 4 == i).coalesce(1)
+        d = tmp_path / f"part{i}"
+        sl.write.mode("overwrite").parquet(str(d))
+        for j, f in enumerate(sorted(glob.glob(str(d / "*.parquet")))):
+            shutil.copy(f, replay / f"f{i}_{j}.parquet")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    survivors = []
+
+    def probe_batch(batch_df, _batch_id):
+        out = dedup.ingest_dedup_fuzzy_probe(batch_df, buckets, hashes).select("doc_id")
+        survivors.extend(r.doc_id for r in out.collect())
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fuzzy_ingest"))
+        .foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = {
+        r.doc_id for r in dedup.ingest_dedup_fuzzy(incoming, corpus).select("doc_id").collect()
+    }
+    assert sorted(survivors) == sorted(want)
+    assert len(survivors) == len(set(survivors))  # each doc decided exactly once
