@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "url_domain_stats",
     "embedding_quantize",
+    "embedding_pca",
     "contamination_check",
     "pack_sequences",
     "chunk_documents",

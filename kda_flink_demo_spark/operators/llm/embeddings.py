@@ -15,6 +15,7 @@ hash comparison stable).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,3 +83,102 @@ QUANTIZE_ORACLE_SQL = f"""
            array_to_string(qc[1:8], ',') AS q_head
     FROM q
 """
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed PCA projection: reduce the embedding column to its top-k
+    principal components — the dimension-reduction step before ANN/clustering
+    on high-dimensional embeddings.
+
+    Scale shape (the "small-model fit + broadcast apply" pattern):
+    1. the sufficient statistics (XᵀX upper triangle, column sums, count)
+       come out of ONE corpus scan — per-partition BLAS outer products in a
+       `mapInPandas` pass, then a dim²-bounded grouped sum; the result is
+       metadata-sized no matter how large the corpus;
+    2. the eigendecomposition runs on the driver over that tiny matrix (this
+       is model fitting on a 64×64 array, not a data collect — the same class
+       as broadcasting LSH hyperplanes);
+    3. the projection is a purely map-side pandas-UDF matmul with the
+       components broadcast.
+
+    Eigenvector signs are canonicalized (largest-|loading| coordinate made
+    positive) so output is deterministic; projections are det_round-ed. No
+    SQL oracle (eigendecomposition is not SQL-expressible) — validated
+    against a pure-numpy reference in tests and registered rows-only, like
+    the other linear-algebra/approximate operators."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from kda_flink_demo_spark.functions import det_round_np
+    from kda_flink_demo_spark.operators.llm.similarity import _as_double
+
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+
+    # sufficient statistics (XtX upper triangle, column sums, count) as ONE
+    # mapInPandas pass — per-partition BLAS outer products, then a dim²-bounded
+    # grouped sum. NOT a per-row posexplode self-join (that would shuffle
+    # N·dim²/2 rows — the corpus times 2080 for dim=64).
+    def _partials(batches):
+        S = sm = None
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            if S is None:
+                S = m.T @ m
+                sm = m.sum(axis=0)
+            else:
+                S += m.T @ m
+                sm += m.sum(axis=0)
+            cnt += len(pdf)
+        if cnt == 0:
+            return
+        iu, ju = np.triu_indices(S.shape[0])
+        out_i = np.concatenate([iu, np.arange(S.shape[0]), [-1]])
+        out_j = np.concatenate([ju, np.full(S.shape[0], -1), [-1]])
+        out_v = np.concatenate([S[iu, ju], sm, [float(cnt)]])
+        yield pd.DataFrame({"i": out_i.astype("int32"), "j": out_j.astype("int32"), "v": out_v})
+
+    stats = (
+        base.select("_v")
+        .mapInPandas(_partials, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )  # dim²/2 + dim + 1 rows — model-sized, not a data collect
+    n = next(r["v"] for r in stats if r["i"] == -1 and r["j"] == -1)
+    dim = max(r["i"] for r in stats) + 1
+    mu = np.zeros(dim)
+    S = np.zeros((dim, dim))
+    for r in stats:
+        if r["j"] == -1 and r["i"] >= 0:
+            mu[r["i"]] = r["v"] / n
+        elif r["i"] >= 0:
+            S[r["i"], r["j"]] = r["v"]
+            S[r["j"], r["i"]] = r["v"]
+    cov = S / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order]  # (dim, k)
+    # canonical signs: the largest-|loading| coordinate of each component > 0
+    for c in range(comp.shape[1]):
+        j = int(np.argmax(np.abs(comp[:, c])))
+        if comp[j, c] < 0:
+            comp[:, c] = -comp[:, c]
+    comp_b = comp.copy()
+    mu_b = mu.copy()
+
+    @pandas_udf("array<double>")
+    def _project(vecs_s: pd.Series) -> pd.Series:
+        m = np.vstack(vecs_s.to_numpy()).astype(np.float64)
+        proj = det_round_np((m - mu_b) @ comp_b, round_digits)
+        return pd.Series(list(proj))
+
+    return base.select(F.col(id_col), _project(F.col("_v")).alias("pca"))

@@ -693,6 +693,17 @@ def q_ingest_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ingest_dedup_fuzzy(incoming, corpus).select("doc_id")
 
 
+@register("embedding_pca", None)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection to the top-8 principal components: one
+    corpus scan of BLAS partial outer products → dim²-bounded sufficient
+    statistics → driver-side eigh on the 64×64 matrix (model fitting, not a
+    data collect) → broadcast map-side projection. Eigendecomposition is not
+    SQL-expressible → rows-only driver check; validated against a pure-numpy
+    reference on a separated-spectrum fixture in tests."""
+    return embeddings.pca_project(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
 @register("shard_assignment", packing_mod.assign_shards_oracle_sql(n_shards=8))
 def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced output sharding (write-side layout planning): the global

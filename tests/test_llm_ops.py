@@ -845,3 +845,43 @@ def test_resample_interp_exact_linear_values_and_edges(spark):
     assert got[("a", t0 + m(minutes=4))] == (None, False)  # after last obs
     # key b: 6 one-minute gaps between 1.0 and 2.0 -> 1/6 steps, rounded to 4
     assert got[("b", t0)] == (1.3333, False)
+
+
+def test_pca_project_matches_numpy_on_separated_spectrum(spark):
+    """Synthetic data with well-separated eigenvalues (so the axes are
+    stable): the distributed projection must match a pure-numpy PCA of the
+    same rows to float tolerance, be partitioning-invariant, and have
+    variance concentrated in the leading component."""
+    import numpy as np
+
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_project
+
+    rng = np.random.RandomState(7)
+    scales = np.array([10.0, 5.0, 2.0, 1.0, 0.5, 0.25])
+    X = rng.randn(400, 6) * scales + np.array([1, -2, 3, 0, 0.5, -1.0])
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {r.vec_id: np.array(r.pca) for r in pca_project(df, k=3).collect()}
+    got2 = {
+        r.vec_id: np.array(r.pca)
+        for r in pca_project(df.repartition(13), k=3).collect()
+    }
+    # numpy reference with the same sign canonicalization
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    comp = vecs[:, order]
+    for c in range(comp.shape[1]):
+        j = int(np.argmax(np.abs(comp[:, c])))
+        if comp[j, c] < 0:
+            comp[:, c] = -comp[:, c]
+    want = (X - mu) @ comp
+
+    G = np.vstack([got[i] for i in range(len(X))])
+    G2 = np.vstack([got2[i] for i in range(len(X))])
+    assert np.allclose(G, want, atol=1e-4)
+    assert np.allclose(G, G2, atol=1e-4)  # partitioning-invariant to rounding
+    v = G.var(axis=0)
+    assert v[0] > v[1] > v[2]  # spectrum ordering survives the pipeline
