@@ -152,6 +152,14 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
         ),
     )
+    from kda_flink_demo_spark.operators.llm import embeddings as _emb
+    from kda_flink_demo_spark.operators.windows import session_counts_dynamic_gap as _sessdyn
+
+    # pca does eager work (stats collect + eigh) at CONSTRUCTION — time it all
+    t0 = time.time()
+    _emb.pca_project(emb, k=8).write.format("noop").mode("overwrite").save()
+    results["embedding_pca"] = round(time.time() - t0, 2)
+    bench("session_windows_dynamic_gap", _sessdyn(ev_raw))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
