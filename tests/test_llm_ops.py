@@ -885,3 +885,74 @@ def test_pca_project_matches_numpy_on_separated_spectrum(spark):
     assert np.allclose(G, G2, atol=1e-4)  # partitioning-invariant to rounding
     v = G.var(axis=0)
     assert v[0] > v[1] > v[2]  # spectrum ordering survives the pipeline
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Seeded-random graphs vs a pure-python union-find: min-label
+    propagation must produce the identical (node -> min reachable id) map on
+    chains, cliques, stars, and sparse random graphs alike."""
+    import random
+
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(321)
+    for trial in range(4):
+        n_nodes, n_edges = rng.choice([(30, 20), (40, 60), (25, 12)])
+        edges = list(
+            {
+                tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+                for _ in range(n_edges)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.node: r.component
+            for r in clustering.connected_components(df, max_iter=50).collect()
+        }
+        assert got == uf_components(edges), (trial, sorted(edges)[:10])
+
+
+def test_dynamic_gap_session_with_constant_gap_equals_fixed(spark):
+    """Internal consistency: the dynamic-gap session operator with a CONSTANT
+    gap expression must group exactly like the fixed-gap built-in."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.windows import (
+        session_counts,
+        session_counts_dynamic_gap,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    fixed = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in session_counts(
+            ev.select(F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")),
+            gap="5 minutes",
+        ).collect()
+    }
+    dyn = {
+        (r.event_type, r.session_start, r.session_end): r.n_events
+        for r in session_counts_dynamic_gap(
+            ev, key="event_type", ts="ts", gap_col=F.lit("5 minutes")
+        ).collect()
+    }
+    assert dyn == fixed and len(fixed) > 0
