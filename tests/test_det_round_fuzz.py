@@ -70,3 +70,59 @@ def test_window_assignment_invariants(spark):
     # hopping size 2m slide 1m → every event counted exactly twice
     hop = hopping_counts(ev)
     assert hop.agg(F.sum("railway_class_count")).first()[0] == 2 * n_events
+
+def test_window_bucketing_fuzz_vs_python_reference(spark):
+    """Seeded-random events INCLUDING exact boundary timestamps: tumbling
+    (plain + offset) and hopping window counts must equal a pure-python
+    bucketing reference — window start inclusive, end exclusive, offset
+    shifting the grid, every slide of a hopping window counted."""
+    import datetime as dt
+    import random
+    from collections import Counter
+
+    from kda_flink_demo_spark.operators.windows import hopping_counts, tumbling_counts
+
+    base = dt.datetime(2024, 3, 1)
+    rng = random.Random(777)
+    secs = [rng.randrange(0, 600) for _ in range(150)]
+    secs += [0, 60, 120, 300, 599, 30, 90]  # exact minute/offset boundaries
+    rows = [
+        (f"k{rng.randrange(3)}", base + dt.timedelta(seconds=s)) for s in secs
+    ]
+    df = spark.createDataFrame(rows, "railway_class string, rowtime timestamp")
+
+    def floor_to(ts, size, offset=0):
+        e = int((ts - dt.datetime(1970, 1, 1)).total_seconds())
+        return dt.datetime(1970, 1, 1) + dt.timedelta(
+            seconds=(e - offset) // size * size + offset
+        )
+
+    # tumbling 1m, offsets 0 and 30s
+    for offset in (0, 30):
+        got = {
+            (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+            for r in tumbling_counts(
+                df, offset=None if offset == 0 else f"{offset} seconds"
+            ).collect()
+        }
+        want = Counter()
+        for k, ts in rows:
+            ws = floor_to(ts, 60, offset)
+            want[(k, ws, ws + dt.timedelta(seconds=60))] += 1
+        assert got == dict(want), f"offset={offset}"
+
+    # hopping 2m size / 1m slide: each event lands in every window containing it
+    got_h = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in hopping_counts(df).select(
+            "railway_class", "railway_class_count", "window_start", "window_end"
+        ).collect()
+    }
+    want_h = Counter()
+    for k, ts in rows:
+        last_start = floor_to(ts, 60)
+        for i in range(2):  # size/slide = 2 windows cover each instant
+            ws = last_start - dt.timedelta(seconds=60 * i)
+            if ws <= ts < ws + dt.timedelta(seconds=120):
+                want_h[(k, ws, ws + dt.timedelta(seconds=120))] += 1
+    assert got_h == dict(want_h)
