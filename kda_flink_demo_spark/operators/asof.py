@@ -97,10 +97,16 @@ def asof_join_forward(
     none follows) — event attribution's "next purchase after this click".
 
     Mirror of :func:`asof_join_backward`: union-tag the sides, one shuffle on
-    the key, and ``first(payload, ignorenulls=True)`` over CURRENT ROW ..
-    UNBOUNDED FOLLOWING. At equal timestamps the right row sorts first when
-    ``inclusive`` (visible to that left row), after it for strict ``<``.
-    Same single-shuffle linear-scan cost as the backward join."""
+    the key, and a REVERSE-ordered (``_ts`` DESC) running
+    ``last(payload, ignorenulls=True)`` over UNBOUNDED PRECEDING..CURRENT ROW
+    — deliberately NOT ``first(ignorenulls)`` over a CURRENT..FOLLOWING
+    frame, whose shrinking ignore-nulls frame is O(n²) per key in Spark's
+    WindowExec (see the in-body comment and
+    tests/test_plan_shapes.py::test_no_shrinking_window_frames_in_fixed_operators).
+    In the DESC scan an equal-timestamp right row sorts EARLIER than the left
+    row when ``inclusive`` (so it is inside the left row's running frame),
+    and later for strict ``<``. Same single-shuffle linear-scan cost as the
+    backward join."""
     from pyspark.sql import Window
 
     payload = F.struct(*[F.col(c) for c in payload_cols])
@@ -121,9 +127,11 @@ def asof_join_forward(
     # last(ignorenulls) — NOT first(ignorenulls) over
     # CurrentRow..UnboundedFollowing, whose shrinking ignore-nulls frame makes
     # Spark's WindowExec re-scan the rest of the buffer per row (O(n²) per
-    # key; same trap measured at 354 s vs 1.5 s in resample_interp). In the
-    # DESC ordering the tie rule mirrors again: at equal ts the right row
-    # must come LATER in the reversed scan to be visible when inclusive.
+    # key; same trap measured at 354 s vs 1.5 s in resample_interp). The
+    # running frame is unboundedPreceding..currentRow over _ts DESC, so at
+    # equal ts the right row (side 0) must sort EARLIER than the left row to
+    # be inside the left row's frame when inclusive — ascending _side does
+    # exactly that; strict < negates it.
     side_order = F.col("_side") if inclusive else -F.col("_side")
     w = (
         Window.partitionBy(on)

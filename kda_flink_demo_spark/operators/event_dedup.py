@@ -51,20 +51,26 @@ def interval_dedup(
 
     delta_us = int(interval_sec) * 1_000_000
 
-    @pandas_udf("array<long>")
-    def _kept_ids(ts_arrs: pd.Series, id_arrs: pd.Series) -> pd.Series:
+    # positional keep-mask over the SORTED arrival array — the re-expansion
+    # below zips mask and array element-for-element (O(n) per key; an
+    # array_contains lookup against a kept-id array would rescan it per
+    # element, O(n·kept) — quadratic on a hot key)
+    @pandas_udf("array<boolean>")
+    def _keep_mask(ts_arrs: pd.Series) -> pd.Series:
         out = []
-        for ts, ids in zip(ts_arrs, id_arrs):
-            kept = []
+        for ts in ts_arrs:
+            mask = []
             anchor = None
-            for t, i in zip(ts, ids):
+            for t in ts:
                 if anchor is None or t > anchor + delta_us:
-                    kept.append(int(i))
+                    mask.append(True)
                     anchor = t
-            out.append(kept)
+                else:
+                    mask.append(False)
+            out.append(mask)
         return pd.Series(out)
 
-    # per key: arrivals sorted by (ts, id) as two aligned integer arrays —
+    # per key: arrivals sorted by (ts, id) as one aligned integer array —
     # exact microsecond arithmetic, identical to the oracle's INTERVAL compare
     grouped = (
         df.groupBy(*[F.col(k) for k in key_cols])
@@ -78,16 +84,16 @@ def interval_dedup(
                 )
             ).alias("_arr")
         )
-        .withColumn("_kept", _kept_ids(
-            F.transform("_arr", lambda s: s["t"]),
-            F.transform("_arr", lambda s: s["i"]),
-        ))
+        .withColumn("_mask", _keep_mask(F.transform("_arr", lambda s: s["t"])))
     )
     return (
         grouped.select(
             *key_cols,
             F.explode(
-                F.filter("_arr", lambda s: F.array_contains(F.col("_kept"), s["i"]))
+                F.filter(
+                    F.zip_with("_arr", "_mask", lambda s, m: F.when(m, s)),
+                    lambda x: x.isNotNull(),
+                )
             ).alias("_e"),
         )
         .select(

@@ -226,55 +226,16 @@ def minhash_lsh_pairs(
     Candidates are re-checked with exact Jaccard, so precision is exact; output
     equals the exact pairwise result up to that tiny miss probability.
     """
-    r = num_hashes // bands
-    # Repartition before the CPU-heavy signature projection: a single parquet
-    # file would otherwise pin all hashing on one task. On a cluster reading
-    # many splits this is a near-no-op (AQE coalesces); locally it unlocks all
-    # cores.
-    # docs with zero shingles (fewer than n words) can never be Jaccard
-    # near-dups — drop them BEFORE signatures, else they all share the
-    # null-signature bucket and pair up into 0/0 Jaccards (the exact oracle
-    # drops them implicitly: unnest of an empty shingle list emits no rows).
-    # The predicate tests the raw token count, NOT size(hashes): a filter on
-    # the hashes column would get projection-collapsed and duplicate the whole
-    # shingle-hash expression into the filter condition (measured 2-3× slower).
-    spread = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    # Shingle the corpus ONCE: the hashed shingle set (array<long>, distinct)
-    # feeds BOTH the minhash signatures and the exact re-verification —
-    # Jaccard over distinct xxhash64 shingle hashes equals Jaccard over the
-    # string shingles up to a ~2^-64-per-pair collision, and the checkpoint is
-    # ~8 bytes/shingle instead of the n-word strings (2-3× smaller, and the
-    # verify intersect compares longs, not strings).
-    hashed = spread.select(
-        F.col(id_col), shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes")
-    ).localCheckpoint()
-    sigs = hashed.select(
-        F.col(id_col),
-        minhash_signature_udf(num_hashes, seed)(F.col("hashes")).alias("sig"),
-    )
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * r + j] for j in range(r)])).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(bands)
-            ]
-        )
-    ).alias("bb")
-    # localCheckpoint the bucket table too: candidate generation is a SELF-
-    # join (broadcast sides re-execute their whole upstream, so without this
-    # the 64-permutation signature pipeline runs twice). 24 bytes/doc/band.
-    buckets = (
-        sigs.select(F.col(id_col), band_cols)
-        .select(id_col, "bb.band", "bb.bucket")
-        .localCheckpoint()
-    )
+    # shared machinery with the fuzzy-ingest index (_shingle_hashed /
+    # _band_buckets — ONE definition of the short-doc predicate, the spread
+    # repartition, and the band-bucket hash, so self-dedup buckets and the
+    # standing ingest index can never drift apart). Both intermediates are
+    # localCheckpoint-ed: the hashed shingle set feeds BOTH the signatures
+    # and the exact re-verify (~8 bytes/shingle instead of the n-word
+    # strings), and candidate generation is a SELF-join (without the
+    # checkpoint the 64-permutation signature pipeline would run twice).
+    hashed = _shingle_hashed(df, text_col, id_col, n).localCheckpoint()
+    buckets = _band_buckets(hashed, id_col, num_hashes, bands, seed).localCheckpoint()
     a = buckets.alias("a")
     b = buckets.alias("b")
     # candidate pairs are bare (long, long) — dedup them BEFORE fetching shingle

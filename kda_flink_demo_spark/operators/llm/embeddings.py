@@ -153,6 +153,10 @@ def pca_project(
         .agg(F.sum("v").alias("v"))
         .collect()
     )  # dim²/2 + dim + 1 rows — model-sized, not a data collect
+    if not stats:  # empty corpus: nothing to fit, empty projection
+        return base.select(
+            F.col(id_col), F.lit(None).cast("array<double>").alias("pca")
+        ).limit(0)
     n = next(r["v"] for r in stats if r["i"] == -1 and r["j"] == -1)
     dim = max(r["i"] for r in stats) + 1
     mu = np.zeros(dim)

@@ -64,15 +64,13 @@ _DRIVER_PRIORITY: list[str] = [
     "ts_parse_fallback",
     "filter_predicates",
     "pricing_summary",
-    "distinct_users_per_type",
-    "rollup_nation_region",
     "revenue_by_region",
     "top_customers",
     "rank_parts_in_brand",
     # (customers_with/without_orders, nation_set_ops, ngram_jaccard, tfidf,
-    # doc_fingerprint, embedding_quantize, language_id, repetition — all
-    # green r03–r04 — unpinned
-    # to the rotating tail — keeps ≥10 rotation slots as the registry grows)
+    # doc_fingerprint, embedding_quantize, language_id, repetition,
+    # distinct_users, rollup — all green r01–r04 — unpinned to the rotating
+    # tail, keeping ≥10 rotation slots as the registry grows)
     # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
     # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
     # pool since the driver's check adds nothing beyond rows-present for them)

@@ -1222,8 +1222,9 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (event attribution): every click gets the same
     user's EARLIEST purchase at or after the click instant (NULLs after the
     last purchase) — the mirror of asof_join_last_purchase, implemented as
-    union + first(ignorenulls) over CURRENT..FOLLOWING (one shuffle, linear
-    scan; operators/asof.py). Oracle: DuckDB's native forward ASOF
+    union + a reverse-ordered RUNNING last(ignorenulls) window (one shuffle,
+    linear scan — never a shrinking CURRENT..FOLLOWING frame, which is O(n²)
+    per key; operators/asof.py). Oracle: DuckDB's native forward ASOF
     (``c.ts <= p.purchase_ts``)."""
     from kda_flink_demo_spark.operators.asof import asof_join_forward
 

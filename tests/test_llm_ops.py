@@ -956,3 +956,12 @@ def test_dynamic_gap_session_with_constant_gap_equals_fixed(spark):
         ).collect()
     }
     assert dyn == fixed and len(fixed) > 0
+
+
+def test_pca_project_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_project
+
+    out = pca_project(empty, k=3)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "pca"]
