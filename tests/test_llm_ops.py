@@ -965,3 +965,65 @@ def test_pca_project_empty_input(spark):
     out = pca_project(empty, k=3)
     assert out.count() == 0
     assert out.columns == ["vec_id", "pca"]
+
+
+def test_prefix_sum_family_fuzz_vs_python(spark):
+    """Seeded-random corpora (ragged token counts incl. empty and one-word
+    docs): pack_sequences, assign_shards, and global_shuffle_order must equal
+    pure-python references exactly — the distributed prefix sum has no
+    allowed deviation — at any partitioning."""
+    import hashlib
+    import random
+
+    from kda_flink_demo_spark.operators.llm import packing
+
+    rng = random.Random(555)
+    for trial in range(3):
+        n_docs = rng.choice([17, 40])
+        docs = [
+            (i, " ".join("w" for _ in range(rng.randrange(0, 9))) or "x")
+            for i in range(n_docs)
+        ]
+        budget = rng.choice([5, 16])
+        n_shards = rng.choice([3, 4])
+        df = spark.createDataFrame(docs, "doc_id long, text string").repartition(
+            rng.choice([1, 7])
+        )
+        ntok = {i: len(t.split(" ")) for i, t in docs}
+        total = sum(ntok.values())
+
+        # pack_sequences reference
+        run = 0
+        want_pack = {}
+        for i in sorted(ntok):
+            want_pack[i] = (ntok[i], run // budget, run % budget)
+            run += ntok[i]
+        got_pack = {
+            r.doc_id: (r.n_tokens, r.chunk_id, r.chunk_offset)
+            for r in packing.pack_sequences(df, budget=budget).collect()
+        }
+        assert got_pack == want_pack, trial
+
+        # assign_shards reference: shard = start*n // total, clamped
+        run = 0
+        want_shard = {}
+        for i in sorted(ntok):
+            want_shard[i] = (ntok[i], min(run * n_shards // total, n_shards - 1))
+            run += ntok[i]
+        got_shard = {
+            r.doc_id: (r.n_tokens, r.shard)
+            for r in packing.assign_shards(df, n_shards=n_shards).collect()
+        }
+        assert got_shard == want_shard, trial
+
+        # global_shuffle_order reference: rank in md5-hash order
+        def hkey(i):
+            return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+
+        order = sorted(ntok, key=lambda i: (hkey(i), i))
+        want_pos = {i: p for p, i in enumerate(order)}
+        got_pos = {
+            r.doc_id: r.shuffle_pos
+            for r in packing.global_shuffle_order(df).collect()
+        }
+        assert got_pos == want_pos, trial
