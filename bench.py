@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "dedup_span_stats",
     "length_buckets",
     "temperature_resample",
+    "source_upsample",
+    "mix_interleave",
     "corpus_filter_pipeline",
     "lm_bigram_score",
     "domain_cap",

@@ -86,6 +86,191 @@ def temperature_resample_oracle_sql(
     """
 
 
+def source_upsample(
+    df: DataFrame,
+    weights_pct: dict[str, int],
+    default_pct: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "epochs",
+) -> DataFrame:
+    """Fractional deterministic UPsampling: repeat each document ``w`` epochs,
+    where ``w`` is given per source in integer hundredths (250 → 2.5 epochs).
+
+    Training mixes routinely repeat high-quality sources a non-integer number
+    of times (e.g. Wikipedia ×2.5 while web text runs ×1) — the other half of
+    mixture control that pure subsampling (``temperature_resample``) can't
+    express. A doc with weight 2.5 yields 2 copies always, plus a 3rd iff its
+    deterministic 32-bit md5 uniform falls below floor(0.5 · 2^32) — so exactly
+    the same docs get the extra epoch on every run, engine, and partitioning.
+    Weights < 100 degenerate to subsampling and 0 drops the source, giving one
+    unified "fractional epochs" knob.
+
+    Scale shape: pure map-side — a broadcast-free CASE on the source column,
+    one hash per row, and a row-expanding explode bounded by ceil(max_w/100)
+    copies. The 100 TB corpus is scanned once and never shuffled. Output:
+    (id, source, epoch, n_copies) with epoch ∈ [0, n_copies).
+    """
+    space = int(_HASH_SPACE)
+
+    def per_source(value_of) -> "F.Column":
+        expr = F.lit(value_of(default_pct))
+        for s, w in sorted(weights_pct.items()):
+            expr = F.when(F.col(source_col) == s, F.lit(value_of(w))).otherwise(expr)
+        return expr
+
+    base = per_source(lambda w: w // 100).cast("long")
+    thr = per_source(lambda w: space * (w % 100) // 100).cast("long")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    copies = (base + (u < thr).cast("long")).alias("n_copies")
+    keyed = df.select(F.col(id_col), F.col(source_col), copies)
+    epochs = F.when(
+        F.col("n_copies") > 0, F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return keyed.select(
+        id_col, source_col, F.explode(epochs).alias("epoch"), "n_copies"
+    )
+
+
+def source_upsample_oracle_sql(
+    weights_pct: dict[str, int],
+    default_pct: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "epochs",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: the per-source base/threshold integers are computed in
+    PYTHON and inlined into both engines' plans, so no SQL arithmetic can
+    disagree at the acceptance boundary."""
+    space = int(_HASH_SPACE)
+
+    def case(value_of) -> str:
+        whens = " ".join(
+            f"WHEN '{s}' THEN {value_of(w)}" for s, w in sorted(weights_pct.items())
+        )
+        return f"CASE {source_col} {whens} ELSE {value_of(default_pct)} END"
+
+    return f"""
+    WITH c AS (
+        SELECT {id_col}, {source_col},
+               CAST({case(lambda w: w // 100)}
+                    + CASE WHEN CAST(concat('0x', substring(
+                                md5(concat('{seed}:', CAST({id_col} AS VARCHAR))), 1, 8))
+                            AS BIGINT) < {case(lambda w: space * (w % 100) // 100)}
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM {table}
+    )
+    SELECT {id_col}, {source_col}, CAST(e.epoch AS BIGINT) AS epoch, n_copies
+    FROM c, LATERAL unnest(generate_series(0, n_copies - 1)) AS e(epoch)
+    """
+
+
+def mix_interleave(
+    df: DataFrame,
+    parts: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted stride interleave: a single global training
+    order where source ``s`` appears with long-run frequency ∝ ``parts[s]``
+    and its documents are spread EVENLY through the stream (not front-loaded
+    the way sorting by a per-source quota would).
+
+    The classic virtual-time scheduler, made engine-portable with pure integer
+    keys: doc ``i`` (0-based pseudo-random rank within its source) gets key
+    ``(2i+1) · (L / w_s)`` with ``L = lcm(weights)`` — strides are exact
+    integers, and sorting by (key, source) interleaves sources at their target
+    rates. Sources missing from ``parts`` get weight 1.
+
+    Scale shape: NO single-partition window anywhere. The per-source rank is a
+    global prefix sum of ones in (source, hash, id) order minus a broadcast
+    per-source offset (one row per source); the final position is a second
+    prefix sum in (key, source) order. Both phases are the range-partitioned
+    two-phase sum from ``packing._global_prefix_sum``. Output:
+    (id, source, src_rank, interleave_pos).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from kda_flink_demo_spark.operators.llm.packing import _global_prefix_sum
+
+    lcm = math.lcm(1, *parts.values())
+    hkey = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_hkey")
+    )
+    keyed = df.select(F.col(id_col), F.col(source_col), hkey, F.lit(1).cast("long").alias("_one"))
+    pos = _global_prefix_sum(keyed, [source_col, "_hkey", id_col], "_one", out_col="_gpos")
+    # per-source start offsets: counts cumsum over one row per source, broadcast
+    counts = keyed.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_src = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_src), F.lit(0).cast("long"))
+    ).select(source_col, "_off")
+    stride = F.lit(lcm)
+    for s, w in sorted(parts.items()):
+        stride = F.when(F.col(source_col) == s, F.lit(lcm // w)).otherwise(stride)
+    ranked = (
+        pos.join(F.broadcast(offsets), source_col)
+        .withColumn("src_rank", (F.col("_gpos") - F.col("_off")).cast("long"))
+        .withColumn("_ikey", (F.lit(2) * F.col("src_rank") + 1) * stride.cast("long"))
+        .select(id_col, source_col, "src_rank", "_ikey", F.lit(1).cast("long").alias("_one"))
+    )
+    final = _global_prefix_sum(ranked, ["_ikey", source_col], "_one", out_col="interleave_pos")
+    return final.select(
+        id_col, source_col, "src_rank", F.col("interleave_pos").cast("long").alias("interleave_pos")
+    )
+
+
+def mix_interleave_oracle_sql(
+    parts: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: plain per-source and global row_number windows — the
+    semantic spec the two-phase prefix sums equal. Strides are the same
+    Python-computed integers inlined on both sides."""
+    import math
+
+    lcm = math.lcm(1, *parts.values())
+    whens = " ".join(f"WHEN '{s}' THEN {lcm // w}" for s, w in sorted(parts.items()))
+    stride = f"CASE {source_col} {whens} ELSE {lcm} END"
+    return f"""
+    WITH k AS (
+        SELECT {id_col}, {source_col},
+               CAST(concat('0x', substring(md5(concat('{seed}:', CAST({id_col} AS VARCHAR))), 1, 15))
+                    AS BIGINT) AS hkey
+        FROM {table}
+    ),
+    r AS (
+        SELECT {id_col}, {source_col},
+               CAST(row_number() OVER (PARTITION BY {source_col} ORDER BY hkey, {id_col}) - 1
+                    AS BIGINT) AS src_rank
+        FROM k
+    )
+    SELECT {id_col}, {source_col}, src_rank,
+           CAST(row_number() OVER (ORDER BY (2 * src_rank + 1) * ({stride}), {source_col}) - 1
+                AS BIGINT) AS interleave_pos
+    FROM r
+    """
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -70,7 +70,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (customers_with/without_orders, nation_set_ops, ngram_jaccard, tfidf,
     # doc_fingerprint, embedding_quantize, language_id, repetition,
     # distinct_users, rollup — all green r01–r04 — unpinned to the rotating
-    # tail, keeping ≥10 rotation slots as the registry grows)
+    # tail, keeping ≥9 rotation slots as the registry grows)
     # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
     # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
     # pool since the driver's check adds nothing beyond rows-present for them)
@@ -107,6 +107,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_dedup_fuzzy",
     "session_windows_dynamic_gap",
     "resample_1m_interp",
+    "source_upsample",
+    "mix_interleave",
 ]
 
 _DRIVER_WINDOW = 50

@@ -533,6 +533,38 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSAMPLE_WEIGHTS = {"src0": 250, "src1": 130, "src2": 60, "src3": 0}
+_MIX_PARTS = {"en": 4, "zh": 3, "es": 2}
+
+
+@register(
+    "source_upsample",
+    sampling.source_upsample_oracle_sql(_UPSAMPLE_WEIGHTS),
+)
+def q_source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional deterministic upsampling (epochs per source in hundredths):
+    src0 ×2.5, src1 ×1.3, src2 ×0.6 (subsample), src3 dropped, rest ×1 — the
+    upsampling half of mixture control that temperature_resample (subsample-
+    only) can't express. Map-side CASE + md5 acceptance + bounded explode."""
+    return sampling.source_upsample(
+        load_table(spark, sf_dir, "documents"), _UPSAMPLE_WEIGHTS
+    )
+
+
+@register(
+    "mix_interleave",
+    sampling.mix_interleave_oracle_sql(_MIX_PARTS, source_col="lang"),
+)
+def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted stride interleave into a single training order
+    (en:zh:es:rest = 4:3:2:1 rates, evenly spread, reproducible at any
+    parallelism) — two two-phase prefix sums, no single-partition window.
+    Grouped on `lang` (the fixture's skewed grouping)."""
+    return sampling.mix_interleave(
+        load_table(spark, sf_dir, "documents"), _MIX_PARTS, source_col="lang"
+    )
+
+
 @register("corpus_filter_pipeline", pipeline.filter_pipeline_oracle_sql())
 def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus filter: length gate → exact-substring duplication gate →

@@ -377,6 +377,8 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "doc_fingerprint",
     "length_buckets",
     "temperature_resample",
+    "source_upsample",
+    "mix_interleave",
     "domain_cap",
     "token_budget_select",
     "corpus_filter_pipeline",

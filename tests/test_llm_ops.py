@@ -1027,3 +1027,80 @@ def test_prefix_sum_family_fuzz_vs_python(spark):
             for r in packing.global_shuffle_order(df).collect()
         }
         assert got_pos == want_pos, trial
+
+
+def test_source_upsample_matches_python_reference(spark):
+    """Every (doc, epoch) copy — including the fractional extra epoch, the
+    subsample path (w<100), the dropped source (w=0), and the default — must
+    equal a direct python md5 reference, and be partitioning-invariant."""
+    import hashlib
+
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    rows = [(i, f"s{i % 5}") for i in range(200)]
+    weights = {"s0": 250, "s1": 130, "s2": 60, "s3": 0}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    space = 2**32
+    expect = {}
+    for i, s in rows:
+        w = weights.get(s, 100)
+        u = int(hashlib.md5(f"epochs:{i}".encode()).hexdigest()[:8], 16)
+        c = w // 100 + (1 if u < space * (w % 100) // 100 else 0)
+        for e in range(c):
+            expect[(i, e)] = (s, c)
+    for part in (None, 7):
+        d = df if part is None else df.repartition(part)
+        got = {
+            (r.doc_id, r.epoch): (r.source, r.n_copies)
+            for r in sampling.source_upsample(d, weights).collect()
+        }
+        assert got == expect, part
+    # aggregate sanity: ~2.5 epochs for s0, exact zero for s3
+    from collections import Counter
+
+    per_src = Counter(s for (_, _), (s, _) in expect.items())
+    assert "s3" not in per_src
+    assert 2 * 40 <= per_src["s0"] <= 3 * 40  # 40 docs in s0
+
+
+def test_mix_interleave_matches_python_reference(spark):
+    """src_rank and interleave_pos must equal the virtual-time scheduler spec
+    (integer stride keys over per-source md5 ranks), form a permutation of
+    0..N-1, and be partitioning-invariant."""
+    import hashlib
+    import math
+
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(197)]
+    parts = {"a": 4, "b": 2, "c": 1}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    lcm = math.lcm(1, *parts.values())
+
+    def hk(i: int) -> int:
+        return int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:15], 16)
+
+    by_src: dict[str, list[int]] = {}
+    for i, s in rows:
+        by_src.setdefault(s, []).append(i)
+    ranks: dict[int, int] = {}
+    for s, ids in by_src.items():
+        for r, i in enumerate(sorted(ids, key=lambda j: (hk(j), j))):
+            ranks[i] = r
+    keyed = sorted(
+        ((2 * ranks[i] + 1) * (lcm // parts.get(s, 1)), s, i) for i, s in rows
+    )
+    expect = {i: (ranks[i], p) for p, (_, _, i) in enumerate(keyed)}
+    for part in (None, 11):
+        d = df if part is None else df.repartition(part)
+        got = {
+            r.doc_id: (r.src_rank, r.interleave_pos)
+            for r in sampling.mix_interleave(d, parts).collect()
+        }
+        assert got == expect, part
+    assert sorted(p for _, p in expect.values()) == list(range(len(rows)))
+    # stride evenness: consecutive docs of the heaviest source (rate 4/8) are
+    # never more than ~lcm/w positions apart in the interleaved stream
+    a_pos = sorted(p for i, (_, p) in expect.items() if rows[i][1] == "a")
+    gaps = [b - a for a, b in zip(a_pos, a_pos[1:])]
+    assert max(gaps) <= 2 * (sum(parts.values()) + 1) // parts["a"] + 1
