@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "semantic_dedup",
     "text_tfidf_top_terms",
+    "vocab_top_terms",
     "text_language_id",
     "text_quality",
     "text_token_stats",

@@ -232,6 +232,53 @@ def tfidf_top_terms(
     )
 
 
+def vocab_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 500
+) -> DataFrame:
+    """Corpus-level vocabulary building — the tokenizer-training precursor:
+    global term count + document frequency for the top-``k`` terms, ranked by
+    (count desc, term).
+
+    Scale shape: explode → ONE partial→final hash aggregate on the term key
+    (map-side combine collapses each task's term stream before the shuffle;
+    the shuffled width is the vocabulary, ≪ corpus), then
+    TakeOrderedAndProject for the top-k (per-partition heaps + a k-row driver
+    merge — never a global sort). The final row_number window runs over the k
+    surviving rows only. Output: (term, term_count, doc_freq, vocab_rank).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    topk = counts.orderBy(F.col("term_count").desc(), "term").limit(k)
+    w = Window.orderBy(F.col("term_count").desc(), "term")
+    return topk.withColumn("vocab_rank", F.row_number().over(w).cast("long"))
+
+
+def vocab_top_terms_oracle_sql(k: int = 500, table: str = "documents") -> str:
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+    ),
+    t AS (
+        SELECT term, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+        FROM terms WHERE term <> '' GROUP BY 1
+    )
+    SELECT term, term_count, doc_freq, vocab_rank FROM (
+        SELECT term, CAST(term_count AS BIGINT) AS term_count,
+               CAST(doc_freq AS BIGINT) AS doc_freq,
+               CAST(row_number() OVER (ORDER BY term_count DESC, term) AS BIGINT)
+                   AS vocab_rank
+        FROM t
+    ) WHERE vocab_rank <= {k}
+    """
+
+
 TFIDF_ORACLE_SQL = """
     WITH terms AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

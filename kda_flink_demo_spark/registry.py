@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     "resample_1m_interp",
     "source_upsample",
     "mix_interleave",
+    "vocab_top_terms",
 ]
 
 _DRIVER_WINDOW = 50

@@ -533,6 +533,14 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("vocab_top_terms", text.vocab_top_terms_oracle_sql(k=500))
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer-training precursor): top-500 terms by
+    global count + doc frequency — one partial→final term aggregate, top-k via
+    TakeOrderedAndProject, rank window over the k survivors only."""
+    return text.vocab_top_terms(load_table(spark, sf_dir, "documents"), k=500)
+
+
 _UPSAMPLE_WEIGHTS = {"src0": 250, "src1": 130, "src2": 60, "src3": 0}
 _MIX_PARTS = {"en": 4, "zh": 3, "es": 2}
 

@@ -143,6 +143,11 @@ def main() -> None:
     bench("semantic_dedup", _kmeans.semantic_dedup_pairs(emb, k=10, iters=3))
     bench("dedup_keep_best", _dedup.exact_dedup_keep_best(docs))
     bench("dataset_split", _sampling.dataset_split(docs))
+    bench(
+        "source_upsample",
+        _sampling.source_upsample(docs, {"src0": 250, "src1": 130, "src2": 60, "src3": 0}),
+    )
+    bench("mix_interleave", _sampling.mix_interleave(docs, {"en": 4, "zh": 3, "es": 2}, source_col="lang"))
     from kda_flink_demo_spark.operators.event_dedup import interval_dedup as _idedup
 
     bench("events_interval_dedup", _idedup(ev_raw, interval_sec=86400))

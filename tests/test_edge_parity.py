@@ -367,6 +367,7 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "corpus_shuffle_order",
     "deterministic_sample",
     "text_tfidf_top_terms",
+    "vocab_top_terms",
     "text_language_id",
     "text_quality",
     "text_token_stats",

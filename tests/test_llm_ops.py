@@ -1104,3 +1104,36 @@ def test_mix_interleave_matches_python_reference(spark):
     a_pos = sorted(p for i, (_, p) in expect.items() if rows[i][1] == "a")
     gaps = [b - a for a, b in zip(a_pos, a_pos[1:])]
     assert max(gaps) <= 2 * (sum(parts.values()) + 1) // parts["a"] + 1
+
+
+def test_vocab_top_terms_matches_python_reference(spark):
+    """Global counts, doc frequencies, and the (count desc, term) ranking —
+    including ties at the k boundary — must equal a python Counter reference."""
+    from collections import Counter
+
+    from kda_flink_demo_spark.operators.llm import text as text_ops
+
+    rows = [
+        (0, "a b b c"),
+        (1, "b c c d"),
+        (2, "a a e"),
+        (3, ""),
+        (4, "e e e b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tc: Counter = Counter()
+    dfreq: Counter = Counter()
+    for _i, t in rows:
+        ws = [w for w in t.split(" ") if w]
+        tc.update(ws)
+        dfreq.update(set(ws))
+    ranked = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in (3, 100):
+        got = {
+            r.term: (r.term_count, r.doc_freq, r.vocab_rank)
+            for r in text_ops.vocab_top_terms(df, k=k).collect()
+        }
+        want = {
+            t: (c, dfreq[t], i + 1) for i, (t, c) in enumerate(ranked[:k])
+        }
+        assert got == want, k
