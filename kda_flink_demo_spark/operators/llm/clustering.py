@@ -44,11 +44,11 @@ def connected_components(
 
     Lineage hygiene for big graphs: the edge list is ``localCheckpoint``-ed once
     (it is re-joined every round), and each round's labels are eagerly
-    ``localCheckpoint``-ed BEFORE the convergence probe — the round's one
-    shuffle executes exactly once, and the probe is a cheap join of two
-    materialized label tables instead of a re-execution of the round's full
-    plan (this halved the per-round cost vs probing the lazy plan; labels are
-    (node, label) pairs, so the materialization is ~16 bytes/node). Only a
+    ``localCheckpoint``-ed with a ``_changed`` flag computed in the SAME pass
+    (neighbor-min < own label) — the round's one shuffle executes exactly once
+    and the convergence probe is a bare filter scan of that checkpoint, not an
+    old-vs-new join (which itself replaced re-executing the lazy plan; labels
+    are (node, label) pairs, so the materialization is ~17 bytes/node). Only a
     ``limit(1).count()`` (zero or one row) ever reaches the driver.
     ``checkpoint_every`` is retained for API compatibility but every round now
     checkpoints (the probe requires the materialization anyway)."""
@@ -63,24 +63,28 @@ def connected_components(
     labels = edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
     converged = False
     for it in range(max_iter):
-        # every node adopts min(own label, neighbors' labels)
-        neighbor_labels = edges.join(
-            labels.withColumnRenamed("u", "v"), "v"
-        ).select("u", "label")
-        new_labels = (
-            labels.unionByName(neighbor_labels)
+        # every node adopts min(own label, neighbors' labels); the convergence
+        # flag rides the SAME pass (nmin < own label), so the probe is a bare
+        # scan of the round's checkpoint — no old-vs-new join per round. The
+        # neighbor min aggregates the neighbor stream only (own label enters
+        # via least() after the join), and every node has >= 1 neighbor by
+        # construction (edges are bidirectional), so the inner join is total.
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u")
+            .select(
+                "u",
+                F.least("label", "_nmin").alias("label"),
+                (F.col("_nmin") < F.col("label")).alias("_changed"),
+            )
             .localCheckpoint()  # eager: the round's shuffle runs exactly once
         )
-        changed = (
-            labels.alias("old")
-            .join(new_labels.alias("new"), "u")
-            .filter(F.col("old.label") != F.col("new.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
             break
