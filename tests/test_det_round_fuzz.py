@@ -126,3 +126,68 @@ def test_window_bucketing_fuzz_vs_python_reference(spark):
             if ws <= ts < ws + dt.timedelta(seconds=120):
                 want_h[(k, ws, ws + dt.timedelta(seconds=120))] += 1
     assert got_h == dict(want_h)
+
+
+def test_mixing_ops_fuzz_vs_python_reference(spark):
+    """Seeded-random corpora (random source alphabets, weights incl. 0 and
+    >1 epochs, random sizes incl. 1-doc sources) through source_upsample and
+    mix_interleave must equal the pure-python md5 references exactly — the
+    sampling-ops twin of the window-bucketing fuzz."""
+    import hashlib
+    import math
+    import random
+
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    rng = random.Random(23)
+    space = 2**32
+    for trial in range(4):
+        n_sources = rng.randrange(1, 7)
+        sources = [f"s{j}" for j in range(n_sources)]
+        rows = [
+            (i, rng.choice(sources)) for i in range(rng.randrange(1, 120))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+
+        weights = {
+            s: rng.choice([0, 30, 60, 100, 130, 250, 999])
+            for s in sources
+            if rng.random() < 0.7
+        }
+        expect_up = {}
+        for i, s in rows:
+            w = weights.get(s, 100)
+            u = int(hashlib.md5(f"epochs:{i}".encode()).hexdigest()[:8], 16)
+            c = w // 100 + (1 if u < space * (w % 100) // 100 else 0)
+            for e in range(c):
+                expect_up[(i, e)] = (s, c)
+        got_up = {
+            (r.doc_id, r.epoch): (r.source, r.n_copies)
+            for r in sampling.source_upsample(df, weights).collect()
+        }
+        assert got_up == expect_up, ("upsample", trial, weights)
+
+        parts = {
+            s: rng.randrange(1, 9) for s in sources if rng.random() < 0.7
+        }
+        lcm = math.lcm(1, *parts.values())
+
+        def hk(i: int) -> int:
+            return int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:15], 16)
+
+        by_src: dict[str, list[int]] = {}
+        for i, s in rows:
+            by_src.setdefault(s, []).append(i)
+        ranks: dict[int, int] = {}
+        for s, ids in by_src.items():
+            for r, i in enumerate(sorted(ids, key=lambda j: (hk(j), j))):
+                ranks[i] = r
+        keyed = sorted(
+            ((2 * ranks[i] + 1) * (lcm // parts.get(s, 1)), s, i) for i, s in rows
+        )
+        expect_mix = {i: (ranks[i], p) for p, (_, _, i) in enumerate(keyed)}
+        got_mix = {
+            r.doc_id: (r.src_rank, r.interleave_pos)
+            for r in sampling.mix_interleave(df, parts).collect()
+        }
+        assert got_mix == expect_mix, ("interleave", trial, parts)
