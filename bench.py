@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "temperature_resample",
     "source_upsample",
     "mix_interleave",
+    "quality_top_fraction",
     "corpus_filter_pipeline",
     "lm_bigram_score",
     "domain_cap",

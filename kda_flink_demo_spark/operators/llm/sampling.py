@@ -197,9 +197,7 @@ def mix_interleave(
     """
     import math
 
-    from pyspark.sql import Window
-
-    from kda_flink_demo_spark.operators.llm.packing import _global_prefix_sum
+    from kda_flink_demo_spark.operators.llm.packing import _global_prefix_sum, grouped_rank
 
     lcm = math.lcm(1, *parts.values())
     hkey = (
@@ -213,20 +211,12 @@ def mix_interleave(
         .cast("long")
         .alias("_hkey")
     )
-    keyed = df.select(F.col(id_col), F.col(source_col), hkey, F.lit(1).cast("long").alias("_one"))
-    pos = _global_prefix_sum(keyed, [source_col, "_hkey", id_col], "_one", out_col="_gpos")
-    # per-source start offsets: counts cumsum over one row per source, broadcast
-    counts = keyed.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    w_src = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w_src), F.lit(0).cast("long"))
-    ).select(source_col, "_off")
+    keyed = df.select(F.col(id_col), F.col(source_col), hkey)
     stride = F.lit(lcm)
     for s, w in sorted(parts.items()):
         stride = F.when(F.col(source_col) == s, F.lit(lcm // w)).otherwise(stride)
     ranked = (
-        pos.join(F.broadcast(offsets), source_col)
-        .withColumn("src_rank", (F.col("_gpos") - F.col("_off")).cast("long"))
+        grouped_rank(keyed, source_col, ["_hkey", id_col], out_col="src_rank")
         .withColumn("_ikey", (F.lit(2) * F.col("src_rank") + 1) * stride.cast("long"))
         .select(id_col, source_col, "src_rank", "_ikey", F.lit(1).cast("long").alias("_one"))
     )
@@ -268,6 +258,91 @@ def mix_interleave_oracle_sql(
            CAST(row_number() OVER (ORDER BY (2 * src_rank + 1) * ({stride}), {source_col}) - 1
                 AS BIGINT) AS interleave_pos
     FROM r
+    """
+
+
+def quality_top_fraction(
+    df: DataFrame,
+    fraction: tuple[int, int] = (1, 4),
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-group quality selection: keep the top ``num/den``
+    fraction of documents WITHIN each group. Quality scores are not
+    comparable across languages (stopword lists, token lengths differ), so a
+    single global threshold over-prunes low-resource groups; calibrating the
+    cut per group is the standard fix.
+
+    Exactness: the per-group keep-count is ``k_g = ceil(n_g·num/den)`` in pure
+    integer arithmetic, and membership is an order statistic (rank <  k_g on
+    the det_round-ed quality, id tie-break) — no float threshold whose last
+    ulp could flip a boundary doc between engines. Scale: the rank is the
+    skew-proof grouped prefix-sum rank (never a per-group window sort); the
+    k_g table is one broadcast row per group. Output:
+    (id, group, quality, q_rank)."""
+    from kda_flink_demo_spark.functions import det_round
+    from kda_flink_demo_spark.operators.llm.packing import grouped_rank
+    from kda_flink_demo_spark.operators.llm.text import quality_columns
+
+    num, den = fraction
+    qc = quality_columns(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.col(group_col), det_round(qc["quality"], 4).alias("quality")
+    ).withColumn("_negq", -F.col("quality"))
+    ranked = grouped_rank(base, group_col, ["_negq", id_col], out_col="q_rank")
+    counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    ks = counts.select(
+        group_col,
+        F.expr(f"CAST((_n * {int(num)} + {int(den) - 1}) DIV {int(den)} AS BIGINT)").alias("_k"),
+    )
+    return (
+        ranked.join(F.broadcast(ks), group_col)
+        .filter(F.col("q_rank") < F.col("_k"))
+        .select(id_col, group_col, "quality", "q_rank")
+    )
+
+
+def quality_top_fraction_oracle_sql(
+    fraction: tuple[int, int] = (1, 4),
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: plain per-group row_number + count windows — the semantic
+    spec the grouped prefix-sum rank equals. Same quality composite as
+    ``token_budget_select_oracle_sql``."""
+    num, den = fraction
+    quality = det_round_sql(
+        """0.4 * least(n_toks / 64.0, 1.0)
+           + 0.3 * least((stop_hits / n_toks) * 4, 1.0)
+           + 0.3 * (1 - least((punct / greatest(n_chars, 1)) * 10, 1.0))""",
+        4,
+    )
+    return rf"""
+    WITH q AS (
+        SELECT {id_col}, {group_col}, {quality} AS quality
+        FROM (
+            SELECT {id_col}, {group_col},
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')))
+                        AS BIGINT) AS stop_hits,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
+            FROM {table}
+        )
+    ),
+    r AS (
+        SELECT {id_col}, {group_col}, quality,
+               CAST(row_number() OVER (
+                   PARTITION BY {group_col} ORDER BY quality DESC, {id_col}) - 1
+                   AS BIGINT) AS q_rank,
+               count(*) OVER (PARTITION BY {group_col}) AS n
+        FROM q
+    )
+    SELECT {id_col}, {group_col}, quality, q_rank
+    FROM r WHERE q_rank < (n * {int(num)} + {int(den) - 1}) // {int(den)}
     """
 
 

@@ -110,6 +110,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_upsample",
     "mix_interleave",
     "vocab_top_terms",
+    "quality_top_fraction",
 ]
 
 _DRIVER_WINDOW = 50

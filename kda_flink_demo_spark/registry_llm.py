@@ -573,6 +573,19 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_top_fraction",
+    sampling.quality_top_fraction_oracle_sql(fraction=(1, 4)),
+)
+def q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality selection: keep the top 25% of docs
+    WITHIN each lang (per-group order statistic, integer keep-counts — no
+    float threshold at the boundary; skew-proof grouped prefix-sum rank)."""
+    return sampling.quality_top_fraction(
+        load_table(spark, sf_dir, "documents"), fraction=(1, 4)
+    )
+
+
 @register("corpus_filter_pipeline", pipeline.filter_pipeline_oracle_sql())
 def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus filter: length gate → exact-substring duplication gate →

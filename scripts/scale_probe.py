@@ -148,6 +148,8 @@ def main() -> None:
         _sampling.source_upsample(docs, {"src0": 250, "src1": 130, "src2": 60, "src3": 0}),
     )
     bench("mix_interleave", _sampling.mix_interleave(docs, {"en": 4, "zh": 3, "es": 2}, source_col="lang"))
+    bench("quality_top_fraction", _sampling.quality_top_fraction(docs, fraction=(1, 4)))
+    bench("vocab_top_terms", _text.vocab_top_terms(docs, k=500))
     from kda_flink_demo_spark.operators.event_dedup import interval_dedup as _idedup
 
     bench("events_interval_dedup", _idedup(ev_raw, interval_sec=86400))

@@ -380,6 +380,7 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "temperature_resample",
     "source_upsample",
     "mix_interleave",
+    "quality_top_fraction",
     "domain_cap",
     "token_budget_select",
     "corpus_filter_pipeline",

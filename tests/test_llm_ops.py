@@ -1137,3 +1137,61 @@ def test_vocab_top_terms_matches_python_reference(spark):
             t: (c, dfreq[t], i + 1) for i, (t, c) in enumerate(ranked[:k])
         }
         assert got == want, k
+
+
+def test_quality_top_fraction_matches_python_reference(spark):
+    """Per-group keep-counts (integer ceil), rank ordering incl. quality ties,
+    and group isolation must equal a python reference; partitioning-invariant."""
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    # crafted texts: quality depends on token count / stopwords / punctuation;
+    # identical texts create exact quality ties broken by doc_id
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # tie with previous
+        "a b",
+        "!!! ??? ...",
+        " ".join(["word"] * 80),
+        "the of to a in is and " * 4,
+    ]
+    rows = [
+        (i, texts[i % len(texts)], ["g1", "g2", "g3"][i % 3]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # python reference for the quality composite (mirrors quality_columns)
+    import math
+    import re
+
+    stop = {"the", "and", "of", "to", "a", "in", "is"}
+
+    def quality(t: str) -> float:
+        toks = t.split(" ")
+        n_toks = len(toks)
+        n_chars = len(t)
+        stop_hits = sum(1 for w in t.lower().split(" ") if w in stop)
+        punct = len(re.findall(r"[^\w\s]", t, flags=re.UNICODE))
+        q = (
+            0.4 * min(n_toks / 64.0, 1.0)
+            + 0.3 * min((stop_hits / n_toks) * 4, 1.0)
+            + 0.3 * (1 - min((punct / max(n_chars, 1)) * 10, 1.0))
+        )
+        return math.floor(q * 10000.0 + 0.5) / 10000.0
+
+    num, den = 1, 4
+    by_group: dict[str, list] = {}
+    for i, t, g in rows:
+        by_group.setdefault(g, []).append((i, quality(t)))
+    expect = {}
+    for g, members in by_group.items():
+        k = (len(members) * num + den - 1) // den
+        ordered = sorted(members, key=lambda iq: (-iq[1], iq[0]))
+        for r, (i, q) in enumerate(ordered[:k]):
+            expect[i] = (g, q, r)
+    for part in (None, 9):
+        d = df if part is None else df.repartition(part)
+        got = {
+            r.doc_id: (r.lang, r.quality, r.q_rank)
+            for r in sampling.quality_top_fraction(d, fraction=(num, den)).collect()
+        }
+        assert got == expect, part
