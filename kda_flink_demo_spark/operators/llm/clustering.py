@@ -67,19 +67,22 @@ def connected_components(
         # flag rides the SAME pass (nmin < own label), so the probe is a bare
         # scan of the round's checkpoint — no old-vs-new join per round. The
         # neighbor min aggregates the neighbor stream only (own label enters
-        # via least() after the join), and every node has >= 1 neighbor by
-        # construction (edges are bidirectional), so the inner join is total.
+        # via least() after the join). LEFT join + null-skipping least():
+        # bidirectional edges give every non-null node a neighbor, but a
+        # degenerate graph with NULL ids must keep such nodes on their own
+        # label (as the previous union+groupBy-min formulation did), not drop
+        # them through an inner equi-join.
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("_nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, "u")
+            labels.join(neighbor_min, "u", "left")
             .select(
                 "u",
                 F.least("label", "_nmin").alias("label"),
-                (F.col("_nmin") < F.col("label")).alias("_changed"),
+                F.coalesce(F.col("_nmin") < F.col("label"), F.lit(False)).alias("_changed"),
             )
             .localCheckpoint()  # eager: the round's shuffle runs exactly once
         )

@@ -62,25 +62,35 @@ def _global_prefix_sum(
 
 
 def grouped_rank(
-    df: DataFrame, group_col: str, order_cols: list[str], out_col: str = "_grank"
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "_grank",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """0-based rank WITHIN ``group_col`` in the total order ``order_cols``
     (which must include a unique tie-break), computed without a per-group
     window — a hot group would otherwise land in one task's sort. Shape: the
     global two-phase prefix sum of ones over (group, *order) minus a broadcast
     per-group start offset (one row per group; assumes group cardinality is
-    dimension-like — languages, sources — so the offset table is tiny)."""
+    dimension-like — languages, sources — so the offset table is tiny).
+
+    A NULL group is a real group (matching SQL ``PARTITION BY``): the offset
+    join is null-safe, so NULL-keyed rows are ranked, never dropped. Callers
+    that already aggregated per-group counts from the same input pass them via
+    ``counts`` (columns (group_col, _n)) to avoid a second corpus scan."""
     keyed = df.withColumn("_one", F.lit(1).cast("long"))
     pos = _global_prefix_sum(keyed, [group_col, *order_cols], "_one", out_col="_gpos")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    if counts is None:
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     w = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w), F.lit(0).cast("long"))
-    ).select(group_col, "_off")
+    ).select(F.col(group_col).alias("_grp"), "_off")
     return (
-        pos.join(F.broadcast(offsets), group_col)
+        pos.join(F.broadcast(offsets), F.col(group_col).eqNullSafe(F.col("_grp")))
         .withColumn(out_col, (F.col("_gpos") - F.col("_off")).cast("long"))
-        .drop("_one", "_gpos", "_off")
+        .drop("_grp", "_one", "_gpos", "_off")
     )
 
 

@@ -24,6 +24,26 @@ from kda_flink_demo_spark.functions import det_round_sql
 # bit-identical across engines.
 _HASH_SPACE = 4294967296.0
 
+# ONE oracle-side definition of the quality composite (the SQL twin of
+# text.quality_columns) — shared by every oracle that scores quality, so the
+# stopword list / weights can never drift between operators.
+_QUALITY_EXPR_SQL = """0.4 * least(n_toks / 64.0, 1.0)
+           + 0.3 * least((stop_hits / n_toks) * 4, 1.0)
+           + 0.3 * (1 - least((punct / greatest(n_chars, 1)) * 10, 1.0))"""
+
+
+def _quality_inner_sql(table: str, cols: str = "doc_id") -> str:
+    """Inner SELECT producing (cols, n_toks, n_chars, stop_hits, punct)."""
+    return rf"""
+            SELECT {cols},
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')))
+                        AS BIGINT) AS stop_hits,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
+            FROM {table}"""
+
 
 def temperature_resample(
     df: DataFrame,
@@ -290,14 +310,16 @@ def quality_top_fraction(
     base = df.select(
         F.col(id_col), F.col(group_col), det_round(qc["quality"], 4).alias("quality")
     ).withColumn("_negq", -F.col("quality"))
-    ranked = grouped_rank(base, group_col, ["_negq", id_col], out_col="q_rank")
+    # one per-group count aggregate feeds BOTH the rank offsets (via counts=)
+    # and the keep-count table — not two identical corpus scans
     counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    ranked = grouped_rank(base, group_col, ["_negq", id_col], out_col="q_rank", counts=counts)
     ks = counts.select(
-        group_col,
+        F.col(group_col).alias("_grp"),
         F.expr(f"CAST((_n * {int(num)} + {int(den) - 1}) DIV {int(den)} AS BIGINT)").alias("_k"),
     )
     return (
-        ranked.join(F.broadcast(ks), group_col)
+        ranked.join(F.broadcast(ks), F.col(group_col).eqNullSafe(F.col("_grp")))
         .filter(F.col("q_rank") < F.col("_k"))
         .select(id_col, group_col, "quality", "q_rank")
     )
@@ -313,24 +335,11 @@ def quality_top_fraction_oracle_sql(
     spec the grouped prefix-sum rank equals. Same quality composite as
     ``token_budget_select_oracle_sql``."""
     num, den = fraction
-    quality = det_round_sql(
-        """0.4 * least(n_toks / 64.0, 1.0)
-           + 0.3 * least((stop_hits / n_toks) * 4, 1.0)
-           + 0.3 * (1 - least((punct / greatest(n_chars, 1)) * 10, 1.0))""",
-        4,
-    )
-    return rf"""
+    quality = det_round_sql(_QUALITY_EXPR_SQL, 4)
+    return f"""
     WITH q AS (
         SELECT {id_col}, {group_col}, {quality} AS quality
-        FROM (
-            SELECT {id_col}, {group_col},
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(list_filter(string_split(lower(text), ' '),
-                        t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')))
-                        AS BIGINT) AS stop_hits,
-                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
-            FROM {table}
+        FROM ({_quality_inner_sql(table, f"{id_col}, {group_col}")}
         )
     ),
     r AS (
@@ -513,24 +522,11 @@ def token_budget_select(
 def token_budget_select_oracle_sql(budget: int = 16384, table: str = "documents") -> str:
     """DuckDB twin: single ordered window sum (the semantic spec the
     distributed prefix sum equals)."""
-    quality = det_round_sql(
-        """0.4 * least(n_toks / 64.0, 1.0)
-           + 0.3 * least((stop_hits / n_toks) * 4, 1.0)
-           + 0.3 * (1 - least((punct / greatest(n_chars, 1)) * 10, 1.0))""",
-        4,
-    )
-    return rf"""
+    quality = det_round_sql(_QUALITY_EXPR_SQL, 4)
+    return f"""
     WITH q AS (
         SELECT doc_id, n_toks AS n_tokens, {quality} AS quality
-        FROM (
-            SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(list_filter(string_split(lower(text), ' '),
-                        t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')))
-                        AS BIGINT) AS stop_hits,
-                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS punct
-            FROM {table}
+        FROM ({_quality_inner_sql(table)}
         )
     ),
     s AS (

@@ -63,14 +63,13 @@ _DRIVER_PRIORITY: list[str] = [
     "projection_json_cast",
     "ts_parse_fallback",
     "filter_predicates",
-    "pricing_summary",
-    "revenue_by_region",
-    "top_customers",
-    "rank_parts_in_brand",
+    # (pricing_summary / revenue_by_region / top_customers /
+    # rank_parts_in_brand — green r01/r03/r04 — unpinned to the rotating tail
+    # to restore window headroom after the round-5 session-3 additions)
     # (customers_with/without_orders, nation_set_ops, ngram_jaccard, tfidf,
     # doc_fingerprint, embedding_quantize, language_id, repetition,
     # distinct_users, rollup — all green r01–r04 — unpinned to the rotating
-    # tail, keeping ≥9 rotation slots as the registry grows)
+    # tail, keeping ≥10 rotation slots as the registry grows)
     # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
     # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
     # pool since the driver's check adds nothing beyond rows-present for them)

@@ -1195,3 +1195,45 @@ def test_quality_top_fraction_matches_python_reference(spark):
             for r in sampling.quality_top_fraction(d, fraction=(num, den)).collect()
         }
         assert got == expect, part
+
+
+def test_grouped_rank_ops_keep_null_group(spark):
+    """A NULL group is a real group (SQL PARTITION BY semantics): mix_interleave
+    must still emit a permutation of 0..N-1 and rank the NULL-source docs as
+    their own stream (at the default weight); quality_top_fraction must apply
+    its fraction to the NULL group instead of silently dropping it."""
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    rows = [(i, ["a", "b", None][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.mix_interleave(df, {"a": 2}).collect()
+    assert sorted(r.interleave_pos for r in out) == list(range(30))
+    null_ranks = sorted(r.src_rank for r in out if r.source is None)
+    assert null_ranks == list(range(10))
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog", ["en", None][i % 2]) for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    kept = sampling.quality_top_fraction(docs, fraction=(1, 2)).collect()
+    by_grp = {}
+    for r in kept:
+        by_grp.setdefault(r.lang, []).append(r.q_rank)
+    assert sorted(by_grp[None]) == list(range(5))  # ceil(10 * 1/2) = 5
+    assert sorted(by_grp["en"]) == list(range(5))
+
+
+def test_connected_components_survives_null_edge_ids(spark):
+    """A NULL endpoint must not delete its partner node: (3, NULL) leaves node
+    3 labelled with itself (the pre-fusion union+groupBy-min behavior)."""
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, None)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in clustering.connected_components(pairs).collect()
+        if r.node is not None
+    }
+    assert got[1] == 1 and got[2] == 1 and got[3] == 3
