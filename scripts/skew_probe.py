@@ -78,6 +78,18 @@ def main() -> None:
 
     t_cap_twophase = bench(domain_cap(docs, cap=cap))
 
+    # FULL per-group ranking (not top-k — every row keeps its rank) on the
+    # same hot group: naive per-group window sorts 90% of rows in one task;
+    # grouped_rank range-partitions the order key so the hot group spreads
+    # across the cluster
+    w_rank = Window.partitionBy("source").orderBy("doc_id")
+    naive_rank = docs.withColumn("r", F.row_number().over(w_rank) - 1)
+    t_rank_naive = bench(naive_rank)
+
+    from kda_flink_demo_spark.operators.llm.packing import grouped_rank
+
+    t_rank_prefix = bench(grouped_rank(docs, "source", ["doc_id"], out_col="r"))
+
     n = ev.count()
     print(
         json.dumps(
@@ -87,6 +99,8 @@ def main() -> None:
                 "salted_sec": t_salted,
                 "topk_naive_sec": t_cap_naive,
                 "topk_twophase_sec": t_cap_twophase,
+                "rank_naive_sec": t_rank_naive,
+                "rank_prefix_sec": t_rank_prefix,
             }
         )
     )
