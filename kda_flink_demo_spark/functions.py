@@ -29,3 +29,18 @@ def det_round_np(arr, digits: int):
 
     scale = float(10**digits)
     return np.floor(np.asarray(arr, dtype="float64") * scale + 0.5) / scale
+
+
+def spread_for_compute(df):
+    """Ensure enough partitions for CPU-bound per-row kernels (shingle
+    explodes, Arrow UDFs) WITHOUT paying a full-row shuffle when the source is
+    already parallel: the test fixtures are single parquet files (1–2 input
+    splits) that would pin the work to one or two cores, but a 100 TB table
+    arrives with ~10⁵ splits and must NOT be shuffled wholesale just to spread
+    work. Repartitions only when the incoming partition count is below
+    defaultParallelism; streaming DataFrames (whose partitioning can't be
+    inspected) keep the unconditional repartition."""
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if df.isStreaming or df.rdd.getNumPartitions() < para:
+        return df.repartition(para)
+    return df

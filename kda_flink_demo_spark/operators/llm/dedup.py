@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kda_flink_demo_spark.functions import det_round
+from kda_flink_demo_spark.functions import det_round, spread_for_compute
 
 # Mersenne prime 2^31-1: keeps a*h+b inside int64 for a,b < 2^31.
 _MERSENNE = (1 << 31) - 1
@@ -115,7 +115,7 @@ def ngram_jaccard_pairs(
     """
     # spread the CPU-heavy shingle explode across cores (single-file inputs
     # otherwise pin it to one task; no-op-ish on many-split cluster scans)
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_for_compute(df)
     sh = spread.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
     )
@@ -293,7 +293,7 @@ def contamination_pairs(
         if join_on_hash
         else (lambda t: word_ngrams(t, n))
     )
-    spread = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_for_compute(train)
     # NOTE the per-doc count deliberately re-derives the shingles (two gram
     # builds over the corpus). Both "single-scan" alternatives measure WORSE:
     # retaining the gram array beside the explode trips CollapseProject into
@@ -354,7 +354,7 @@ def simhash_values(
         lambda s, x: s + x,
     )
     # CPU-bound per-row work: spread across cores even on a single-file input
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_for_compute(df)
     return spread.select(F.col(id_col), packed.alias("simhash"))
 
 
@@ -438,7 +438,7 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_for_compute(df)
     grams = word_ngrams(F.col(text_col), n=span)
     if group_on_hash:
         grams = F.transform(grams, lambda s: F.xxhash64(s))
@@ -575,8 +575,7 @@ def _shingle_hashed(
 ) -> DataFrame:
     """(id, hashes): distinct hashed shingles per doc, short docs dropped,
     hashing spread across cores (single-file inputs otherwise pin it)."""
-    para = df.sparkSession.sparkContext.defaultParallelism
-    spread = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).repartition(para)
+    spread = spread_for_compute(df.filter(F.size(F.split(F.col(text_col), " ")) >= n))
     return spread.select(
         F.col(id_col), shingle_hashes(word_ngrams(F.col(text_col), n)).alias("hashes")
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kda_flink_demo_spark.functions import det_round, det_round_sql
+from kda_flink_demo_spark.functions import det_round, det_round_sql, spread_for_compute
 
 
 def _bigram_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -37,7 +37,7 @@ def _bigram_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     pairs = F.when(
         n >= 2, F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
     ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_for_compute(df)
     return spread.select(F.col(id_col), F.explode(pairs).alias("p")).select(
         F.col(id_col), F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
     )

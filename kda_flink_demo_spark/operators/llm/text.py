@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kda_flink_demo_spark.functions import det_round, det_round_sql
+from kda_flink_demo_spark.functions import det_round, det_round_sql, spread_for_compute
 
 # Tiny per-language stopword sets for the n-gram/stopword heuristic. Counted
 # by exact token equality (see _stopword_count): Java regex ``\b`` is
@@ -396,7 +396,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
                 {out_schema[0].name: ids, "fingerprint": fps, "min_gram_fp": mins}
             )
 
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread = spread_for_compute(df)
     return spread.select(F.col(id_col), F.col(text_col)).mapInPandas(fp_kernel, out_schema)
 
 
