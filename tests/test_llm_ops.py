@@ -1028,6 +1028,25 @@ def test_prefix_sum_family_fuzz_vs_python(spark):
         }
         assert got_pos == want_pos, trial
 
+        # grouped_rank reference: 0-based rank within group, ordered by
+        # (n_tokens, doc_id) — random skewed groups incl. a singleton group
+        groups = {i: ["g0", "g0", "g1", "g2"][rng.randrange(4)] for i in ntok}
+        gdf = spark.createDataFrame(
+            [(i, groups[i], ntok[i]) for i in ntok], "doc_id long, grp string, n long"
+        ).repartition(rng.choice([1, 5]))
+        want_rank = {}
+        for g in set(groups.values()):
+            members = sorted(
+                (i for i in ntok if groups[i] == g), key=lambda i: (ntok[i], i)
+            )
+            for r, i in enumerate(members):
+                want_rank[i] = r
+        got_rank = {
+            r.doc_id: r.rk
+            for r in packing.grouped_rank(gdf, "grp", ["n", "doc_id"], out_col="rk").collect()
+        }
+        assert got_rank == want_rank, trial
+
 
 def test_source_upsample_matches_python_reference(spark):
     """Every (doc, epoch) copy — including the fractional extra epoch, the
