@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "token_budget_select",
     "ingest_dedup",
     "ingest_dedup_fuzzy",
+    "ingest_dedup_bloom",
+    "corpus_snapshot_diff",
+    "multi_resolution_rollup",
+    "anomaly_zscore",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

@@ -149,3 +149,60 @@ def profile_columns(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def multi_resolution_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: event counts and sums at
+    minute / hour / day resolution (plus the grand total) in ONE scan.
+
+    Time-series stores (TimescaleDB continuous aggregates, Druid rollup
+    segments) maintain the same measure at several resolutions; because
+    minute ⊂ hour ⊂ day is a strict hierarchy, ``ROLLUP(day, hour, minute)``
+    produces exactly those four levels from a single Expand + one
+    partial→final hash aggregate — the coarser levels are NOT re-scans.
+    ``level`` is the grouping_id bitmask (0 = minute rows, 1 = hour rows,
+    3 = day rows, 7 = grand total; Spark and DuckDB/Postgres encode it
+    identically). At 100 TB the shuffle carries (day, hour, minute) keys
+    already combined map-side — the Expand's 4× row fan-out collapses in the
+    partial aggregate, never on the wire.
+    """
+    from kda_flink_demo_spark.functions import det_round
+
+    d = df.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        F.date_trunc("minute", F.col(ts_col)).alias("minute"),
+        F.col(value_col),
+    )
+    return d.rollup("day", "hour", "minute").agg(
+        F.grouping_id().cast("long").alias("level"),
+        F.count(F.lit(1)).alias("cnt"),
+        det_round(F.sum(value_col), 4).alias("sum_value"),
+    )
+
+
+def multi_resolution_rollup_oracle_sql(table: str = "events") -> str:
+    from kda_flink_demo_spark.functions import det_round_sql
+
+    s = det_round_sql("sum(value)", 4)
+    # DuckDB's date_trunc('day') yields DATE where Spark yields TIMESTAMP —
+    # the outer CAST aligns the types without disturbing the GROUPING() args.
+    return f"""
+    SELECT CAST(day AS TIMESTAMP) AS day, hour, minute, level, cnt, sum_value
+    FROM (
+        SELECT date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour,
+               date_trunc('minute', ts) AS minute,
+               CAST(GROUPING(date_trunc('day', ts), date_trunc('hour', ts),
+                             date_trunc('minute', ts)) AS BIGINT) AS level,
+               count(*) AS cnt,
+               {s} AS sum_value
+        FROM {table}
+        GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts),
+                        date_trunc('minute', ts))
+    )
+    """

@@ -680,3 +680,108 @@ def ingest_dedup_fuzzy_probe(
         .distinct()
     )
     return new_df.join(matched, id_col, "left_anti")
+
+
+def _bloom_positions(text_col: str, m_bits: int, k: int) -> Column:
+    """Array of k Bloom bit positions for a text column, double hashing
+    (Kirsch–Mitzenmacher): pos_i = (h1 + i·h2_odd) mod m. Both hashes are
+    reduced mod m BEFORE combining, so under ANSI mode no intermediate can
+    overflow int64 (max ≈ m + k·2m ≪ 2^63); the odd stride keeps the probe
+    sequence a full cycle over the power-of-two m."""
+    h1 = F.pmod(F.xxhash64(F.col(text_col), F.lit(1)), F.lit(m_bits))
+    h2_odd = F.pmod(F.xxhash64(F.col(text_col), F.lit(2)), F.lit(m_bits)) * 2 + 1
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2_odd, F.lit(m_bits)) for i in range(k)])
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Distributed Bloom filter over ``xxhash64(text)``: a (word, bits) table
+    of ``m_bits / 64`` LONG rows (~``m_bits/8`` bytes total) built in ONE
+    map-side pass over the corpus.
+
+    Bit positions use double hashing (see :func:`_bloom_positions`) — all JVM
+    expressions. The k (word, mask) rows per doc are fixed-width (16 bytes);
+    the ``bit_or`` aggregate combines map-side, so each scan task emits at
+    most ``m_bits/64`` rows no matter how many documents it read. At 100 TB
+    the standing index this produces is ~128 KB per 2^20 bits — small enough
+    to broadcast to every ingest probe, where the exact-hash index of
+    `ingest_dedup_against_corpus` would be ~8 B/doc (terabyte-scale keys at
+    trillion-doc corpora).
+    """
+    pos = F.explode(_bloom_positions(text_col, m_bits, k)).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def ingest_dedup_bloom(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental-ingest exact dedup via a Bloom-filter pre-filter + exact
+    verify — the zero-corpus-shuffle twin of
+    :func:`ingest_dedup_against_corpus`, with IDENTICAL output (the Bloom
+    filter admits false positives, which the exact verify removes, and no
+    false negatives).
+
+    Three stages, none of which shuffles the corpus:
+    1. Build (or reuse) the broadcast-sized Bloom word table (`bloom_build` —
+       map-side ``bit_or``, ≤ m/64 rows of state).
+    2. Probe: each incoming doc checks its k bits against the BROADCAST word
+       table (explode k fixed-width probes, broadcast hash join, ``bool_and``
+       over the k hits). Docs missing any bit are definitively new.
+    3. Verify: the surviving candidate hashes (tiny after stage 2 unless the
+       batch truly is mostly re-crawls) are BROADCAST against a map-side
+       semi-join over the corpus hash projection — the corpus is scanned, never
+       shuffled, and only confirmed duplicates are dropped.
+
+    At 100 TB the index is built once offline (like the standing
+    fuzzy-ingest index) and stage 3's scan is the only per-batch corpus
+    touch; a trillion-row corpus costs each ingest batch one broadcast and
+    one scan-side filter instead of an 8-byte-per-doc shuffled hash index.
+    """
+    bloom = bloom_build(corpus_df, text_col=text_col, m_bits=m_bits, k=k)
+    probes = new_df.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("_h"),
+        F.explode(_bloom_positions(text_col, m_bits, k)).alias("pos"),
+    ).select(
+        id_col,
+        "_h",
+        F.shiftright(F.col("pos"), 6).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+    )
+    hits = probes.join(F.broadcast(bloom), "word", "left").select(
+        id_col,
+        "_h",
+        (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0)).alias(
+            "hit"
+        ),
+    )
+    candidates = (
+        hits.groupBy(id_col, "_h").agg(F.bool_and("hit").alias("maybe"))
+        .filter(F.col("maybe"))
+        .select(F.col("_h"))
+        .distinct()
+    )
+    corpus_hashes = corpus_df.select(F.xxhash64(F.col(text_col)).alias("_h"))
+    confirmed = corpus_hashes.join(F.broadcast(candidates), "_h", "left_semi").distinct()
+    return new_df.join(
+        F.broadcast(confirmed),
+        F.xxhash64(F.col(text_col)) == F.col("_h"),
+        "left_anti",
+    )

@@ -155,3 +155,103 @@ def resample_interp(
         .alias("interp_sum"),
         "had_data",
     )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback_rows: int = 50,
+    min_history: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: flag events whose value
+    deviates more than ``threshold`` standard deviations from the mean of the
+    previous ``lookback_rows`` events of the same key (the event itself is
+    EXCLUDED from its own baseline — frame ends at 1 PRECEDING). Events with
+    fewer than ``min_history`` prior observations are never flagged
+    (cold-start guard).
+
+    Scale shape: one shuffle on the key, one in-partition sort, ONE
+    WindowExec evaluated on the O(n) incremental path. A naive
+    ``ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING`` frame makes Spark
+    recompute every aggregate over the full frame per output row (no
+    retraction support — O(rows · frame · aggs), measured 2.1 s vs 0.6 s at
+    sf0.1); instead the trailing count / Σv / Σv² are each the DIFFERENCE of
+    two running ``UNBOUNDED PRECEDING``-to-fixed-offset sums, which Spark
+    (and DuckDB) advance incrementally. Mean/variance come from the sums
+    (var = (Σv² − (Σv)²/n)/(n−1)); the oracle mirrors the identical
+    arithmetic so both engines run the same doubles. Ties on ``ts`` are
+    broken by ``id_col`` so frame contents are deterministic. The z-score is
+    det_round(6)-ed and the threshold tests the rounded value — a
+    cross-engine flip would need a true z within float-fold noise (~1e-9) of
+    the threshold. Caveat (documented, fixture-continuous data can't hit
+    it): near-constant history makes the variance difference catastrophic-
+    cancellation-sized; the ``var > 0`` guard drops exact-constant frames,
+    and genuinely near-constant sensors should use a coarser det_round on
+    the variance.
+    """
+    from kda_flink_demo_spark.functions import det_round
+
+    base = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    upto_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    before_frame = base.rowsBetween(Window.unboundedPreceding, -(lookback_rows + 1))
+    v = F.col(value_col)
+    v2 = v * v
+    n = F.count(v).over(upto_prev) - F.coalesce(
+        F.count(v).over(before_frame), F.lit(0)
+    )
+    s1 = F.coalesce(F.sum(v).over(upto_prev), F.lit(0.0)) - F.coalesce(
+        F.sum(v).over(before_frame), F.lit(0.0)
+    )
+    s2 = F.coalesce(F.sum(v2).over(upto_prev), F.lit(0.0)) - F.coalesce(
+        F.sum(v2).over(before_frame), F.lit(0.0)
+    )
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = det_round((v - mean) / F.sqrt(var), 6)
+    return (
+        df.select(
+            id_col,
+            key_col,
+            ts_col,
+            v,
+            F.when((n >= min_history) & (var > 0), z).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .select(id_col, key_col, ts_col, value_col, "zscore")
+    )
+
+
+def anomaly_zscore_oracle_sql(
+    table: str = "events",
+    lookback_rows: int = 50,
+    min_history: int = 20,
+    threshold: float = 3.0,
+) -> str:
+    from kda_flink_demo_spark.functions import det_round_sql
+
+    # mirrors the engine's exact arithmetic: trailing stats as differences of
+    # two running unbounded-preceding sums, then var = (Σv² − (Σv)²/n)/(n−1)
+    z = det_round_sql("(value - _s1 / _n) / sqrt((_s2 - _s1 * _s1 / _n) / (_n - 1))", 6)
+    return f"""
+    WITH scored AS (
+        SELECT event_id, event_type, ts, value,
+               count(value) OVER wp - coalesce(count(value) OVER wb, 0) AS _n,
+               coalesce(sum(value) OVER wp, 0.0)
+                   - coalesce(sum(value) OVER wb, 0.0) AS _s1,
+               coalesce(sum(value * value) OVER wp, 0.0)
+                   - coalesce(sum(value * value) OVER wb, 0.0) AS _s2
+        FROM {table}
+        WINDOW wp AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wb AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND {lookback_rows + 1} PRECEDING)
+    )
+    SELECT event_id, event_type, ts, value, {z} AS zscore
+    FROM scored
+    WHERE _n >= {min_history} AND (_s2 - _s1 * _s1 / _n) / (_n - 1) > 0
+      AND abs({z}) > {threshold}
+    """

@@ -110,6 +110,12 @@ _DRIVER_PRIORITY: list[str] = [
     "mix_interleave",
     "vocab_top_terms",
     "quality_top_fraction",
+    # round-5 session-4 additions (first driver exposure r05; unpin the
+    # r05-green rows next round to restore rotation headroom)
+    "ingest_dedup_bloom",
+    "corpus_snapshot_diff",
+    "multi_resolution_rollup",
+    "anomaly_zscore",
 ]
 
 _DRIVER_WINDOW = 50

@@ -11,6 +11,8 @@ from pyspark.sql.functions import broadcast
 
 from kda_flink_demo_spark.functions import det_round
 from kda_flink_demo_spark.io.sources import load_table
+from kda_flink_demo_spark.operators.aggregates import multi_resolution_rollup_oracle_sql
+from kda_flink_demo_spark.operators.over_windows import anomaly_zscore_oracle_sql
 from kda_flink_demo_spark.operators.windows import session_counts
 from kda_flink_demo_spark.registry import register
 
@@ -1338,3 +1340,31 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kda_flink_demo_spark.operators.over_windows import resample_interp
 
     return resample_interp(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "multi_resolution_rollup",
+    multi_resolution_rollup_oracle_sql(),
+)
+def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute/hour/day counts+sums
+    (plus grand total) from ONE scan via ROLLUP on the truncated-time
+    hierarchy — one Expand + a single partial→final aggregate, the
+    continuous-aggregate shape of time-series stores."""
+    from kda_flink_demo_spark.operators.aggregates import multi_resolution_rollup
+
+    return multi_resolution_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "anomaly_zscore",
+    anomaly_zscore_oracle_sql(),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection per event_type: flag events
+    > 3σ from the mean of the previous 50 same-key events (self excluded,
+    ≥ 20-event history). One key shuffle + one bounded-ROWS WindowExec — the
+    monitoring twin of the reference's sliding OVER window."""
+    from kda_flink_demo_spark.operators.over_windows import anomaly_zscore
+
+    return anomaly_zscore(load_table(spark, sf_dir, "events"))

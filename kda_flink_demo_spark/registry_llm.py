@@ -20,6 +20,7 @@ from kda_flink_demo_spark.operators.llm import (
     sampling,
     similarity,
     text,
+    versioning,
 )
 from kda_flink_demo_spark.registry import register
 
@@ -763,3 +764,62 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     token line cut into 8 equal-token spans via the distributed prefix sum;
     pure integer arithmetic, no float drift."""
     return packing_mod.assign_shards(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+@register(
+    "ingest_dedup_bloom",
+    """
+    WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+    incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
+    SELECT i.doc_id FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = i.text)
+    """,
+)
+def q_ingest_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest dedup: the zero-corpus-shuffle twin of
+    ingest_dedup — broadcast ~128 KB Bloom word table pre-filter + exact
+    verify of the (tiny) candidate set against a map-side corpus scan. Same
+    incoming/corpus split and the SAME oracle as ingest_dedup, so the two
+    designs are independently held to identical output."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    recrawl = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10000)
+    )
+    incoming = docs.filter(F.col("doc_id") >= 400).unionByName(recrawl)
+    return dedup.ingest_dedup_bloom(incoming, corpus).select("doc_id")
+
+
+# Simulated snapshot pair derived deterministically from the documents table:
+# snapshot A drops doc_id % 10 = 3 (they become "added" in B... no: A lacks
+# them, B has them), snapshot B drops doc_id % 10 = 7 ("removed") and edits
+# doc_id % 10 = 5 by appending a revision marker ("changed").
+_SNAP_OLD_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3"
+_SNAP_NEW_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 10 <> 7"
+)
+
+
+@register(
+    "corpus_snapshot_diff",
+    versioning.snapshot_diff_oracle_sql(_SNAP_OLD_SQL, _SNAP_NEW_SQL),
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (incremental-reprocessing planner): added / removed /
+    changed doc ids between two corpus snapshots via a full-outer join of
+    16-byte (id, xxhash64(text)) projections — document text never shuffles,
+    output is proportional to churn, unchanged rows are dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_snap = docs.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    new_snap = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 5, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return versioning.snapshot_diff(old_snap, new_snap)

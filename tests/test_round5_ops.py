@@ -1,0 +1,173 @@
+"""Round-5 session-4 operators: Bloom-filter ingest dedup, corpus snapshot
+diff, multi-resolution rollup, trailing z-score anomaly detection. The oracle
+sweep (test_registry_oracle) checks the registered queries end-to-end; these
+tests pin the operator-level contracts and edge cases the fixture can't hit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.io.sources import load_table
+from kda_flink_demo_spark.operators.aggregates import multi_resolution_rollup
+from kda_flink_demo_spark.operators.llm import dedup, versioning
+from kda_flink_demo_spark.operators.over_windows import anomaly_zscore
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# ---------------------------------------------------------------- bloom dedup
+
+
+def test_bloom_matches_exact_ingest_dedup_even_with_tiny_filter(spark):
+    """With m_bits=256 over 400 corpus docs the filter is saturated — nearly
+    every incoming doc is a Bloom candidate (false positives guaranteed) —
+    yet the exact verify must reduce the output to EXACTLY the anti-join
+    answer. No false negatives is structural (a corpus doc's own bits are
+    always set)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 400).unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10000)
+        )
+    )
+    exact = {
+        r.doc_id
+        for r in dedup.ingest_dedup_against_corpus(incoming, corpus)
+        .select("doc_id")
+        .collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in dedup.ingest_dedup_bloom(incoming, corpus, m_bits=256, k=2)
+        .select("doc_id")
+        .collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_word_table_is_bounded_and_probe_joins_broadcast(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    table = dedup.bloom_build(docs, m_bits=1 << 12, k=4)
+    assert table.count() <= (1 << 12) // 64
+    # every mask bit for a corpus doc must be present (no false negatives)
+    plan = (
+        dedup.ingest_dedup_bloom(docs.limit(10), docs, m_bits=1 << 12, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # the corpus side is never shuffled by a join: the only exchanges belong
+    # to the bloom build's bit_or aggregate and the candidate distinct (both
+    # over tiny fixed-width keys), and every join is broadcast
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_bloom_empty_corpus_keeps_all_incoming(spark):
+    incoming = _docs(spark, [(1, "a b c"), (2, "d e f")])
+    corpus = incoming.filter(F.lit(False))
+    out = dedup.ingest_dedup_bloom(incoming, corpus)
+    assert out.count() == 2
+
+
+# ------------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses(spark):
+    old = _docs(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _docs(spark, [(2, "b"), (3, "c2"), (4, "d")])
+    got = {r.doc_id: r.status for r in versioning.snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_identical_snapshots_is_empty(spark):
+    snap = _docs(spark, [(1, "a"), (2, "b")])
+    assert versioning.snapshot_diff(snap, snap).count() == 0
+
+
+def test_snapshot_diff_never_shuffles_text(spark):
+    """Both sides must be projected to (id, hash) BEFORE the join — the plan
+    can't carry the text column into any exchange."""
+    docs = load_table(spark, SF_DIR, "documents")
+    df = versioning.snapshot_diff(docs, docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+# ------------------------------------------------------- multi-res rollup
+
+
+def test_rollup_levels_conserve_totals(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = multi_resolution_rollup(ev).collect()
+    total = ev.count()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, 0)
+        by_level[r.level] += r.cnt
+    # every resolution partitions the same events
+    assert by_level == {0: total, 1: total, 3: total, 7: total}
+    grand = [r for r in out if r.level == 7]
+    assert len(grand) == 1 and grand[0].day is None and grand[0].minute is None
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plan = multi_resolution_rollup(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial → final
+
+
+# ---------------------------------------------------------- anomaly z-score
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            event_type="m",
+            ts=base + dt.timedelta(minutes=i),
+            value=10.0 + (i % 7) * 0.1,  # tight band, nonzero variance
+        )
+        for i in range(60)
+    ]
+    rows[40] = Row(event_id=40, event_type="m", ts=base + dt.timedelta(minutes=40), value=500.0)
+    df = spark.createDataFrame(rows)
+    out = anomaly_zscore(df).collect()
+    assert [r.event_id for r in out] == [40]
+    assert out[0].zscore > 3
+
+
+def test_anomaly_zscore_cold_start_never_flags(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # 10 rows (< min_history) incl. a wild outlier: nothing may be flagged
+    rows = [
+        Row(event_id=i, event_type="m", ts=base + dt.timedelta(minutes=i), value=float(i))
+        for i in range(9)
+    ] + [Row(event_id=9, event_type="m", ts=base + dt.timedelta(minutes=9), value=9e9)]
+    assert anomaly_zscore(spark.createDataFrame(rows)).count() == 0
+
+
+def test_anomaly_zscore_constant_history_guard(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # constant history → stddev 0 → the spike row has no defined z; guarded out
+    rows = [
+        Row(event_id=i, event_type="m", ts=base + dt.timedelta(minutes=i), value=5.0)
+        for i in range(30)
+    ] + [Row(event_id=30, event_type="m", ts=base + dt.timedelta(minutes=30), value=100.0)]
+    assert anomaly_zscore(spark.createDataFrame(rows)).count() == 0
