@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "corpus_snapshot_diff",
     "multi_resolution_rollup",
     "anomaly_zscore",
+    "scd2_user_history",
+    "bpe_pair_counts",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

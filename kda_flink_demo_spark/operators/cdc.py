@@ -44,3 +44,45 @@ def apply_changes(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
         .select(*base_cols)
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction: turn a change log into
+    versioned history rows with ``valid_from`` / ``valid_to`` (half-open,
+    NULL = open-ended) and an ``is_current`` flag — the warehouse pattern for
+    tracking how a dimension attribute evolved.
+
+    Consecutive rows whose tracked attributes are unchanged are compressed
+    away first (NULL-safe comparison via lag), so each history row is a real
+    transition; ``valid_to`` is then the next KEPT change's timestamp.
+
+    Scale shape: one hash shuffle on the key, then two in-partition window
+    passes over the same sort (lag-compare for compression, lead for the
+    interval close) — Catalyst plans a single Exchange + Sort feeding both
+    WindowExecs, running frames only. Per-key history must fit a partition —
+    dimension keys (user, product, account) are naturally fine-grained.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    unchanged = F.lit(True)
+    for a in attr_cols:
+        unchanged = unchanged & F.col(a).eqNullSafe(F.lag(a).over(w))
+    kept = (
+        changes.withColumn("_first", F.row_number().over(w) == 1)
+        .withColumn("_same", unchanged)
+        .filter(F.col("_first") | ~F.col("_same"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return kept.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

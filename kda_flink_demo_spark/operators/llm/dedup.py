@@ -682,15 +682,35 @@ def ingest_dedup_fuzzy_probe(
     return new_df.join(matched, id_col, "left_anti")
 
 
-def _bloom_positions(text_col: str, m_bits: int, k: int) -> Column:
-    """Array of k Bloom bit positions for a text column, double hashing
-    (Kirsch–Mitzenmacher): pos_i = (h1 + i·h2_odd) mod m. Both hashes are
-    reduced mod m BEFORE combining, so under ANSI mode no intermediate can
-    overflow int64 (max ≈ m + k·2m ≪ 2^63); the odd stride keeps the probe
-    sequence a full cycle over the power-of-two m."""
-    h1 = F.pmod(F.xxhash64(F.col(text_col), F.lit(1)), F.lit(m_bits))
-    h2_odd = F.pmod(F.xxhash64(F.col(text_col), F.lit(2)), F.lit(m_bits)) * 2 + 1
-    return F.array(*[F.pmod(h1 + F.lit(i) * h2_odd, F.lit(m_bits)) for i in range(k)])
+def _with_bloom_positions(
+    df: DataFrame, text_col: str, m_bits: int, k: int, keep: list[Column]
+) -> DataFrame:
+    """``keep`` columns plus a ``pos`` array of k Bloom bit positions, double
+    hashing (Kirsch–Mitzenmacher): pos_i = (h1 + i·h2_odd) mod m.
+
+    The two seeded xxhash64 calls live in their OWN projection, multi-
+    referenced from the next one — CollapseProject keeps non-cheap aliases
+    with >1 use materialized, so the (long) text is hashed exactly twice per
+    row. Inlining them into the array elements re-hashes the text 2k times —
+    measured 3.6× slower on the build scan (the same CollapseProject trap as
+    the shingle build above). Both hashes are reduced mod m BEFORE combining,
+    so under ANSI mode no intermediate can overflow int64; the odd stride
+    keeps the probe sequence a full cycle over the power-of-two m."""
+    hashed = df.select(
+        *keep,
+        F.pmod(F.xxhash64(F.col(text_col), F.lit(1)), F.lit(m_bits)).alias("_bh1"),
+        (F.pmod(F.xxhash64(F.col(text_col), F.lit(2)), F.lit(m_bits)) * 2 + 1).alias(
+            "_bh2"
+        ),
+    )
+    pos = F.array(
+        *[
+            F.pmod(F.col("_bh1") + F.lit(i) * F.col("_bh2"), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    carried = [F.col(c) for c in hashed.columns if c not in ("_bh1", "_bh2")]
+    return hashed.select(*carried, pos.alias("pos_arr"))
 
 
 def bloom_build(
@@ -712,9 +732,9 @@ def bloom_build(
     `ingest_dedup_against_corpus` would be ~8 B/doc (terabyte-scale keys at
     trillion-doc corpora).
     """
-    pos = F.explode(_bloom_positions(text_col, m_bits, k)).alias("pos")
     return (
-        df.select(pos)
+        _with_bloom_positions(df, text_col, m_bits, k, keep=[])
+        .select(F.explode(F.col("pos_arr")).alias("pos"))
         .select(
             F.shiftright(F.col("pos"), 6).alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
@@ -753,12 +773,30 @@ def ingest_dedup_bloom(
     fuzzy-ingest index) and stage 3's scan is the only per-batch corpus
     touch; a trillion-row corpus costs each ingest batch one broadcast and
     one scan-side filter instead of an 8-byte-per-doc shuffled hash index.
+
+    The word table and the confirmed-duplicate set are eagerly
+    ``localCheckpoint``-ed (same pattern as the fuzzy-ingest index): both are
+    broadcast-sized, and truncating their lineage keeps the downstream joins'
+    plans shallow — without it each nested BroadcastExchange re-inlines (and
+    re-plans, re-codegens) the full upstream scan tree, which dominated wall
+    clock on wide-union inputs. The checkpoint jobs ARE the pipeline's
+    stages, so the honest cost is unchanged: one corpus scan for the filter,
+    one incoming + one corpus scan for candidates→verify, one incoming scan
+    for the final anti join.
     """
-    bloom = bloom_build(corpus_df, text_col=text_col, m_bits=m_bits, k=k)
-    probes = new_df.select(
+    bloom = bloom_build(
+        corpus_df, text_col=text_col, m_bits=m_bits, k=k
+    ).localCheckpoint()
+    probes = _with_bloom_positions(
+        new_df,
+        text_col,
+        m_bits,
+        k,
+        keep=[F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h")],
+    ).select(
         F.col(id_col),
-        F.xxhash64(F.col(text_col)).alias("_h"),
-        F.explode(_bloom_positions(text_col, m_bits, k)).alias("pos"),
+        F.col("_h"),
+        F.explode(F.col("pos_arr")).alias("pos"),
     ).select(
         id_col,
         "_h",
@@ -779,7 +817,11 @@ def ingest_dedup_bloom(
         .distinct()
     )
     corpus_hashes = corpus_df.select(F.xxhash64(F.col(text_col)).alias("_h"))
-    confirmed = corpus_hashes.join(F.broadcast(candidates), "_h", "left_semi").distinct()
+    confirmed = (
+        corpus_hashes.join(F.broadcast(candidates), "_h", "left_semi")
+        .distinct()
+        .localCheckpoint()
+    )
     return new_df.join(
         F.broadcast(confirmed),
         F.xxhash64(F.col(text_col)) == F.col("_h"),

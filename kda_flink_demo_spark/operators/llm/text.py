@@ -578,3 +578,60 @@ def length_buckets_oracle_sql(table: str = "documents") -> str:
            n_docs, total_tokens, {avg} AS avg_tokens
     FROM g
     """
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Byte-pair-encoding merge candidates — the inner loop of tokenizer
+    training: count adjacent character pairs across the corpus and rank the
+    top-``k`` (each iteration of BPE merges the most frequent pair; this
+    computes the full candidate table for one iteration).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    partial→final word count — the same shuffle bound as
+    :func:`vocab_top_terms`), and pairs are then generated from each distinct
+    word ONCE, weighted by its count — pair generation cost is vocabulary-
+    not corpus-sized, exactly how production BPE trainers iterate. The pair
+    aggregate map-side-combines to the pair alphabet (≤ |chars|²), and the
+    top-k is TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.char_length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = vocab.select(
+        F.col("wc"),
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    topk = counts.orderBy(F.col("pair_count").desc(), "pair").limit(k)
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return topk.withColumn("pair_rank", F.row_number().over(w).cast("long"))
+
+
+def bpe_pair_counts_oracle_sql(k: int = 50, table: str = "documents") -> str:
+    return f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM {table}
+    ),
+    vocab AS (
+        SELECT w, count(*) AS wc FROM words WHERE length(w) >= 2 GROUP BY 1
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair,
+               wc
+        FROM vocab
+    ),
+    counts AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM pairs GROUP BY 1)
+    SELECT pair, pair_count, pair_rank FROM (
+        SELECT pair, pair_count,
+               CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+                   AS pair_rank
+        FROM counts
+    ) WHERE pair_rank <= {k}
+    """

@@ -116,6 +116,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_snapshot_diff",
     "multi_resolution_rollup",
     "anomaly_zscore",
+    "scd2_user_history",
+    "bpe_pair_counts",
 ]
 
 _DRIVER_WINDOW = 50

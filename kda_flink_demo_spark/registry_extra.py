@@ -1368,3 +1368,38 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kda_flink_demo_spark.operators.over_windows import anomaly_zscore
 
     return anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "scd2_user_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    kept AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM kept
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 reconstruction: each user's event_type transitions as
+    versioned validity intervals (valid_from / valid_to / is_current),
+    consecutive no-change rows compressed away NULL-safely — the warehouse
+    dimension-history pattern, one key shuffle + two window passes over the
+    same sort."""
+    from kda_flink_demo_spark.operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_history(
+        ev, keys=["user_id"], attr_cols=["event_type"], ts_col="ts", tie_col="event_id"
+    )

@@ -823,3 +823,13 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return versioning.snapshot_diff(old_snap, new_snap)
+
+
+@register("bpe_pair_counts", text.bpe_pair_counts_oracle_sql(k=50))
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate table (one tokenizer-training iteration): top-50
+    adjacent character pairs by corpus frequency — pair generation runs over
+    the VOCABULARY weighted by word counts, never re-scanning the corpus per
+    pair; completes the tokenizer precursor family next to vocab_top_terms
+    and token_stats."""
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)

@@ -168,6 +168,30 @@ def main() -> None:
     _emb.pca_project(emb, k=8).write.format("noop").mode("overwrite").save()
     results["embedding_pca"] = round(time.time() - t0, 2)
     bench("session_windows_dynamic_gap", _sessdyn(ev_raw))
+    from kda_flink_demo_spark.operators.aggregates import multi_resolution_rollup as _mres
+    from kda_flink_demo_spark.operators.llm import versioning as _versioning
+    from kda_flink_demo_spark.operators.over_windows import anomaly_zscore as _zscore
+
+    # eager localCheckpoints at CONSTRUCTION — time construction + execution
+    t0 = time.time()
+    _dedup.ingest_dedup_bloom(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    ).write.format("noop").mode("overwrite").save()
+    results["ingest_dedup_bloom"] = round(time.time() - t0, 2)
+    bench(
+        "snapshot_diff",
+        _versioning.snapshot_diff(
+            docs.filter(F.col("doc_id") % 10 != 3),
+            docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10 == 5, F.concat(F.col("text"), F.lit(" [rev2]"))
+                ).otherwise(F.col("text")),
+            ),
+        ),
+    )
+    bench("multi_resolution_rollup", _mres(ev_raw))
+    bench("anomaly_zscore", _zscore(ev_raw))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

@@ -223,6 +223,10 @@ def test_llm_ops_survive_empty_input(spark, tmp_path_factory):
     assert sampling.token_budget_select(docs).count() == 0
     assert pipeline.filter_pipeline(docs).count() == 0
     assert lm.bigram_lm_score(docs).count() == 0
+    from kda_flink_demo_spark.operators.llm import versioning
+
+    assert text.bpe_pair_counts(docs).count() == 0
+    assert versioning.snapshot_diff(docs, docs).count() == 0
 
 
 def test_multimodal_all_match_oracle_with_empty_and_short_docs(edge_docs):
@@ -386,6 +390,9 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "corpus_filter_pipeline",
     "lm_bigram_score",
     "ingest_dedup",
+    "ingest_dedup_bloom",
+    "corpus_snapshot_diff",
+    "bpe_pair_counts",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

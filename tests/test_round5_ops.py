@@ -1,5 +1,6 @@
 """Round-5 session-4 operators: Bloom-filter ingest dedup, corpus snapshot
-diff, multi-resolution rollup, trailing z-score anomaly detection. The oracle
+diff, multi-resolution rollup, trailing z-score anomaly detection, SCD2
+history reconstruction, BPE pair counts. The oracle
 sweep (test_registry_oracle) checks the registered queries end-to-end; these
 tests pin the operator-level contracts and edge cases the fixture can't hit."""
 
@@ -171,3 +172,65 @@ def test_anomaly_zscore_constant_history_guard(spark):
         for i in range(30)
     ] + [Row(event_id=30, event_type="m", ts=base + dt.timedelta(minutes=30), value=100.0)]
     assert anomaly_zscore(spark.createDataFrame(rows)).count() == 0
+
+
+# ------------------------------------------------------------- SCD2 history
+
+
+def test_scd2_compresses_runs_and_closes_intervals(spark):
+    import datetime as dt
+
+    from kda_flink_demo_spark.operators.cdc import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: A A B A  -> three versions (AA compressed)
+        Row(user_id=1, v="A", ts=base + dt.timedelta(minutes=0), event_id=0),
+        Row(user_id=1, v="A", ts=base + dt.timedelta(minutes=1), event_id=1),
+        Row(user_id=1, v="B", ts=base + dt.timedelta(minutes=2), event_id=2),
+        Row(user_id=1, v="A", ts=base + dt.timedelta(minutes=3), event_id=3),
+        # user 2: NULL NULL C -> NULL run compressed null-safely
+        Row(user_id=2, v=None, ts=base + dt.timedelta(minutes=0), event_id=4),
+        Row(user_id=2, v=None, ts=base + dt.timedelta(minutes=1), event_id=5),
+        Row(user_id=2, v="C", ts=base + dt.timedelta(minutes=2), event_id=6),
+    ]
+    out = scd2_history(
+        spark.createDataFrame(rows),
+        keys=["user_id"],
+        attr_cols=["v"],
+        ts_col="ts",
+        tie_col="event_id",
+    ).collect()
+    hist = {
+        (r.user_id, r.valid_from.minute): (
+            r.v,
+            r.valid_to.minute if r.valid_to else None,
+            r.is_current,
+        )
+        for r in out
+    }
+    assert hist == {
+        (1, 0): ("A", 2, False),
+        (1, 2): ("B", 3, False),
+        (1, 3): ("A", None, True),
+        (2, 0): (None, 2, False),
+        (2, 2): ("C", None, True),
+    }
+    # intervals tile each key's span: every valid_to equals the next valid_from
+    assert sum(1 for r in out if r.is_current) == 2  # one open row per key
+
+
+# --------------------------------------------------------------- BPE pairs
+
+
+def test_bpe_pair_counts_known_corpus(spark):
+    from kda_flink_demo_spark.operators.llm import text as text_mod
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="aba aba ab"), Row(doc_id=1, text="x aba")]
+    )
+    got = {r.pair: (r.pair_count, r.pair_rank) for r in
+           text_mod.bpe_pair_counts(docs, k=10).collect()}
+    # vocab: aba×3, ab×1; single-char word x excluded
+    # pairs: ab -> 3 (from aba) + 1 (from ab) = 4; ba -> 3
+    assert got == {"ab": (4, 1), "ba": (3, 2)}
