@@ -1273,3 +1273,73 @@ def test_streaming_fuzzy_ingest_probe_matches_batch(spark, tmp_path):
     }
     assert sorted(survivors) == sorted(want)
     assert len(survivors) == len(set(survivors))  # each doc decided exactly once
+
+
+@pytest.fixture(scope="module")
+def replay_dir_anomaly(spark, tmp_path_factory):
+    """events with value, globally ordered by (ts, event_id) — the batch
+    operator's tie-break — chunked into 5 in-order files so the stream's
+    arrival order equals the batch frame order."""
+    out = str(tmp_path_factory.mktemp("events_anomaly_replay"))
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    chunk = (len(rows) + 4) // 5
+    for i in range(5):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                f"{out}/chunk={i:02d}"
+            )
+    return out
+
+
+def test_streaming_anomaly_zscore_matches_batch_exactly(
+    spark, replay_dir_anomaly, tmp_path
+):
+    """The O(1)-state streaming z-score must equal the batch operator
+    BIT-EXACTLY on an in-order replay — the state stores running cumulative
+    sums continuing WindowExec's left-to-right accumulation, so every double
+    (mean, var, rounded z) is the same double."""
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.over_windows import anomaly_zscore
+    from kda_flink_demo_spark.streaming.anomaly_state import anomaly_zscore_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(replay_dir_anomaly + "/chunk=*")
+    )
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "anom.duckdb"),
+        "anomalies",
+        ["event_id"],
+        "event_id BIGINT, event_type VARCHAR, ts TIMESTAMP, value DOUBLE, zscore DOUBLE",
+    )
+    _run(spark, anomaly_zscore_stream(stream), sink, str(tmp_path / "ckpt_anom"))
+
+    cols, got = sink.read_all()
+    batch = anomaly_zscore(load_table(spark, SF_DIR, "events"))
+    expected = {r.event_id: (r.event_type, r.value, r.zscore) for r in batch.collect()}
+    got_map = {
+        r[cols.index("event_id")]: (
+            r[cols.index("event_type")],
+            r[cols.index("value")],
+            r[cols.index("zscore")],
+        )
+        for r in got
+    }
+    assert got_map == expected
