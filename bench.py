@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "anomaly_zscore",
     "scd2_user_history",
     "bpe_pair_counts",
+    "zorder_layout",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "anomaly_zscore",
     "scd2_user_history",
     "bpe_pair_counts",
+    "zorder_layout",
 ]
 
 _DRIVER_WINDOW = 50

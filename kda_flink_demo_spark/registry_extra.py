@@ -1403,3 +1403,38 @@ def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         ev, keys=["user_id"], attr_cols=["event_type"], ts_col="ts", tie_col="event_id"
     )
+
+
+def _zorder_oracle() -> str:
+    from kda_flink_demo_spark.io.sinks import zorder_value_sql
+
+    z = zorder_value_sql("qx", "qy", bits=10)
+    return f"""
+    WITH b AS (
+        SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+               min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+        FROM lineitem
+    ),
+    q AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor((l_partkey - xmin) * 1024.0 / (xmax - xmin + 1)) AS BIGINT) AS qx,
+               CAST(floor((l_suppkey - ymin) * 1024.0 / (ymax - ymin + 1)) AS BIGINT) AS qy
+        FROM lineitem, b
+    )
+    SELECT l_orderkey, l_linenumber, {z} AS zvalue, {z} >> 16 AS shard FROM q
+    """
+
+
+@register("zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) write layout: every lineitem row gets its interleaved
+    (partkey, suppkey) z-value and a 16-way shard from the top 4 z bits — the
+    OPTIMIZE-ZORDER-BY layout primitive as a map-only projection (no sampling
+    pass, reproducible at any parallelism); per-shard min/max spans narrow on
+    BOTH dimensions, asserted quantitatively in tests."""
+    from kda_flink_demo_spark.io.sinks import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_layout(
+        li, F.col("l_partkey"), F.col("l_suppkey"), bits=10, shard_bits=4
+    ).select("l_orderkey", "l_linenumber", "zvalue", "shard")

@@ -234,3 +234,53 @@ def test_bpe_pair_counts_known_corpus(spark):
     # vocab: aba×3, ab×1; single-char word x excluded
     # pairs: ab -> 3 (from aba) + 1 (from ab) = 4; ba -> 3
     assert got == {"ab": (4, 1), "ba": (3, 2)}
+
+
+# ------------------------------------------------------------ z-order layout
+
+
+def test_zorder_bit_interleave_known_values(spark):
+    from kda_flink_demo_spark.io.sinks import zorder_layout
+
+    df = spark.createDataFrame(
+        [Row(x=0, y=0), Row(x=1, y=0), Row(x=0, y=1), Row(x=3, y=5), Row(x=1023, y=1023)]
+    )
+    out = {(r.x, r.y): r.zvalue for r in
+           zorder_layout(df, F.col("x"), F.col("y")).collect()}
+    # interleave(x@even, y@odd): (3,5)=0b11,0b101 -> 0b100111=39
+    assert out == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (3, 5): 39, (1023, 1023): (1 << 20) - 1}
+
+
+def test_zorder_shards_are_local_in_both_dimensions(spark):
+    """The point of z-order: per-shard min/max spans are narrow on BOTH
+    interleaved dimensions (footer-stats pruning works for predicates on
+    either), where insertion-order sharding leaves ~full-range spans."""
+    from kda_flink_demo_spark.io.sinks import zorder_layout
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    x, y = F.col("l_partkey"), F.col("l_suppkey")
+    z = zorder_layout(li, x, y, bits=10, shard_bits=4).select(
+        x.alias("x"), y.alias("y"), "shard"
+    )
+    spans = z.groupBy("shard").agg(
+        (F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy")
+    ).collect()
+    stats = li.agg(
+        (F.max(x) - F.min(x)).alias("rx"), (F.max(y) - F.min(y)).alias("ry")
+    ).collect()[0]
+    avg_sx = sum(r.sx for r in spans) / len(spans)
+    avg_sy = sum(r.sy for r in spans) / len(spans)
+    # 16 shards = top 4 z bits = a 4x4 grid: each shard spans ~1/4 of each axis
+    assert avg_sx <= 0.35 * stats.rx and avg_sy <= 0.35 * stats.ry, (
+        avg_sx, avg_sy, stats.rx, stats.ry,
+    )
+
+    linear = li.select(
+        x.alias("x"), y.alias("y"), (F.col("l_orderkey") % 16).alias("shard")
+    )
+    lspans = linear.groupBy("shard").agg(
+        (F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy")
+    ).collect()
+    lx = sum(r.sx for r in lspans) / len(lspans)
+    ly = sum(r.sy for r in lspans) / len(lspans)
+    assert lx > 2 * avg_sx and ly > 2 * avg_sy, (lx, ly, avg_sx, avg_sy)
