@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "scd2_user_history",
     "bpe_pair_counts",
     "zorder_layout",
+    "incremental_agg_merge",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

@@ -206,3 +206,46 @@ def multi_resolution_rollup_oracle_sql(table: str = "events") -> str:
                         date_trunc('minute', ts))
     )
     """
+
+
+def agg_state(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Partial aggregate state for one data slice: per (key, minute) —
+    count / sum / min / max. Every measure is ALGEBRAIC (mergeable), which is
+    what makes incremental view maintenance possible: avg is derived at read
+    time as sum/count, never stored."""
+    return df.groupBy(
+        F.col(key_col), F.date_trunc("minute", F.col(ts_col)).alias("minute")
+    ).agg(
+        F.count(value_col).alias("cnt"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Incremental materialized-view maintenance: combine per-slice aggregate
+    states into the state of the union of their inputs WITHOUT rescanning the
+    old data — the nightly-ETL pattern (yesterday's state + today's
+    partition), and exactly what Spark's own partial→final aggregation does
+    across tasks, lifted to cross-run granularity.
+
+    Scale shape: each day's raw scan happens ONCE ever; the merge shuffles
+    only aggregate rows (keys × windows, ≪ events). Merge rules: counts and
+    sums add, min/max fold — all algebraic, associative, and commutative, so
+    any merge tree (daily → weekly → total) yields the same state.
+    """
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("event_type", "minute").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -47,6 +47,18 @@ def _global_prefix_sum(
     local = ranged.withColumn(
         "_local_start", F.coalesce(F.sum(value_col).over(w_local), F.lit(0).cast("long"))
     )
+    # ``local`` feeds TWO consumers (the per-partition totals and the final
+    # join). Without pinning, each consumer materializes its OWN copy of the
+    # range exchange, and RangePartitioner's boundary sampling is seeded per
+    # materialization — when the sample is smaller than the data (real scale;
+    # at tiny SF the sample covers every row and the bug hides) the two
+    # copies pick DIFFERENT boundaries, so the totals' _pid disagrees with
+    # the join's _pid and positions silently corrupt (caught by the sf0.1
+    # driver-sim spot check: run-to-run nondeterministic interleave_pos).
+    # A lazy localCheckpoint pins ONE RDD — one sampling, one boundary set
+    # for both consumers — while keeping construction lazy; Spark reuses the
+    # materialized checkpoint blocks across the consuming jobs.
+    local = local.localCheckpoint(eager=False)
     # one row per partition: the single-partition window below is over
     # ~defaultParallelism rows, not the data
     totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))

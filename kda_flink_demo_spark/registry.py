@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     "scd2_user_history",
     "bpe_pair_counts",
     "zorder_layout",
+    "incremental_agg_merge",
 ]
 
 _DRIVER_WINDOW = 50

@@ -1438,3 +1438,37 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(
         li, F.col("l_partkey"), F.col("l_suppkey"), bits=10, shard_bits=4
     ).select("l_orderkey", "l_linenumber", "zvalue", "shard")
+
+
+@register(
+    "incremental_agg_merge",
+    f"""
+    SELECT event_type, date_trunc('minute', ts) AS minute,
+           count(value) AS cnt,
+           floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-(type, minute)
+    aggregate state of the full table computed as MERGE of three disjoint
+    slices' states (simulating three daily ETL runs) — counts/sums add,
+    min/max fold; the oracle recomputes from scratch, proving merge ≡
+    recompute. The old slices' raw data is never rescanned in production;
+    only aggregate rows shuffle."""
+    from kda_flink_demo_spark.operators.aggregates import agg_state, merge_agg_states
+
+    ev = load_table(spark, sf_dir, "events")
+    slices = [
+        agg_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)
+    ]
+    merged = merge_agg_states(*slices)
+    return merged.select(
+        "event_type",
+        "minute",
+        "cnt",
+        det_round(F.col("sum_value"), 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -284,3 +284,87 @@ def test_zorder_shards_are_local_in_both_dimensions(spark):
     lx = sum(r.sx for r in lspans) / len(lspans)
     ly = sum(r.sy for r in lspans) / len(lspans)
     assert lx > 2 * avg_sx and ly > 2 * avg_sy, (lx, ly, avg_sx, avg_sy)
+
+
+# -------------------------------------------------- incremental agg merge
+
+
+def test_agg_merge_is_order_insensitive_and_empty_is_identity(spark):
+    from kda_flink_demo_spark.operators.aggregates import agg_state, merge_agg_states
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = agg_state(ev.filter(F.col("event_id") % 2 == 0))
+    b = agg_state(ev.filter(F.col("event_id") % 2 == 1))
+    empty = agg_state(ev.filter(F.lit(False)))
+
+    def canon(df):
+        return sorted(
+            (r.event_type, r.minute, r.cnt, round(r.sum_value, 4), r.min_value, r.max_value)
+            for r in df.collect()
+        )
+
+    ab = canon(merge_agg_states(a, b))
+    ba = canon(merge_agg_states(b, a))
+    with_empty = canon(merge_agg_states(a, b, empty))
+    assert ab == ba == with_empty
+    # and merge ≡ recompute
+    assert ab == canon(agg_state(ev))
+
+
+# --------------------------------------- prefix-sum boundary-consistency
+
+
+def test_prefix_sum_family_deterministic_and_correct_at_sampling_scale(spark):
+    """Regression for a silent-corruption bug the sf0.1 driver-sim spot check
+    caught: ``_global_prefix_sum``'s range exchange was materialized once per
+    consumer (totals + join), each sampling its OWN partition boundaries —
+    consistent only while the sample covers every row, i.e. only at tiny SF.
+    At 5000 rows the unpinned version is nondeterministic run-to-run and
+    disagrees with the plain-window spec; the lazy localCheckpoint pin must
+    hold both properties."""
+    import math
+
+    from kda_flink_demo_spark.operators.llm import sampling
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "zh", "es", "de", "fr")]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+    def run():
+        out = sampling.mix_interleave(docs, {"en": 4, "zh": 3, "es": 2}, source_col="lang")
+        return sorted(tuple(r) for r in out.collect())
+
+    from pyspark.sql import Window
+
+    first, second = run(), run()
+    assert first == second  # deterministic across materializations
+
+    hkey = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    )
+    stride = (
+        F.when(F.col("lang") == "en", 3)
+        .when(F.col("lang") == "zh", 4)
+        .when(F.col("lang") == "es", 6)
+        .otherwise(12)
+    )
+    k = docs.select("doc_id", "lang", hkey.alias("_hkey"))
+    r = k.withColumn(
+        "src_rank",
+        (F.row_number().over(Window.partitionBy("lang").orderBy("_hkey", "doc_id")) - 1).cast(
+            "long"
+        ),
+    ).withColumn("_ikey", (2 * F.col("src_rank") + 1) * stride)
+    ref = r.withColumn(
+        "interleave_pos",
+        (F.row_number().over(Window.orderBy("_ikey", "lang")) - 1).cast("long"),
+    ).select("doc_id", "lang", "src_rank", "interleave_pos")
+    assert first == sorted(tuple(x) for x in ref.collect())
