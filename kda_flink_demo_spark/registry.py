@@ -73,16 +73,14 @@ _DRIVER_PRIORITY: list[str] = [
     # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
     # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
     # pool since the driver's check adds nothing beyond rows-present for them)
-    "dedup_exact",
+    # (dedup_exact, dedup_embedding_cosine, similarity_topk,
+    # contamination_check, chunk_documents, corpus_shuffle_order — green in
+    # CORRECTNESS_r04 — unpinned to the rotating tail in round-5 session 4 to
+    # keep rotation headroom; the LSH/clusters/packing flagships stay pinned)
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_apply_fuzzy",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "contamination_check",
     "pack_sequences",
-    "chunk_documents",
-    "corpus_shuffle_order",
     # round-5 additions: pinned for first driver exposure; the text/multimodal
     # rows they displaced (quality/token_stats/normalize/pii/url_domain/
     # multimodal_*) were green in CORRECTNESS_r04, stay covered by

@@ -1343,3 +1343,75 @@ def test_streaming_anomaly_zscore_matches_batch_exactly(
         for r in got
     }
     assert got_map == expected
+
+
+def test_streaming_anomaly_state_survives_crash_recovery(
+    spark, replay_dir_anomaly, tmp_path
+):
+    """Custom-stateful exactly-once: kill the anomaly query after ≥1 committed
+    micro-batch, restart from the checkpoint, drain — the recovered
+    applyInPandasWithState ring state must continue the cumulative sums so the
+    final sink still equals the batch operator EXACTLY (a lost or replayed
+    state update would shift every downstream frame's sums)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.over_windows import anomaly_zscore
+    from kda_flink_demo_spark.streaming.anomaly_state import anomaly_zscore_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def stream():
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(replay_dir_anomaly + "/chunk=*")
+        )
+
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "anom_crash.duckdb"),
+        "anomalies",
+        ["event_id"],
+        "event_id BIGINT, event_type VARCHAR, ts TIMESTAMP, value DOUBLE, zscore DOUBLE",
+    )
+    ckpt = str(tmp_path / "anom_crash_ckpt")
+
+    q = (
+        anomaly_zscore_stream(stream())
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in (q.recentProgress or [])):
+            break
+        time.sleep(0.5)
+    q.stop()
+
+    q2 = jobs.run_to_sink(anomaly_zscore_stream(stream()), sink, ckpt)
+    q2.awaitTermination(300)
+    cols, got = sink.read_all()
+
+    batch = anomaly_zscore(load_table(spark, SF_DIR, "events"))
+    expected = {r.event_id: (r.event_type, r.value, r.zscore) for r in batch.collect()}
+    got_map = {
+        r[cols.index("event_id")]: (
+            r[cols.index("event_type")],
+            r[cols.index("value")],
+            r[cols.index("zscore")],
+        )
+        for r in got
+    }
+    assert got_map == expected
