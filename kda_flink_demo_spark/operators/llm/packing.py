@@ -26,15 +26,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _global_prefix_sum(
-    df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "_start"
-) -> DataFrame:
-    """Two-phase distributed EXCLUSIVE prefix sum of ``value_col`` in the total
-    order given by ``order_cols`` (which must be a total order — include a
-    unique tie-break column). Adds ``out_col``; never a single global sort:
-    range-partition on the order keys, per-partition windows, then a tiny
-    per-partition-totals cumsum broadcast back. Deterministic regardless of
-    where the sampled range boundaries land."""
+def _ranged_local(df: DataFrame, order_cols: list[str], value_col: str) -> DataFrame:
+    """Phase 1 of the two-phase prefix sum: range-partition on the order keys
+    and compute per-partition running sums. Split out so plan-shape tests can
+    assert the range exchange / absence of a global sort BEFORE the
+    lineage-pinning localCheckpoint hides it behind a Scan ExistingRDD."""
     sc = df.sparkSession.sparkContext
     ranged = df.repartitionByRange(
         sc.defaultParallelism, *[F.col(c) for c in order_cols]
@@ -44,9 +40,21 @@ def _global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn(
+    return ranged.withColumn(
         "_local_start", F.coalesce(F.sum(value_col).over(w_local), F.lit(0).cast("long"))
     )
+
+
+def _global_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "_start"
+) -> DataFrame:
+    """Two-phase distributed EXCLUSIVE prefix sum of ``value_col`` in the total
+    order given by ``order_cols`` (which must be a total order — include a
+    unique tie-break column). Adds ``out_col``; never a single global sort:
+    range-partition on the order keys, per-partition windows, then a tiny
+    per-partition-totals cumsum broadcast back. Deterministic regardless of
+    where the sampled range boundaries land."""
+    local = _ranged_local(df, order_cols, value_col)
     # ``local`` feeds TWO consumers (the per-partition totals and the final
     # join). Without pinning, each consumer materializes its OWN copy of the
     # range exchange, and RangePartitioner's boundary sampling is seeded per

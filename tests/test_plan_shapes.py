@@ -116,10 +116,20 @@ def test_pack_sequences_no_global_sort_of_data(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(packing.pack_sequences(docs))
-    assert "REPARTITION_BY_NUM" in plan or "rangepartitioning" in plan, plan
+    # the range exchange now lives INSIDE the lineage-pinned checkpoint (the
+    # boundary-consistency fix), so the outer plan shows the pinned scan; the
+    # range partitioning itself is asserted on the pre-pin phase below
+    assert "Scan ExistingRDD" in plan, plan
     # the only SinglePartition exchange feeds the per-partition totals (one
     # row per partition), not the data: it must sit under an aggregate
     assert plan.count("Exchange SinglePartition") <= 1, plan
+    pre = _plan(
+        packing._ranged_local(
+            docs.selectExpr("doc_id", "1 AS _one"), ["doc_id"], "_one"
+        )
+    )
+    assert "REPARTITION_BY_NUM" in pre or "rangepartitioning" in pre, pre
+    assert "Exchange SinglePartition" not in pre, pre
 
 
 def test_partitioned_write_prunes_on_read(spark, tmp_path_factory):

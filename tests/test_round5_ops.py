@@ -368,3 +368,106 @@ def test_prefix_sum_family_deterministic_and_correct_at_sampling_scale(spark):
         (F.row_number().over(Window.orderBy("_ikey", "lang")) - 1).cast("long"),
     ).select("doc_id", "lang", "src_rank", "interleave_pos")
     assert first == sorted(tuple(x) for x in ref.collect())
+
+
+# --------------------------------------------------- python-reference fuzz
+
+
+def test_scd2_fuzz_vs_python_reference(spark):
+    """Random change logs (few keys, heavy ts ties, NULL states) vs an
+    independent pure-python SCD2: same kept transitions, same intervals."""
+    import datetime as dt
+    import random
+
+    from kda_flink_demo_spark.operators.cdc import scd2_history
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            Row(
+                user_id=rng.randrange(6),
+                v=rng.choice(["A", "B", "C", None]),
+                ts=base + dt.timedelta(minutes=rng.randrange(50)),
+                event_id=eid,
+            )
+        )
+    got = {
+        (r.user_id, r.valid_from, r.valid_to): (r.v, r.is_current)
+        for r in scd2_history(
+            spark.createDataFrame(rows),
+            keys=["user_id"],
+            attr_cols=["v"],
+            ts_col="ts",
+            tie_col="event_id",
+        ).collect()
+    }
+
+    expected = {}
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        by_key.setdefault(r.user_id, []).append(r)
+    for uid, evs in by_key.items():
+        kept = []
+        for r in evs:
+            if not kept or kept[-1].v != r.v:
+                kept.append(r)
+        for i, r in enumerate(kept):
+            nxt = kept[i + 1].ts if i + 1 < len(kept) else None
+            expected[(uid, r.ts, nxt)] = (r.v, nxt is None)
+    assert got == expected
+
+
+def test_anomaly_zscore_fuzz_vs_numpy_reference(spark):
+    """Random per-key series vs an independent numpy trailing-window z-score
+    (computed the straightforward way — slice, mean, sample std): the engine's
+    running-sum formulation must flag the same events with the same rounded z
+    (float-assoc differences live far below the 1e-6 rounding)."""
+    import datetime as dt
+    import random
+
+    import numpy as np
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    series = {}
+    for key in ("a", "b", "c"):
+        vals = []
+        for i in range(300):
+            v = rng.gauss(50.0, 5.0)
+            if rng.random() < 0.02:
+                v += rng.choice((-1, 1)) * rng.uniform(40, 200)  # planted outliers
+            vals.append(v)
+            rows.append(
+                Row(
+                    event_id=eid,
+                    event_type=key,
+                    ts=base + dt.timedelta(minutes=i),
+                    value=v,
+                )
+            )
+            eid += 1
+        series[key] = (vals, [r.event_id for r in rows[-300:]])
+
+    got = {r.event_id: r.zscore for r in anomaly_zscore(spark.createDataFrame(rows)).collect()}
+
+    expected = {}
+    for key, (vals, ids) in series.items():
+        arr = np.asarray(vals)
+        for i in range(len(arr)):
+            window = arr[max(0, i - 50) : i]
+            n = len(window)
+            if n < 20:
+                continue
+            std = window.std(ddof=1)
+            if std <= 0:
+                continue
+            z = np.floor((arr[i] - window.mean()) / std * 1e6 + 0.5) / 1e6
+            if abs(z) > 3.0:
+                expected[ids[i]] = z
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-5, (k, got[k], expected[k])
