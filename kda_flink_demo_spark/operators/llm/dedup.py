@@ -787,6 +787,29 @@ def ingest_dedup_bloom(
     bloom = bloom_build(
         corpus_df, text_col=text_col, m_bits=m_bits, k=k
     ).localCheckpoint()
+    corpus_hashes = corpus_df.select(F.xxhash64(F.col(text_col)).alias("_h"))
+    return ingest_dedup_bloom_probe(
+        new_df, bloom, corpus_hashes, text_col=text_col, id_col=id_col,
+        m_bits=m_bits, k=k,
+    )
+
+
+def ingest_dedup_bloom_probe(
+    new_df: DataFrame,
+    bloom: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Probe an incoming batch against a PREBUILT Bloom word table +
+    standing corpus hash projection — the per-batch production path
+    (`ingest_dedup_bloom` derives both in-query for the honest bench cost;
+    a streaming ingest calls this from foreachBatch with the standing
+    tables, mirroring `ingest_dedup_fuzzy_probe`). Per-batch probing is
+    exact: each batch is checked independently against the same static
+    index, so survivors across a replay equal the one-shot batch answer."""
     probes = _with_bloom_positions(
         new_df,
         text_col,
@@ -816,7 +839,6 @@ def ingest_dedup_bloom(
         .select(F.col("_h"))
         .distinct()
     )
-    corpus_hashes = corpus_df.select(F.xxhash64(F.col(text_col)).alias("_h"))
     confirmed = (
         corpus_hashes.join(F.broadcast(candidates), "_h", "left_semi")
         .distinct()

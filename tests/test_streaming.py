@@ -1415,3 +1415,71 @@ def test_streaming_anomaly_state_survives_crash_recovery(
         for r in got
     }
     assert got_map == expected
+
+
+def test_streaming_bloom_ingest_probe_matches_batch(spark, tmp_path):
+    """Streaming exact ingest dedup on the Bloom standing index: incoming docs
+    replay as a file stream, each micro-batch probes the PREBUILT word table +
+    corpus hash projection via foreachBatch. Survivors across the run must
+    equal the one-shot batch anti join on the full incoming set."""
+    import glob
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.llm import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    incoming = (
+        docs.filter(F.col("doc_id") >= 400)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10000)
+            )
+        )
+        .select("doc_id", "text")
+    )
+
+    bloom = dedup.bloom_build(corpus).localCheckpoint()
+    corpus_hashes = corpus.select(F.xxhash64(F.col("text")).alias("_h")).localCheckpoint()
+
+    replay = tmp_path / "bloom_replay"
+    replay.mkdir()
+    for i in range(4):
+        sl = incoming.filter(F.col("doc_id") % 4 == i).coalesce(1)
+        d = tmp_path / f"bpart{i}"
+        sl.write.mode("overwrite").parquet(str(d))
+        for j, f in enumerate(sorted(glob.glob(str(d / "*.parquet")))):
+            shutil.copy(f, replay / f"f{i}_{j}.parquet")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    survivors = []
+
+    def probe_batch(batch_df, _batch_id):
+        out = dedup.ingest_dedup_bloom_probe(batch_df, bloom, corpus_hashes).select(
+            "doc_id"
+        )
+        survivors.extend(r.doc_id for r in out.collect())
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom_ingest"))
+        .foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    expected = {
+        r.doc_id
+        for r in dedup.ingest_dedup_against_corpus(incoming, corpus).select("doc_id").collect()
+    }
+    assert sorted(survivors) == sorted(expected)
