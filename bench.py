@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "zorder_layout",
     "incremental_agg_merge",
+    "sketch_incremental_pack",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

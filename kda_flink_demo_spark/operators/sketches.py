@@ -1,0 +1,93 @@
+"""Mergeable sketch state — the approximate twin of
+``aggregates.agg_state/merge_agg_states`` and the brief's "novel sketch"
+custom-operator category, on Spark's built-in Apache DataSketches bindings.
+
+Why sketches at 100 TB: exact distinct counts need a second shuffle on
+(group, value) and exact set intersections need a semi join of the two
+member lists; sketch states are constant-size binaries that merge
+ASSOCIATIVELY, so daily slices aggregate once, persist a few KB per group,
+and any union/rollup of history is a cheap state merge — never a rescan.
+
+Determinism (verified by probe, pinned by tests): HLL (register-max union)
+and Theta (k-smallest-hashes union) states are partition- and
+merge-order-independent — merged slice states yield BIT-IDENTICAL estimates
+to a one-pass sketch. KLL quantile sketches use RANDOMIZED compaction and
+are NOT run-to-run deterministic; they are therefore kept out of the
+registry contract (which the determinism probe replays) and exposed only
+through :func:`kll_quantile_state`, tolerance-tested locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_state(
+    df: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Per-key mergeable sketch state: an HLL sketch (distinct ids) and a
+    Theta sketch (set membership, enabling union/intersection/difference
+    ACROSS keys or slices) — one partial→final aggregate, a few KB per key."""
+    return df.groupBy(key_col).agg(
+        F.hll_sketch_agg(id_col).alias("hll_state"),
+        F.theta_sketch_agg(id_col).alias("theta_state"),
+    )
+
+
+def merge_sketch_states(*states: DataFrame) -> DataFrame:
+    """Combine per-slice sketch states into the state of the union of their
+    inputs — same incremental-ETL shape as ``merge_agg_states``; the shuffle
+    carries one constant-size binary per (slice, key)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("event_type").agg(
+        F.hll_union_agg("hll_state").alias("hll_state"),
+        F.theta_union_agg("theta_state").alias("theta_state"),
+    )
+
+
+def sketch_report(
+    merged: DataFrame,
+    key_col: str = "event_type",
+    anchor_key: str = "purchase",
+) -> DataFrame:
+    """Readout: per key, the HLL distinct estimate and the Theta-estimated
+    overlap with ``anchor_key``'s id set (e.g. "users of this event type who
+    also purchased") — the cross-set intersection that exactly would need a
+    semi join of member lists, here a scalar operation on two broadcast-sized
+    sketch binaries."""
+    anchor = merged.filter(F.col(key_col) == anchor_key).select(
+        F.col("theta_state").alias("_anchor_theta")
+    )
+    return (
+        merged.crossJoin(F.broadcast(anchor))
+        .select(
+            key_col,
+            F.hll_sketch_estimate("hll_state").alias("distinct_ids"),
+            F.round(
+                F.theta_sketch_estimate(
+                    F.theta_intersection("theta_state", "_anchor_theta")
+                )
+            )
+            .cast("long")
+            .alias("ids_also_in_anchor"),
+        )
+    )
+
+
+def kll_quantile_state(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key KLL quantile sketch state (mergeable with
+    ``kll_sketch_merge_double``). Randomized compaction → NOT deterministic;
+    local tests bound its rank error vs exact percentiles instead of pinning
+    values. Kept out of the registry contract."""
+    return df.groupBy(key_col).agg(
+        F.kll_sketch_agg_double(value_col).alias("kll_state")
+    )

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_pair_counts",
     "zorder_layout",
     "incremental_agg_merge",
+    "sketch_incremental_pack",
 ]
 
 _DRIVER_WINDOW = 50

@@ -1472,3 +1472,24 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register("sketch_incremental_pack", None)
+def q_sketch_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch analytics (DataSketches HLL + Theta): three disjoint
+    event slices' sketch states merged into per-type distinct-user estimates
+    and the Theta-intersection overlap with the purchase audience — the
+    constant-size-state twin of incremental_agg_merge. Sketch estimates have
+    no DuckDB twin → rows-only driver check; local tests pin merge ≡ one-pass
+    bit-equality, error bounds vs exact, and the determinism probe replays
+    it (HLL/Theta unions are order-independent; the randomized-KLL quantile
+    sketch is deliberately excluded from this contract)."""
+    from kda_flink_demo_spark.operators.sketches import (
+        merge_sketch_states,
+        sketch_report,
+        sketch_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    slices = [sketch_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+    return sketch_report(merge_sketch_states(*slices))

@@ -471,3 +471,79 @@ def test_anomaly_zscore_fuzz_vs_numpy_reference(spark):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-5, (k, got[k], expected[k])
+
+
+# ------------------------------------------------------------ sketch states
+
+
+def test_sketch_merge_equals_one_pass_and_bounds_error(spark):
+    from kda_flink_demo_spark.operators.sketches import (
+        merge_sketch_states,
+        sketch_report,
+        sketch_state,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    slices = [sketch_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+    merged = sketch_report(merge_sketch_states(*slices))
+    one_pass = sketch_report(sketch_state(ev))
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(merged) == canon(one_pass)  # unions are order/slice-independent
+
+    exact_distinct = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_overlap = {
+        r.event_type: r.d
+        for r in ev.join(purchasers, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for r in merged.collect():
+        assert abs(r.distinct_ids - exact_distinct[r.event_type]) <= max(
+            3, 0.05 * exact_distinct[r.event_type]
+        )
+        assert abs(r.ids_also_in_anchor - exact_overlap.get(r.event_type, 0)) <= max(
+            3, 0.05 * exact_overlap.get(r.event_type, 1)
+        )
+
+
+def test_kll_quantile_state_rank_error_bound(spark):
+    """KLL is randomized (excluded from the deterministic registry contract);
+    its merged quantile must still land within a small rank error of the
+    exact per-key median."""
+    from kda_flink_demo_spark.operators.sketches import kll_quantile_state
+
+    ev = load_table(spark, SF_DIR, "events")
+    s0, s1, s2 = [
+        kll_quantile_state(ev.filter(F.col("event_id") % 3 == i)).withColumnRenamed(
+            "kll_state", f"k{i}"
+        )
+        for i in range(3)
+    ]
+    # kll_sketch_merge_double is a two-sketch scalar merge — fold pairwise
+    merged = s0.join(s1, "event_type").join(s2, "event_type").select(
+        "event_type",
+        F.kll_sketch_merge_double(
+            F.col("k0"), F.kll_sketch_merge_double(F.col("k1"), F.col("k2"))
+        ).alias("kll_state"),
+    )
+    est = {
+        r.event_type: r.p50
+        for r in merged.select(
+            "event_type",
+            F.kll_sketch_get_quantile_double(F.col("kll_state"), F.lit(0.5)).alias("p50"),
+        ).collect()
+    }
+    for row in (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.45)").alias("lo"),
+            F.expr("percentile(value, 0.55)").alias("hi"),
+        )
+        .collect()
+    ):
+        assert row.lo <= est[row.event_type] <= row.hi, (row.event_type, est[row.event_type])
