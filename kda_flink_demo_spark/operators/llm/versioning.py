@@ -51,17 +51,21 @@ def snapshot_diff(
 def snapshot_diff_oracle_sql(
     old_sql: str, new_sql: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
-    """DuckDB twin comparing text directly (no hashing needed oracle-side)."""
+    """DuckDB twin comparing text directly (no hashing needed oracle-side).
+    IS DISTINCT FROM, not ``<>``: Spark's xxhash64 maps a NULL text to a
+    constant, so NULL-vs-text compares as changed and NULL-vs-NULL as
+    unchanged — exactly null-safe inequality semantics; a plain ``<>`` would
+    silently classify NULL-vs-text rows as unchanged."""
     return f"""
     WITH old_snap AS ({old_sql}), new_snap AS ({new_sql})
     SELECT coalesce(o.{id_col}, n.{id_col}) AS {id_col},
            CASE WHEN o.{id_col} IS NULL THEN 'added'
                 WHEN n.{id_col} IS NULL THEN 'removed'
-                WHEN o.{text_col} <> n.{text_col} THEN 'changed'
+                WHEN o.{text_col} IS DISTINCT FROM n.{text_col} THEN 'changed'
            END AS status
     FROM old_snap o FULL OUTER JOIN new_snap n ON o.{id_col} = n.{id_col}
     WHERE CASE WHEN o.{id_col} IS NULL THEN 'added'
                WHEN n.{id_col} IS NULL THEN 'removed'
-               WHEN o.{text_col} <> n.{text_col} THEN 'changed'
+               WHEN o.{text_col} IS DISTINCT FROM n.{text_col} THEN 'changed'
           END IS NOT NULL
     """

@@ -192,6 +192,27 @@ def main() -> None:
     )
     bench("multi_resolution_rollup", _mres(ev_raw))
     bench("anomaly_zscore", _zscore(ev_raw))
+    from kda_flink_demo_spark.operators.aggregates import agg_state, merge_agg_states
+    from kda_flink_demo_spark.operators.sketches import (
+        merge_sketch_states,
+        sketch_report,
+        sketch_state,
+    )
+
+    bench(
+        "incremental_agg_merge",
+        merge_agg_states(
+            *[agg_state(ev_raw.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+        ),
+    )
+    bench(
+        "sketch_incremental_pack",
+        sketch_report(
+            merge_sketch_states(
+                *[sketch_state(ev_raw.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+            )
+        ),
+    )
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

@@ -547,3 +547,30 @@ def test_kll_quantile_state_rank_error_bound(spark):
         .collect()
     ):
         assert row.lo <= est[row.event_type] <= row.hi, (row.event_type, est[row.event_type])
+
+
+def test_snapshot_diff_null_text_semantics(spark):
+    """NULL-vs-text is a change, NULL-vs-NULL is not — Spark's hash compare
+    and the IS DISTINCT FROM oracle must agree (a plain <> oracle would call
+    NULL-vs-text unchanged)."""
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=None), Row(doc_id=3, text="x")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text="now-set"), Row(doc_id=2, text=None), Row(doc_id=3, text=None)]
+    )
+    got = {r.doc_id: r.status for r in versioning.snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 3: "changed"}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO o VALUES (1, NULL), (2, NULL), (3, 'x')")
+    con.execute("CREATE TABLE n (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO n VALUES (1, 'now-set'), (2, NULL), (3, NULL)")
+    sql = versioning.snapshot_diff_oracle_sql(
+        "SELECT doc_id, text FROM o", "SELECT doc_id, text FROM n"
+    )
+    oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert oracle == got
