@@ -91,3 +91,36 @@ def kll_quantile_state(
     return df.groupBy(key_col).agg(
         F.kll_sketch_agg_double(value_col).alias("kll_state")
     )
+
+
+def update_sketch_store(
+    batch_df: DataFrame,
+    store_path: str,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> None:
+    """Streaming materialized sketch view: fold one micro-batch into a
+    standing per-key sketch table (parquet at ``store_path``) — read the
+    stored binaries, union-merge with the batch's fresh state, overwrite.
+
+    Because HLL and Theta unions are associative AND commutative, the stored
+    state after any replay order equals the one-pass sketch of all data seen
+    — the streaming twin of `merge_sketch_states`, with the same guarantee
+    the batch test pins bit-exactly. The store is a few KB per key, so the
+    read-merge-overwrite cycle costs O(keys), independent of history size.
+    Call from ``foreachBatch``; Spark's checkpoint replays a failed batch,
+    and re-merging the same ids is IDEMPOTENT for both sketch types
+    (register max / hash-set union), so exactly-once state needs no WAL.
+    """
+    import os
+
+    spark = batch_df.sparkSession
+    fresh = sketch_state(batch_df, key_col=key_col, id_col=id_col)
+    if os.path.exists(store_path):
+        standing = spark.read.parquet(store_path)
+        merged = merge_sketch_states(standing, fresh)
+    else:
+        merged = fresh
+    # materialize before overwriting the input path
+    merged = merged.localCheckpoint()
+    merged.write.mode("overwrite").parquet(store_path)

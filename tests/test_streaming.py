@@ -1483,3 +1483,69 @@ def test_streaming_bloom_ingest_probe_matches_batch(spark, tmp_path):
         for r in dedup.ingest_dedup_against_corpus(incoming, corpus).select("doc_id").collect()
     }
     assert sorted(survivors) == sorted(expected)
+
+
+def test_streaming_sketch_store_equals_one_pass(spark, tmp_path):
+    """Streaming sketch maintenance: fold each micro-batch into the standing
+    per-key sketch store; after the replay the store's report must equal the
+    one-pass batch sketch BIT-EXACTLY (HLL/Theta unions are associative and
+    commutative), including after a duplicate-batch replay (idempotent merge)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.sketches import (
+        sketch_report,
+        sketch_state,
+        update_sketch_store,
+    )
+
+    ev_src = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "user_id")
+    replay = tmp_path / "sketch_replay"
+    replay.mkdir()
+    for i in range(4):
+        d = tmp_path / f"spart{i}"
+        ev_src.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        for j, f in enumerate(sorted(glob.glob(str(d / "*.parquet")))):
+            shutil.copy(f, replay / f"f{i}_{j}.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    store = str(tmp_path / "sketch_store")
+    seen_batches = []
+
+    def fold(batch_df, batch_id):
+        update_sketch_store(batch_df, store)
+        seen_batches.append(batch_id)
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sketch"))
+        .foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(seen_batches) >= 2  # actually replayed incrementally
+
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    got = canon(sketch_report(spark.read.parquet(store)))
+    ev = load_table(spark, SF_DIR, "events")
+    expected = canon(sketch_report(sketch_state(ev)))
+    assert got == expected
+
+    # replaying an already-folded slice must not change the state (idempotent)
+    update_sketch_store(ev.filter(F.col("event_id") % 5 == 0), store)
+    assert canon(sketch_report(spark.read.parquet(store))) == expected
