@@ -243,7 +243,8 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
-    return out.groupBy("event_type", "minute").agg(
+    keys = [c for c in out.columns if c not in ("cnt", "sum_value", "min_value", "max_value")]
+    return out.groupBy(*keys).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),

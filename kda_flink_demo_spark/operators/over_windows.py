@@ -199,19 +199,24 @@ def anomaly_zscore(
     upto_prev = base.rowsBetween(Window.unboundedPreceding, -1)
     before_frame = base.rowsBetween(Window.unboundedPreceding, -(lookback_rows + 1))
     v = F.col(value_col)
-    v2 = v * v
-    n = F.count(v).over(upto_prev) - F.coalesce(
-        F.count(v).over(before_frame), F.lit(0)
+    # NaN is MISSING data here, same as NULL: it neither enters the baseline
+    # sums (a raw sum would poison every later frame to NaN) nor gets flagged
+    # itself (Spark orders NaN above all doubles, so abs(NaN) > threshold
+    # would otherwise flag it). The streaming twin applies the identical rule.
+    vv = F.nanvl(v, F.lit(None).cast("double"))
+    v2 = vv * vv
+    n = F.count(vv).over(upto_prev) - F.coalesce(
+        F.count(vv).over(before_frame), F.lit(0)
     )
-    s1 = F.coalesce(F.sum(v).over(upto_prev), F.lit(0.0)) - F.coalesce(
-        F.sum(v).over(before_frame), F.lit(0.0)
+    s1 = F.coalesce(F.sum(vv).over(upto_prev), F.lit(0.0)) - F.coalesce(
+        F.sum(vv).over(before_frame), F.lit(0.0)
     )
     s2 = F.coalesce(F.sum(v2).over(upto_prev), F.lit(0.0)) - F.coalesce(
         F.sum(v2).over(before_frame), F.lit(0.0)
     )
     mean = s1 / n
     var = (s2 - s1 * s1 / n) / (n - 1)
-    z = det_round((v - mean) / F.sqrt(var), 6)
+    z = det_round((vv - mean) / F.sqrt(var), 6)
     return (
         df.select(
             id_col,
@@ -235,16 +240,21 @@ def anomaly_zscore_oracle_sql(
 
     # mirrors the engine's exact arithmetic: trailing stats as differences of
     # two running unbounded-preceding sums, then var = (Σv² − (Σv)²/n)/(n−1)
-    z = det_round_sql("(value - _s1 / _n) / sqrt((_s2 - _s1 * _s1 / _n) / (_n - 1))", 6)
+    z = det_round_sql("(v - _s1 / _n) / sqrt((_s2 - _s1 * _s1 / _n) / (_n - 1))", 6)
     return f"""
-    WITH scored AS (
+    WITH src AS (
         SELECT event_id, event_type, ts, value,
-               count(value) OVER wp - coalesce(count(value) OVER wb, 0) AS _n,
-               coalesce(sum(value) OVER wp, 0.0)
-                   - coalesce(sum(value) OVER wb, 0.0) AS _s1,
-               coalesce(sum(value * value) OVER wp, 0.0)
-                   - coalesce(sum(value * value) OVER wb, 0.0) AS _s2
+               CASE WHEN isnan(value) THEN NULL ELSE value END AS v
         FROM {table}
+    ),
+    scored AS (
+        SELECT event_id, event_type, ts, value, v,
+               count(v) OVER wp - coalesce(count(v) OVER wb, 0) AS _n,
+               coalesce(sum(v) OVER wp, 0.0)
+                   - coalesce(sum(v) OVER wb, 0.0) AS _s1,
+               coalesce(sum(v * v) OVER wp, 0.0)
+                   - coalesce(sum(v * v) OVER wb, 0.0) AS _s2
+        FROM src
         WINDOW wp AS (PARTITION BY event_type ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                wb AS (PARTITION BY event_type ORDER BY ts, event_id

@@ -37,14 +37,15 @@ def sketch_state(
     )
 
 
-def merge_sketch_states(*states: DataFrame) -> DataFrame:
+def merge_sketch_states(*states: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Combine per-slice sketch states into the state of the union of their
     inputs — same incremental-ETL shape as ``merge_agg_states``; the shuffle
-    carries one constant-size binary per (slice, key)."""
+    carries one constant-size binary per (slice, key). ``key_col`` must match
+    the one the states were built with."""
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
-    return out.groupBy("event_type").agg(
+    return out.groupBy(key_col).agg(
         F.hll_union_agg("hll_state").alias("hll_state"),
         F.theta_union_agg("theta_state").alias("theta_state"),
     )
@@ -110,17 +111,25 @@ def update_sketch_store(
     read-merge-overwrite cycle costs O(keys), independent of history size.
     Call from ``foreachBatch``; Spark's checkpoint replays a failed batch,
     and re-merging the same ids is IDEMPOTENT for both sketch types
-    (register max / hash-set union), so exactly-once state needs no WAL.
+    (register max / hash-set union), so a replayed batch can't corrupt the
+    state. Store existence is probed by READING it (works on any Hadoop
+    filesystem — a driver-local ``os.path`` check silently never finds an
+    S3/HDFS store and would reset the state every batch), and the new state
+    is written to a side path first, then promoted, so a crash mid-write
+    leaves either the old store or a complete ``.next`` to recover from —
+    the one non-atomic step is the final promote; a production deployment
+    puts the store in a transactional table format to close that window.
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
     fresh = sketch_state(batch_df, key_col=key_col, id_col=id_col)
-    if os.path.exists(store_path):
+    try:
         standing = spark.read.parquet(store_path)
-        merged = merge_sketch_states(standing, fresh)
-    else:
+        merged = merge_sketch_states(standing, fresh, key_col=key_col)
+    except AnalysisException:  # first batch: no store yet
         merged = fresh
-    # materialize before overwriting the input path
-    merged = merged.localCheckpoint()
-    merged.write.mode("overwrite").parquet(store_path)
+    # write the complete new state beside the store, then promote
+    tmp = store_path.rstrip("/") + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)

@@ -1374,21 +1374,23 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_history",
     """
     WITH ordered AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_type,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events
     ),
     kept AS (
-        SELECT user_id, event_type, ts FROM ordered
+        SELECT user_id, event_type, ts, event_id FROM ordered
         WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
     )
+    -- event_id carried into the final window: the engine tie-breaks
+    -- same-instant transitions on it, and the oracle must agree on ties
     SELECT user_id, event_type, ts AS valid_from,
            lead(ts) OVER w AS valid_to,
            lead(ts) OVER w IS NULL AS is_current
     FROM kept
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,8 +21,9 @@ in-order replay.
 Scale shape: state is O(1) per key — (lookback+1)·3 numbers + a row counter,
 regardless of rate or retention (compare the W5 sliding operator, whose
 state is rate × interval timestamps). Keys shard across executors by hash;
-NaN/NULL values occupy a frame position but never enter the sums, matching
-the batch ``count(value)`` / ``sum(value)`` null semantics.
+NaN/NULL values occupy a frame position but never enter the sums and are
+never flagged themselves — the batch operator normalizes NaN to NULL
+(``nanvl``) with exactly the same rule, so parity holds on dirty data too.
 """
 
 from __future__ import annotations
@@ -48,13 +49,15 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _output_schema(key_col: str) -> T.StructType:
+def _output_schema(key_col: str, ts_col: str, id_col: str, value_col: str) -> T.StructType:
+    # field names follow the caller's column names — a hardcoded "ts"/"event_id"
+    # would disagree with the yielded pandas columns for non-default inputs
     return T.StructType(
         [
-            T.StructField("event_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField(key_col, T.StringType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("value", T.DoubleType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
             T.StructField("zscore", T.DoubleType()),
         ]
     )
@@ -148,9 +151,7 @@ def anomaly_zscore_stream(
         )
 
         if flag.any():
-            out = pdf.loc[flag, [id_col, key_col, ts_col, value_col]].rename(
-                columns={id_col: "event_id", value_col: "value"}
-            )
+            out = pdf.loc[flag, [id_col, key_col, ts_col, value_col]].copy()
             out["zscore"] = z[flag]
             yield out
 
@@ -159,7 +160,7 @@ def anomaly_zscore_stream(
     ).withWatermark(ts_col, watermark_delay)
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=_output_schema(key_col),
+        outputStructType=_output_schema(key_col, ts_col, id_col, value_col),
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

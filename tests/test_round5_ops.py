@@ -574,3 +574,64 @@ def test_snapshot_diff_null_text_semantics(spark):
     )
     oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert oracle == got
+
+
+def test_anomaly_zscore_nan_is_missing_on_both_engines(spark):
+    """NaN values are missing data: they never poison later baselines and are
+    never flagged themselves — and the DuckDB oracle (isnan→NULL) agrees."""
+    import datetime as dt
+    import math
+
+    import duckdb
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            event_type="m",
+            ts=base + dt.timedelta(minutes=i),
+            value=(math.nan if i in (10, 35) else 10.0 + (i % 7) * 0.1),
+        )
+        for i in range(60)
+    ]
+    rows[40] = Row(event_id=40, event_type="m", ts=base + dt.timedelta(minutes=40), value=500.0)
+    got = anomaly_zscore(spark.createDataFrame(rows)).collect()
+    assert [r.event_id for r in got] == [40]  # spike still caught, NaNs never
+
+    from kda_flink_demo_spark.operators.over_windows import anomaly_zscore_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (event_id BIGINT, event_type VARCHAR, ts TIMESTAMP, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO ev VALUES (?, ?, ?, ?)",
+        [(r.event_id, r.event_type, r.ts, r.value) for r in rows],
+    )
+    oracle = con.execute(anomaly_zscore_oracle_sql(table="ev")).fetchall()
+    assert [(r[0], round(r[4], 6)) for r in oracle] == [
+        (r.event_id, round(r.zscore, 6)) for r in got
+    ]
+
+
+def test_state_merges_accept_non_default_keys(spark):
+    """agg/sketch merge halves must group on the same key columns the state
+    builders were given (they previously hardcoded event_type)."""
+    from kda_flink_demo_spark.operators.aggregates import agg_state, merge_agg_states
+    from kda_flink_demo_spark.operators.sketches import (
+        merge_sketch_states,
+        sketch_report,
+        sketch_state,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = agg_state(ev.filter(F.col("event_id") % 2 == 0), key_col="user_id")
+    b = agg_state(ev.filter(F.col("event_id") % 2 == 1), key_col="user_id")
+    merged = merge_agg_states(a, b)
+    assert "user_id" in merged.columns and merged.count() > 0
+
+    sa = sketch_state(ev.filter(F.col("event_id") % 2 == 0), key_col="event_type", id_col="event_id")
+    sb = sketch_state(ev.filter(F.col("event_id") % 2 == 1), key_col="event_type", id_col="event_id")
+    rep = sketch_report(merge_sketch_states(sa, sb, key_col="event_type"))
+    # event_id is unique per event: distinct estimate ≈ row count per type
+    total = {r.event_type: r.c for r in ev.groupBy("event_type").count().withColumnRenamed("count", "c").collect()}
+    for r in rep.collect():
+        assert abs(r.distinct_ids - total[r.event_type]) <= max(3, 0.05 * total[r.event_type])
