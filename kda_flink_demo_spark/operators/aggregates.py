@@ -228,7 +228,9 @@ def agg_state(
     )
 
 
-def merge_agg_states(*states: DataFrame) -> DataFrame:
+def merge_agg_states(
+    *states: DataFrame, key_cols: tuple[str, ...] | None = None
+) -> DataFrame:
     """Incremental materialized-view maintenance: combine per-slice aggregate
     states into the state of the union of their inputs WITHOUT rescanning the
     old data — the nightly-ETL pattern (yesterday's state + today's
@@ -239,11 +241,30 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
     only aggregate rows (keys × windows, ≪ events). Merge rules: counts and
     sums add, min/max fold — all algebraic, associative, and commutative, so
     any merge tree (daily → weekly → total) yields the same state.
+
+    ``key_cols`` names the grouping columns explicitly (the
+    ``merge_sketch_states`` convention). When omitted they are inferred as
+    every non-measure column — convenient for ``agg_state`` output, but a
+    state whose grouping column is itself named like a measure (``cnt`` …)
+    would be silently folded as one, so callers with nonstandard schemas
+    must pass ``key_cols``.
     """
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
-    keys = [c for c in out.columns if c not in ("cnt", "sum_value", "min_value", "max_value")]
+    measures = ("cnt", "sum_value", "min_value", "max_value")
+    if key_cols is not None:
+        keys = list(key_cols)
+        clash = sorted(set(keys) & set(measures))
+        if clash:
+            raise ValueError(
+                f"merge_agg_states: key column(s) {clash} collide with the "
+                "fixed measure schema (cnt/sum_value/min_value/max_value) — "
+                "rename the grouping column(s); they cannot be both grouped "
+                "on and re-aggregated"
+            )
+    else:
+        keys = [c for c in out.columns if c not in measures]
     return out.groupBy(*keys).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_value").alias("sum_value"),

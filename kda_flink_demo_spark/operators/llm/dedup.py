@@ -502,7 +502,11 @@ def ingest_dedup_against_corpus(
     LEFT ANTI join on ``xxhash64(text)``: the corpus side reduces to a
     distinct 8-byte hash index (at 100 TB: ~8 bytes/doc, shuffled once or
     maintained as a bucketed table; never the corpus text), the incoming side
-    is hashed map-side. The join works identically when ``new_df`` is a
+    is hashed map-side. NULL-text semantics mirror SQL equality (``c.text =
+    i.text``): NULL never matches anything, so NULL-text incoming docs always
+    survive — Spark's ``xxhash64(NULL)`` collapses to the seed constant and
+    would otherwise silently equate all NULLs, so both sides exclude NULL
+    text explicitly. The join works identically when ``new_df`` is a
     STREAMING DataFrame (stream-static anti join) — the batch-as-oracle
     streaming test replays the same frames through both paths. Within-stream
     duplicate arrivals are a separate concern (``dropDuplicates`` /
@@ -510,9 +514,15 @@ def ingest_dedup_against_corpus(
     same shape by joining the incoming MinHash band buckets against the
     corpus's standing bucket table instead of the exact-hash index.
     """
-    idx = corpus_df.select(F.xxhash64(F.col(text_col)).alias("_corpus_h")).distinct()
+    idx = (
+        corpus_df.filter(F.col(text_col).isNotNull())
+        .select(F.xxhash64(F.col(text_col)).alias("_corpus_h"))
+        .distinct()
+    )
     return new_df.join(
-        idx, F.xxhash64(F.col(text_col)) == F.col("_corpus_h"), "left_anti"
+        idx,
+        F.col(text_col).isNotNull() & (F.xxhash64(F.col(text_col)) == F.col("_corpus_h")),
+        "left_anti",
     )
 
 
@@ -784,10 +794,11 @@ def ingest_dedup_bloom(
     one incoming + one corpus scan for candidates→verify, one incoming scan
     for the final anti join.
     """
+    corpus = corpus_df.filter(F.col(text_col).isNotNull())  # NULL ≠ NULL (SQL)
     bloom = bloom_build(
-        corpus_df, text_col=text_col, m_bits=m_bits, k=k
+        corpus, text_col=text_col, m_bits=m_bits, k=k
     ).localCheckpoint()
-    corpus_hashes = corpus_df.select(F.xxhash64(F.col(text_col)).alias("_h"))
+    corpus_hashes = corpus.select(F.xxhash64(F.col(text_col)).alias("_h"))
     return ingest_dedup_bloom_probe(
         new_df, bloom, corpus_hashes, text_col=text_col, id_col=id_col,
         m_bits=m_bits, k=k,
@@ -846,6 +857,9 @@ def ingest_dedup_bloom_probe(
     )
     return new_df.join(
         F.broadcast(confirmed),
-        F.xxhash64(F.col(text_col)) == F.col("_h"),
+        # NULL text never matches (SQL equality semantics — see
+        # ingest_dedup_against_corpus); without the guard xxhash64(NULL)'s
+        # seed constant could spuriously equate NULL-text docs
+        F.col(text_col).isNotNull() & (F.xxhash64(F.col(text_col)) == F.col("_h")),
         "left_anti",
     )

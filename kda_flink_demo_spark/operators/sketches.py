@@ -60,22 +60,29 @@ def sketch_report(
     overlap with ``anchor_key``'s id set (e.g. "users of this event type who
     also purchased") — the cross-set intersection that exactly would need a
     semi join of member lists, here a scalar operation on two broadcast-sized
-    sketch binaries."""
+    sketch binaries.
+
+    The anchor is attached with a LEFT join on a constant key (not a
+    crossJoin): if ``anchor_key`` is absent from the merged states the per-key
+    HLL estimates must still come out, with a 0 overlap — a crossJoin against
+    the then-empty anchor side would silently zero-row the whole report."""
     anchor = merged.filter(F.col(key_col) == anchor_key).select(
-        F.col("theta_state").alias("_anchor_theta")
+        F.lit(1).alias("_j"), F.col("theta_state").alias("_anchor_theta")
     )
     return (
-        merged.crossJoin(F.broadcast(anchor))
+        merged.withColumn("_j", F.lit(1))
+        .join(F.broadcast(anchor), "_j", "left")
         .select(
             key_col,
             F.hll_sketch_estimate("hll_state").alias("distinct_ids"),
-            F.round(
-                F.theta_sketch_estimate(
-                    F.theta_intersection("theta_state", "_anchor_theta")
-                )
-            )
-            .cast("long")
-            .alias("ids_also_in_anchor"),
+            F.coalesce(
+                F.round(
+                    F.theta_sketch_estimate(
+                        F.theta_intersection("theta_state", "_anchor_theta")
+                    )
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("ids_also_in_anchor"),
         )
     )
 
@@ -112,24 +119,47 @@ def update_sketch_store(
     Call from ``foreachBatch``; Spark's checkpoint replays a failed batch,
     and re-merging the same ids is IDEMPOTENT for both sketch types
     (register max / hash-set union), so a replayed batch can't corrupt the
-    state. Store existence is probed by READING it (works on any Hadoop
-    filesystem — a driver-local ``os.path`` check silently never finds an
-    S3/HDFS store and would reset the state every batch), and the new state
-    is written to a side path first, then promoted, so a crash mid-write
-    leaves either the old store or a complete ``.next`` to recover from —
-    the one non-atomic step is the final promote; a production deployment
-    puts the store in a transactional table format to close that window.
-    """
-    from pyspark.errors import AnalysisException
+    state.
 
+    Crash safety (every window covered, unit-tested by fault injection):
+    state transitions go through the Hadoop FileSystem API (works on HDFS /
+    S3A / local alike — a driver-local ``os.path`` probe would silently never
+    find a remote store and reset the state every batch), and a store is
+    trusted only when its ``_SUCCESS`` marker exists — a partial directory is
+    never merged. The new state is written to ``<store>.next`` first (Spark
+    commits ``_SUCCESS`` last), then the old store is deleted and ``.next``
+    is RENAMED into place — a metadata move, not a second data write. If a
+    crash lands between the delete and the rename, the next batch finds no
+    complete store but a complete ``.next`` and promotes it before merging;
+    if it lands mid-write of ``.next``, the marker is absent, the stale
+    ``.next`` is ignored and overwritten, and the old store is intact. On
+    filesystems without atomic rename (raw S3) put the store in a
+    transactional table format instead.
+    """
     spark = batch_df.sparkSession
+    store = store_path.rstrip("/")
+    nxt = store + ".next"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(store).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _complete(path: str) -> bool:
+        return fs.exists(hpath(path + "/_SUCCESS"))
+
+    # recover a promote interrupted between delete(store) and rename(next)
+    if not _complete(store) and _complete(nxt):
+        fs.delete(hpath(store), True)
+        fs.rename(hpath(nxt), hpath(store))
+
     fresh = sketch_state(batch_df, key_col=key_col, id_col=id_col)
-    try:
-        standing = spark.read.parquet(store_path)
+    if _complete(store):
+        standing = spark.read.parquet(store)
         merged = merge_sketch_states(standing, fresh, key_col=key_col)
-    except AnalysisException:  # first batch: no store yet
+    else:
         merged = fresh
-    # write the complete new state beside the store, then promote
-    tmp = store_path.rstrip("/") + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    # materialize the complete new state beside the store, then promote by
+    # delete + rename (reading back and rewriting would double the write and
+    # widen the crash window to a full data copy)
+    merged.write.mode("overwrite").parquet(nxt)
+    fs.delete(hpath(store), True)
+    fs.rename(hpath(nxt), hpath(store))

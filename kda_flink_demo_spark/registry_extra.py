@@ -1465,7 +1465,7 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices = [
         agg_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)
     ]
-    merged = merge_agg_states(*slices)
+    merged = merge_agg_states(*slices, key_cols=("event_type", "minute"))
     return merged.select(
         "event_type",
         "minute",

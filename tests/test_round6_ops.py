@@ -1,0 +1,166 @@
+"""Round-6 hardening + new operators: sketch-store crash recovery (rename
+promote), sketch_report empty-anchor survival, merge_agg_states explicit
+keys, NULL-text ingest-dedup semantics. Later sessions extend this file with
+BPE merge training and span-level cross-doc dedup tests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.io.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------- sketch store
+
+
+def _store_tools():
+    from kda_flink_demo_spark.operators.sketches import (
+        sketch_report,
+        sketch_state,
+        update_sketch_store,
+    )
+
+    return sketch_report, sketch_state, update_sketch_store
+
+
+def test_sketch_store_recovers_from_crash_between_delete_and_promote(spark, tmp_path):
+    """Fault injection for the promote: after batch A lands, simulate a crash
+    that happened AFTER the old store was deleted but BEFORE ``.next`` was
+    renamed in (store missing, complete ``.next`` present). The next batch
+    must promote ``.next`` and merge on top of it — r05's read-back probe
+    silently treated this state as 'first batch' and reset all history."""
+    sketch_report, sketch_state, update_sketch_store = _store_tools()
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    store = str(tmp_path / "store")
+
+    update_sketch_store(a, store)
+    # crash simulation: the promote's delete happened, the rename did not
+    os.rename(store, store + ".next")
+    assert not os.path.exists(store)
+
+    update_sketch_store(b, store)
+    got = _canon(sketch_report(spark.read.parquet(store)))
+    expected = _canon(sketch_report(sketch_state(ev)))
+    assert got == expected  # batch A's history survived the crash
+
+
+def test_sketch_store_ignores_partial_next_without_success_marker(spark, tmp_path):
+    """A ``.next`` directory with no _SUCCESS marker (crash mid-write) must be
+    ignored and overwritten — the intact standing store wins; merging a
+    partial directory would silently drop keys."""
+    sketch_report, sketch_state, update_sketch_store = _store_tools()
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    a = ev.filter(F.col("user_id") % 3 == 0)
+    b = ev.filter(F.col("user_id") % 3 != 0)
+    store = str(tmp_path / "store")
+
+    update_sketch_store(a, store)
+    # crash simulation: a half-written .next (copy of the store, marker removed)
+    shutil.copytree(store, store + ".next")
+    os.remove(os.path.join(store + ".next", "_SUCCESS"))
+
+    update_sketch_store(b, store)
+    got = _canon(sketch_report(spark.read.parquet(store)))
+    expected = _canon(sketch_report(sketch_state(ev)))
+    assert got == expected
+    assert not os.path.exists(store + ".next")  # consumed by the promote
+
+
+def test_sketch_report_survives_missing_anchor_key(spark):
+    """If the anchor key has no state (filtered-out event type), every key's
+    HLL distinct estimate must still be reported, with a 0 overlap — the r05
+    crossJoin against the empty anchor side zero-rowed the whole report."""
+    from kda_flink_demo_spark.operators.sketches import sketch_report, sketch_state
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_type") != "purchase")
+    rep = sketch_report(sketch_state(ev)).collect()
+    assert len(rep) == ev.select("event_type").distinct().count()
+    assert all(r.ids_also_in_anchor == 0 for r in rep)
+    exact = {
+        r.event_type: r.c
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .collect()
+    }
+    for r in rep:
+        assert abs(r.distinct_ids - exact[r.event_type]) / exact[r.event_type] < 0.05
+
+
+# -------------------------------------------------------- merge_agg_states
+
+
+def test_merge_agg_states_explicit_keys_match_inference(spark):
+    from kda_flink_demo_spark.operators.aggregates import agg_state, merge_agg_states
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = agg_state(ev.filter(F.col("event_id") % 2 == 0))
+    b = agg_state(ev.filter(F.col("event_id") % 2 == 1))
+    inferred = _canon(merge_agg_states(a, b))
+    explicit = _canon(merge_agg_states(a, b, key_cols=("event_type", "minute")))
+    assert inferred == explicit
+
+
+def test_merge_agg_states_rejects_measure_named_key(spark):
+    """A grouping column named like a measure cannot be silently folded as
+    one (ADVICE r05) — explicit key_cols naming it must raise, not corrupt."""
+    from kda_flink_demo_spark.operators.aggregates import agg_state, merge_agg_states
+
+    ev = load_table(spark, SF_DIR, "events")
+    st = agg_state(ev)
+    with pytest.raises(ValueError, match="collide"):
+        merge_agg_states(st, st, key_cols=("cnt",))
+
+
+# ------------------------------------------------------- NULL-text ingest
+
+
+def _null_fixture(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text="shared doc text"), Row(doc_id=1, text=None)]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="shared doc text"),  # exact re-crawl: drop
+            Row(doc_id=11, text=None),  # NULL ≠ NULL: must survive
+            Row(doc_id=12, text="genuinely new"),  # survive
+        ]
+    )
+    return corpus, incoming
+
+
+def test_ingest_dedup_null_text_never_matches(spark):
+    """SQL equality semantics: a NULL-text incoming doc survives even when the
+    corpus holds NULL-text docs (the registered oracle's ``c.text = i.text``
+    keeps it; xxhash64(NULL)'s seed constant used to equate all NULLs)."""
+    from kda_flink_demo_spark.operators.llm import dedup
+
+    corpus, incoming = _null_fixture(spark)
+    got = sorted(
+        r.doc_id
+        for r in dedup.ingest_dedup_against_corpus(incoming, corpus).collect()
+    )
+    assert got == [11, 12]
+
+
+def test_ingest_dedup_bloom_null_text_never_matches(spark):
+    from kda_flink_demo_spark.operators.llm import dedup
+
+    corpus, incoming = _null_fixture(spark)
+    got = sorted(
+        r.doc_id for r in dedup.ingest_dedup_bloom(incoming, corpus).collect()
+    )
+    assert got == [11, 12]
