@@ -55,7 +55,8 @@ def register(name: str, oracle: str | None):
 # each round, so every query is periodically externally verified. All queries
 # stay locally oracle-verified by tests/test_registry_oracle.py regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # reference-parity core (windows / projections / aggs / relational)
+    # reference-parity core (windows / projections / aggs / relational) —
+    # the flagship Flink-parity rows stay permanently pinned
     "tumbling_1m",
     "tumbling_offset_30s",
     "hopping_2m_1m",
@@ -63,62 +64,37 @@ _DRIVER_PRIORITY: list[str] = [
     "projection_json_cast",
     "ts_parse_fallback",
     "filter_predicates",
-    # (pricing_summary / revenue_by_region / top_customers /
-    # rank_parts_in_brand — green r01/r03/r04 — unpinned to the rotating tail
-    # to restore window headroom after the round-5 session-3 additions)
-    # (customers_with/without_orders, nation_set_ops, ngram_jaccard, tfidf,
-    # doc_fingerprint, embedding_quantize, language_id, repetition,
-    # distinct_users, rollup — all green r01–r04 — unpinned to the rotating
-    # tail, keeping ≥10 rotation slots as the registry grows)
-    # LLM-data-pipeline operators (oracle-bearing; the rows-only approximate
-    # variants — simhash / ann_lsh / ivf / approx_distinct — rotate with the
-    # pool since the driver's check adds nothing beyond rows-present for them)
-    # (dedup_exact, dedup_embedding_cosine, similarity_topk,
-    # contamination_check, chunk_documents, corpus_shuffle_order — green in
-    # CORRECTNESS_r04 — unpinned to the rotating tail in round-5 session 4 to
-    # keep rotation headroom; the LSH/clusters/packing flagships stay pinned)
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_apply_fuzzy",
-    "pack_sequences",
-    # round-5 additions: pinned for first driver exposure; the text/multimodal
-    # rows they displaced (quality/token_stats/normalize/pii/url_domain/
-    # multimodal_*) were green in CORRECTNESS_r04, stay covered by
-    # tests/test_registry_oracle.py, and rotate back through the tail.
-    "dedup_span_stats",
-    "length_buckets",
-    "temperature_resample",
-    "corpus_filter_pipeline",
-    "lm_bigram_score",
-    "domain_cap",
-    "token_budget_select",
-    "ingest_dedup",
-    "shard_assignment",
-    "embedding_kmeans",
-    "semantic_dedup",
-    "dedup_keep_best",
-    "dataset_split",
-    "events_interval_dedup",
-    "multimodal_resize",
-    "asof_join_next_purchase",
-    "ingest_dedup_fuzzy",
-    "session_windows_dynamic_gap",
-    "resample_1m_interp",
-    "source_upsample",
-    "mix_interleave",
-    "vocab_top_terms",
-    "quality_top_fraction",
-    # round-5 session-4 additions (first driver exposure r05; unpin the
-    # r05-green rows next round to restore rotation headroom)
-    "ingest_dedup_bloom",
-    "corpus_snapshot_diff",
-    "multi_resolution_rollup",
-    "anomaly_zscore",
-    "scd2_user_history",
-    "bpe_pair_counts",
-    "zorder_layout",
-    "incremental_agg_merge",
+    # Round-6 unpinning (r05 VERDICT directive 1): every r05-green row —
+    # the LSH/clusters/packing flagships and all 30+ round-5 session
+    # additions — moved to the rotating tail (each stays covered by
+    # tests/test_registry_oracle.py and scripts/driver_sim.py every round).
+    # Pinned instead: the rows with NO external CORRECTNESS record yet.
+    # (a) sketch_incremental_pack — r05's only no-oracle row, converted this
+    #     round to a hash-checkable exact+booleans shape; first hash exposure
     "sketch_incremental_pack",
+    # (b) the 18 queries absent from every CORRECTNESS_r{1..5}.json (TPC-H
+    #     breadth + the three rows-only LLM ops) — first driver exposure
+    "dataset_profile",
+    "chunk_documents",
+    "corpus_shuffle_order",
+    "embedding_pca",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_variety",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_part_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # (c) round-6 additions: first driver exposure
+    "bpe_merge_steps",
+    "span_dedup_apply",
 ]
 
 _DRIVER_WINDOW = 50

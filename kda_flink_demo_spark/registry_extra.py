@@ -1476,16 +1476,45 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_incremental_pack", None)
+@register(
+    "sketch_incremental_pack",
+    """
+    WITH ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_ids_exact
+        FROM events GROUP BY 1
+    ),
+    anchor AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    ov AS (
+        SELECT e.event_type,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS ids_also_in_anchor_exact
+        FROM events e JOIN anchor a ON e.user_id = a.user_id
+        GROUP BY 1
+    )
+    SELECT ex.event_type,
+           ex.distinct_ids_exact,
+           coalesce(ov.ids_also_in_anchor_exact, 0) AS ids_also_in_anchor_exact,
+           TRUE AS hll_within_5pct,
+           TRUE AS theta_within_5pct
+    FROM ex LEFT JOIN ov ON ex.event_type = ov.event_type
+    """,
+)
 def q_sketch_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable sketch analytics (DataSketches HLL + Theta): three disjoint
     event slices' sketch states merged into per-type distinct-user estimates
     and the Theta-intersection overlap with the purchase audience — the
-    constant-size-state twin of incremental_agg_merge. Sketch estimates have
-    no DuckDB twin → rows-only driver check; local tests pin merge ≡ one-pass
-    bit-equality, error bounds vs exact, and the determinism probe replays
-    it (HLL/Theta unions are order-independent; the randomized-KLL quantile
-    sketch is deliberately excluded from this contract)."""
+    constant-size-state twin of incremental_agg_merge.
+
+    Hash-checkable (r05 VERDICT directive): HLL/Theta unions here are
+    DETERMINISTIC and merge-order-independent (pinned bit-exactly by local
+    tests + the determinism probe), so the query emits the EXACT per-key
+    distinct counts (one extra aggregate over the same events) alongside
+    deliberately-boolean ``*_within_5pct`` accuracy verdicts of the sketch
+    estimates against them. The oracle recomputes the exact columns in
+    DuckDB and pins both booleans TRUE — a wrong sketch estimate flips a
+    boolean and fails the hash, so the sketch pipeline itself is externally
+    verified without requiring DuckDB to reproduce DataSketches binaries.
+    (The randomized-KLL quantile sketch stays excluded from this contract.)"""
     from kda_flink_demo_spark.operators.sketches import (
         merge_sketch_states,
         sketch_report,
@@ -1494,4 +1523,33 @@ def q_sketch_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     slices = [sketch_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)]
-    return sketch_report(merge_sketch_states(*slices))
+    report = sketch_report(merge_sketch_states(*slices))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_ids_exact")
+    )
+    anchor_users = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    overlap = (
+        ev.join(anchor_users, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ids_also_in_anchor_exact"))
+    )
+    within = lambda est, ex: (  # noqa: E731
+        F.abs(F.col(est).cast("double") - F.col(ex)) <= 0.05 * F.col(ex)
+    )
+    return (
+        report.join(exact, "event_type")
+        .join(overlap, "event_type", "left")
+        .select(
+            "event_type",
+            "distinct_ids_exact",
+            F.coalesce("ids_also_in_anchor_exact", F.lit(0).cast("long")).alias(
+                "ids_also_in_anchor_exact"
+            ),
+            within("distinct_ids", "distinct_ids_exact").alias("hll_within_5pct"),
+            within("ids_also_in_anchor", "ids_also_in_anchor_exact").alias(
+                "theta_within_5pct"
+            ),
+        )
+    )
