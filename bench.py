@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "token_budget_select",
     "ingest_dedup",
+    "fuzzy_ingest_index_build",
     "ingest_dedup_fuzzy",
     "ingest_dedup_bloom",
     "corpus_snapshot_diff",

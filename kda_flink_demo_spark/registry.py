@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: list[str] = [
     "tpch_q20_promo_part_suppliers",
     "tpch_q22_global_sales_opportunity",
     # (c) round-6 additions: first driver exposure
+    "fuzzy_ingest_index_build",
     "bpe_merge_steps",
     "span_dedup_apply",
 ]
