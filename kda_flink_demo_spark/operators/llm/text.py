@@ -614,6 +614,149 @@ def bpe_pair_counts(
     return topk.withColumn("pair_rank", F.row_number().over(w).cast("long"))
 
 
+def _bpe_merge_fold(toks: Column, left: Column, right: Column) -> Column:
+    """Left-to-right non-overlapping merge of adjacent ``(left, right)`` token
+    pairs — the BPE apply step — as a JVM-side ``aggregate`` fold: walk the
+    token list with an array accumulator; when the accumulator's last token is
+    ``left`` and the incoming token is ``right``, replace the last token with
+    the merged symbol, else append. A freshly merged symbol can never re-merge
+    as ``left`` within the pass (``left ≠ left+right`` for nonempty pairs), so
+    the fold is exactly the scan-with-skip real BPE trainers use — e.g. pair
+    (a,a) on "aaa" yields [aa, a], never the overlapping double-merge. When
+    ``left``/``right`` are NULL (no pair available this step) every WHEN
+    predicate is NULL and the fold degrades to the identity append."""
+    init = F.slice(toks, 1, 1)
+    rest = F.slice(toks, F.lit(2), F.size(toks) - 1)
+    return F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merge_train(
+    df: DataFrame, text_col: str = "text", steps: int = 4
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016): ``steps``
+    rounds of count-adjacent-pairs → pick the most frequent → merge it
+    everywhere — the loop that ``bpe_pair_counts`` computes one iteration of.
+    Returns the learned merge table: one row per round with
+    ``(step, pair_left, pair_right, merged, pair_count)``; ties break
+    deterministically on (count DESC, left, right) in both engines.
+
+    Scale shape (the production trainer's): the corpus collapses to its
+    VOCABULARY once (one word-count shuffle — corpus-sized work happens
+    exactly once), and every round then runs over the vocab table only:
+    one vocabulary-bounded pair aggregate, a TakeOrdered(1) for the argmax,
+    and a map-side fold applying the merge. Each round's vocab state is
+    ``localCheckpoint``-ed — rounds are data-dependent (the argmax feeds the
+    next round's plan) so the lineage must not re-derive all prior rounds,
+    same hygiene as ``connected_components``. The argmax row reaches the
+    merge step by BROADCAST (left join on a constant key, NULL-safe when a
+    degenerate corpus runs out of pairs) — never a driver collect.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.char_length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    cur = vocab.select(
+        "wc",
+        F.expr(
+            "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"
+        ).alias("toks"),
+    ).localCheckpoint()
+    out: DataFrame | None = None
+    for s in range(1, steps + 1):
+        adj = cur.filter(F.size("toks") >= 2).select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS l, "
+                    "element_at(toks, CAST(i + 1 AS INT)) AS r))"
+                )
+            ).alias("p"),
+        )
+        pairs = adj.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("wc").alias("cnt"))
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).localCheckpoint()
+        step_out = best.select(
+            F.lit(s).cast("long").alias("step"),
+            F.col("l").alias("pair_left"),
+            F.col("r").alias("pair_right"),
+            F.concat("l", "r").alias("merged"),
+            F.col("cnt").cast("long").alias("pair_count"),
+        )
+        out = step_out if out is None else out.unionByName(step_out)
+        if s < steps:
+            b = best.select(
+                F.lit(1).alias("_j"), F.col("l").alias("_l"), F.col("r").alias("_r")
+            )
+            cur = (
+                cur.withColumn("_j", F.lit(1))
+                .join(F.broadcast(b), "_j", "left")
+                .select(
+                    "wc",
+                    _bpe_merge_fold(
+                        F.col("toks"), F.col("_l"), F.col("_r")
+                    ).alias("toks"),
+                )
+                .localCheckpoint()
+            )
+    assert out is not None
+    return out
+
+
+def bpe_merge_train_oracle_sql(steps: int = 4, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_merge_train`, the rounds unrolled as chained
+    CTEs (the kmeans-oracle pattern). The merge fold is a ``list_reduce``
+    over a ``chr(31)``-joined accumulator string (DuckDB's reduce carries the
+    element type, so the token list rides a separator no corpus token can
+    contain — the fixture alphabet is [a-z ]); ``regexp_extract/_replace`` on
+    ``[^\\x1f]*$`` address the accumulator's last token. Semantics match the
+    Spark fold exactly — validated on the overlapping-run cases in tests."""
+    parts = [
+        f"""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM {table}),
+    vocab AS (SELECT w, count(*) AS wc FROM words WHERE length(w) >= 2 GROUP BY 1),
+    t1 AS (SELECT wc, list_transform(range(1, length(w) + 1),
+                                     i -> substr(w, i, 1)) AS toks
+           FROM vocab)"""
+    ]
+    for s in range(1, steps + 1):
+        parts.append(
+            f""",
+    p{s} AS (SELECT toks[i] AS l, toks[i + 1] AS r, sum(wc) AS cnt
+             FROM t{s}, unnest(range(1, len(toks))) AS u(i) GROUP BY 1, 2),
+    b{s} AS (SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        if s < steps:
+            parts.append(
+                f""",
+    t{s + 1} AS (SELECT wc, string_split(list_reduce(toks,
+                   (acc, x) -> CASE WHEN regexp_extract(acc, '[^\\x1f]*$') = b.l
+                                         AND x = b.r
+                               THEN regexp_replace(acc, '[^\\x1f]*$', b.l || b.r)
+                               ELSE acc || chr(31) || x END), chr(31)) AS toks
+             FROM t{s}, b{s} b)"""
+            )
+    selects = [
+        f"""
+    SELECT CAST({s} AS BIGINT) AS step, l AS pair_left, r AS pair_right,
+           l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+    FROM b{s}"""
+        for s in range(1, steps + 1)
+    ]
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
 def bpe_pair_counts_oracle_sql(k: int = 50, table: str = "documents") -> str:
     return f"""
     WITH words AS (

@@ -902,3 +902,15 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair; completes the tokenizer precursor family next to vocab_top_terms
     and token_stats."""
     return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@register("bpe_merge_steps", text.bpe_merge_train_oracle_sql(steps=4))
+def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (4 merge rounds): count pairs → pick
+    the most frequent → merge it across the vocabulary → repeat; returns the
+    learned merge table. Corpus-sized work happens once (the word count);
+    each round is vocabulary-bounded with a broadcast argmax — the loop
+    bpe_pair_counts computes one iteration of (r05 VERDICT directive 4).
+    Oracle unrolls the same 4 rounds as chained DuckDB CTEs with a
+    list_reduce merge fold."""
+    return text.bpe_merge_train(load_table(spark, sf_dir, "documents"), steps=4)

@@ -164,3 +164,68 @@ def test_ingest_dedup_bloom_null_text_never_matches(spark):
         r.doc_id for r in dedup.ingest_dedup_bloom(incoming, corpus).collect()
     )
     assert got == [11, 12]
+
+
+# ----------------------------------------------------------- BPE training
+
+
+def _merge_once(spark, toks: list[str], left: str, right: str) -> list[str]:
+    from kda_flink_demo_spark.operators.llm.text import _bpe_merge_fold
+
+    df = spark.createDataFrame([Row(toks=toks)])
+    return df.select(
+        _bpe_merge_fold(F.col("toks"), F.lit(left), F.lit(right)).alias("m")
+    ).collect()[0].m
+
+
+def test_bpe_merge_fold_left_to_right_non_overlapping(spark):
+    """The scan-with-skip contract real BPE trainers use: in a run of equal
+    symbols, merges take positions 0, 2, 4… — never overlapping."""
+    assert _merge_once(spark, ["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _merge_once(spark, ["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert _merge_once(spark, ["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    # a merged symbol must not cascade within the same pass
+    assert _merge_once(spark, ["a", "b", "b"], "a", "b") == ["ab", "b"]
+    # absent pair leaves tokens unchanged; single-token lists are identity
+    assert _merge_once(spark, ["x", "y"], "p", "q") == ["x", "y"]
+    assert _merge_once(spark, ["xy"], "x", "y") == ["xy"]
+
+
+def test_bpe_merge_train_matches_reference_loop(spark):
+    """4 training rounds on a tiny corpus vs a pure-Python reference BPE
+    trainer (count all adjacent positions, argmax with (count, left, right)
+    tie-break, left-to-right non-overlapping merge)."""
+    from kda_flink_demo_spark.operators.llm.text import bpe_merge_train
+
+    corpus = ["low lower lowest low low", "new newer newest new lower"]
+
+    def reference(texts, steps):
+        from collections import Counter
+
+        vocab = Counter(w for t in texts for w in t.split(" ") if len(w) >= 2)
+        words = {w: list(w) for w in vocab}
+        out = []
+        for s in range(1, steps + 1):
+            pc = Counter()
+            for w, toks in words.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += vocab[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((s, l, r, l + r, c))
+            for w, toks in words.items():
+                merged, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(toks[i])
+                        i += 1
+                words[w] = merged
+        return out
+
+    df = spark.createDataFrame([Row(text=t) for t in corpus])
+    got = sorted(tuple(r) for r in bpe_merge_train(df, steps=4).collect())
+    assert got == sorted(reference(corpus, 4))
