@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "corpus_shuffle_order",
     "dedup_apply_fuzzy",
     "dedup_span_stats",
+    "span_dedup_apply",
+    "bpe_merge_steps",
     "length_buckets",
     "temperature_resample",
     "source_upsample",

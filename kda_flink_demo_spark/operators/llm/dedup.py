@@ -489,6 +489,117 @@ def duplicate_spans_oracle_sql(
     """
 
 
+def span_dedup_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+) -> DataFrame:
+    """Exact-substring dedup APPLIED (Lee et al. 2021): remove long verbatim
+    token spans from every document whose span already occurs in an EARLIER
+    document (smaller id) — the cross-doc containment complement of
+    :func:`duplicate_spans` (which only reports statistics). Whole-document
+    dedup misses a boilerplate paragraph pasted into thousands of otherwise
+    distinct pages; this removes the paragraph and keeps the pages.
+
+    Rule (deterministic, order-free): a token position is removed iff it is
+    covered by at least one ``span``-token window that also occurs in a
+    smaller-id document. The earliest document containing a span keeps it;
+    within-document repeats are not touched (they are ``duplicate_spans``'
+    ``min_docs`` concern). Docs shorter than ``span`` tokens pass through
+    whole. Returns ``(id, n_tokens, n_removed, cleaned_text)``.
+
+    Scale shape: spans are hashed to 8-byte xxhash64 keys BEFORE the one
+    shuffle (the per-span min-id window — same fixed-width-key move as
+    ``duplicate_spans``; a collision is ~2⁻⁶⁴ per span pair and could only
+    spuriously remove one span). Only CONTAMINATED occurrences — the
+    duplicated tail, not the corpus — flow into the per-doc start-list
+    aggregate, and the removal mask is a JVM-side ``exists`` over that
+    (short) start list: O(n_tokens · n_dup_spans) per doc, never a
+    corpus-wide position explode."""
+    spread = spread_for_compute(df)
+    base = spread.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    occ = (
+        base.filter(F.size("toks") >= span)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {span} + 1), "
+                    f"i -> struct(i AS pos, "
+                    f"xxhash64(concat_ws(' ', slice(toks, i, {span}))) AS h))"
+                )
+            ).alias("o"),
+        )
+        .select(id_col, "o.pos", "o.h")
+    )
+    from pyspark.sql import Window
+
+    first_doc = F.min(id_col).over(Window.partitionBy("h"))
+    contaminated = occ.select(
+        F.col(id_col), F.col("pos"), first_doc.alias("_first")
+    ).filter(F.col("_first") < F.col(id_col))
+    starts = contaminated.groupBy(id_col).agg(F.collect_list("pos").alias("starts"))
+    keep_mask = (
+        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+        f"s -> NOT exists(starts, st -> s.p >= st AND s.p < st + {span}))"
+    )
+    return (
+        base.join(starts, id_col, "left")
+        .withColumn("starts", F.coalesce("starts", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.expr(f"transform({keep_mask}, s -> s.t)").alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.concat_ws(" ", "_kept").alias("cleaned_text"),
+        )
+    )
+
+
+def span_dedup_apply_oracle_sql(span: int = 10, table: str = "documents") -> str:
+    """DuckDB twin of :func:`span_dedup_apply` (kept adjacent, like
+    ``duplicate_spans_oracle_sql``): same smaller-id-owns-the-span rule over
+    actual span strings (no hashing needed at oracle scale)."""
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {table}),
+    occ AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i, i + {span} - 1), ' ') AS s
+        FROM base, unnest(range(1, len(toks) - {span} + 2)) AS u(i)
+        WHERE len(toks) >= {span}
+    ),
+    firstd AS (SELECT s, min(doc_id) AS first_doc FROM occ GROUP BY 1),
+    cont AS (
+        SELECT o.doc_id, list(o.pos) AS starts
+        FROM occ o JOIN firstd f ON o.s = f.s
+        WHERE f.first_doc < o.doc_id GROUP BY 1
+    ),
+    masked AS (
+        SELECT b.doc_id,
+               CAST(len(b.toks) AS BIGINT) AS n_tokens,
+               list_filter(
+                   list_transform(range(1, len(b.toks) + 1),
+                       i -> CASE WHEN len(list_filter(
+                                     coalesce(c.starts, CAST([] AS BIGINT[])),
+                                     st -> i >= st AND i < st + {span})) = 0
+                            THEN b.toks[i] END),
+                   t -> t IS NOT NULL) AS kept
+        FROM base b LEFT JOIN cont c USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           -- DuckDB's array_to_string([]) is NULL; Spark's concat_ws is '' —
+           -- a fully-removed doc must read as empty text on both sides
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM masked
+    """
+
+
 def ingest_dedup_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,

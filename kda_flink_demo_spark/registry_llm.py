@@ -540,6 +540,17 @@ def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(load_table(spark, sf_dir, "documents"), span=10, min_docs=2)
 
 
+@register("span_dedup_apply", dedup.span_dedup_apply_oracle_sql(span=10))
+def q_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (the removal dedup_span_stats only
+    reports): every 10-token span already present in a smaller-id document is
+    cut from later documents' text; returns the cleaned corpus with per-doc
+    removal counts. One hashed-span shuffle + a contaminated-only start-list
+    aggregate; the earliest copy of a boilerplate paragraph survives, later
+    verbatim copies are removed without dropping their documents."""
+    return dedup.span_dedup_apply(load_table(spark, sf_dir, "documents"), span=10)
+
+
 @register("length_buckets", text.length_buckets_oracle_sql())
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two token-length histogram (packing/batch-shape planning input);

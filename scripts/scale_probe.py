@@ -65,6 +65,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 2)
 
+    def bench_lazy(name, fn):
+        # for operators with EAGER construction work (per-step localCheckpoints)
+        # — the timer must include plan construction, like bench.py's does
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 2)
+
     bench("tumbling_count", windows.tumbling_counts(ev))
     bench("sliding_range_count", over_windows.sliding_range_count(ev))
     bench(
@@ -122,6 +129,8 @@ def main() -> None:
     from kda_flink_demo_spark.operators.llm import sampling as _sampling
 
     bench("duplicate_spans", _dedup.duplicate_spans(docs))
+    bench("span_dedup_apply", _dedup.span_dedup_apply(docs))
+    bench_lazy("bpe_merge_train", lambda: _text.bpe_merge_train(docs, steps=4))
     bench("filter_pipeline", _pipeline.filter_pipeline(docs))
     bench("temperature_resample", _sampling.temperature_resample(docs, source_col="lang"))
     bench("length_buckets", _text.length_buckets(docs))

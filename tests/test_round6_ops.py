@@ -229,3 +229,33 @@ def test_bpe_merge_train_matches_reference_loop(spark):
     df = spark.createDataFrame([Row(text=t) for t in corpus])
     got = sorted(tuple(r) for r in bpe_merge_train(df, steps=4).collect())
     assert got == sorted(reference(corpus, 4))
+
+
+# ------------------------------------------------------- span-level dedup
+
+
+def test_span_dedup_apply_semantics(spark):
+    """Smaller-id-owns-the-span rule: the earliest doc keeps its text whole;
+    later docs lose exactly the positions covered by spans an earlier doc
+    contains; short docs pass through; within-doc repeats are NOT removed;
+    a fully-duplicated doc becomes empty text (not a dropped row)."""
+    from kda_flink_demo_spark.operators.llm.dedup import span_dedup_apply
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e"),
+            Row(doc_id=1, text="x y a b c d z"),  # shares (a b c), (b c d)
+            Row(doc_id=2, text="a b c d e"),  # exact copy of doc 0
+            Row(doc_id=3, text="p q"),  # shorter than the span
+            Row(doc_id=4, text="m n o m n o m n o"),  # only self-repeats
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in span_dedup_apply(docs, span=3).collect()
+    }
+    assert got[0] == (5, 0, "a b c d e")
+    assert got[1] == (7, 4, "x y z")
+    assert got[2] == (5, 5, "")
+    assert got[3] == (2, 0, "p q")
+    assert got[4] == (9, 0, "m n o m n o m n o")
