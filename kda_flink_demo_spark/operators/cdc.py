@@ -46,6 +46,31 @@ def apply_changes(
     )
 
 
+def scd2_compress(
+    changes: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """The compression half of SCD2: drop consecutive rows whose tracked
+    attributes are unchanged (NULL-safe lag compare), keeping only real
+    transitions. Idempotent — re-compressing kept rows (or kept rows unioned
+    with exact duplicates of them) returns the same set, which is what makes
+    the streaming SCD2 store's replayed batches harmless."""
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    unchanged = F.lit(True)
+    for a in attr_cols:
+        unchanged = unchanged & F.col(a).eqNullSafe(F.lag(a).over(w))
+    return (
+        changes.withColumn("_first", F.row_number().over(w) == 1)
+        .withColumn("_same", unchanged)
+        .filter(F.col("_first") | ~F.col("_same"))
+        .drop("_first", "_same")
+    )
+
+
 def scd2_history(
     changes: DataFrame,
     keys: Sequence[str],
@@ -59,7 +84,7 @@ def scd2_history(
     tracking how a dimension attribute evolved.
 
     Consecutive rows whose tracked attributes are unchanged are compressed
-    away first (NULL-safe comparison via lag), so each history row is a real
+    away first (:func:`scd2_compress`), so each history row is a real
     transition; ``valid_to`` is then the next KEPT change's timestamp.
 
     Scale shape: one hash shuffle on the key, then two in-partition window
@@ -69,15 +94,7 @@ def scd2_history(
     dimension keys (user, product, account) are naturally fine-grained.
     """
     order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
-    w = Window.partitionBy(*keys).orderBy(*order)
-    unchanged = F.lit(True)
-    for a in attr_cols:
-        unchanged = unchanged & F.col(a).eqNullSafe(F.lag(a).over(w))
-    kept = (
-        changes.withColumn("_first", F.row_number().over(w) == 1)
-        .withColumn("_same", unchanged)
-        .filter(F.col("_first") | ~F.col("_same"))
-    )
+    kept = scd2_compress(changes, keys, attr_cols, ts_col, tie_col)
     w2 = Window.partitionBy(*keys).orderBy(*order)
     return kept.select(
         *keys,

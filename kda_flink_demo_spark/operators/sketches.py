@@ -121,45 +121,18 @@ def update_sketch_store(
     (register max / hash-set union), so a replayed batch can't corrupt the
     state.
 
-    Crash safety (every window covered, unit-tested by fault injection):
-    state transitions go through the Hadoop FileSystem API (works on HDFS /
-    S3A / local alike — a driver-local ``os.path`` probe would silently never
-    find a remote store and reset the state every batch), and a store is
-    trusted only when its ``_SUCCESS`` marker exists — a partial directory is
-    never merged. The new state is written to ``<store>.next`` first (Spark
-    commits ``_SUCCESS`` last), then the old store is deleted and ``.next``
-    is RENAMED into place — a metadata move, not a second data write. If a
-    crash lands between the delete and the rename, the next batch finds no
-    complete store but a complete ``.next`` and promotes it before merging;
-    if it lands mid-write of ``.next``, the marker is absent, the stale
-    ``.next`` is ignored and overwritten, and the old store is intact. On
-    filesystems without atomic rename (raw S3) put the store in a
-    transactional table format instead.
+    Crash safety (every window covered, unit-tested by fault injection) comes
+    from the shared standing-store primitives —
+    ``streaming/store.py``'s _SUCCESS-validated probe, ``.next`` recovery,
+    and delete+rename promote; see that module's contract docstring.
     """
+    from kda_flink_demo_spark.streaming.store import promote, recover_standing
+
     spark = batch_df.sparkSession
-    store = store_path.rstrip("/")
-    nxt = store + ".next"
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(store).getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def _complete(path: str) -> bool:
-        return fs.exists(hpath(path + "/_SUCCESS"))
-
-    # recover a promote interrupted between delete(store) and rename(next)
-    if not _complete(store) and _complete(nxt):
-        fs.delete(hpath(store), True)
-        fs.rename(hpath(nxt), hpath(store))
-
     fresh = sketch_state(batch_df, key_col=key_col, id_col=id_col)
-    if _complete(store):
-        standing = spark.read.parquet(store)
+    if recover_standing(spark, store_path):
+        standing = spark.read.parquet(store_path.rstrip("/"))
         merged = merge_sketch_states(standing, fresh, key_col=key_col)
-    else:
+    else:  # first batch: no store yet
         merged = fresh
-    # materialize the complete new state beside the store, then promote by
-    # delete + rename (reading back and rewriting would double the write and
-    # widen the crash window to a full data copy)
-    merged.write.mode("overwrite").parquet(nxt)
-    fs.delete(hpath(store), True)
-    fs.rename(hpath(nxt), hpath(store))
+    promote(merged, store_path)

@@ -1,0 +1,157 @@
+"""Streaming twins for SCD2 history and corpus snapshot diff — fold CDC /
+snapshot micro-batches into standing stores via ``foreachBatch``, using the
+crash-safe primitives in ``streaming/store.py`` (same template as the sketch
+store; reference parity: the upsert-sink family O2–O8,
+/root/reference/src/main/java/ .../StreamJobSingle.java sinks, generalized to
+materialized-view maintenance).
+
+SCD2 store
+----------
+``update_scd2_store`` maintains the COMPRESSED change log (each key's real
+transitions, ``operators/cdc.py:scd2_compress``): per batch, only the
+standing rows of keys PRESENT in the batch are re-compressed together with
+the batch; untouched keys pass through untouched — per-batch work is
+O(batch + affected keys' history), never the full store. A replayed batch
+unions rows that are either already-kept transitions (compression dedupes
+them NULL-safely) or rows that were compressed away before (compressed away
+again), so replay is IDEMPOTENT. History (valid_from / valid_to /
+is_current) is derived at read time by ``scd2_from_store`` — the lead()
+interval close must see each key's full transition list anyway, and deriving
+it keeps the store minimal. Contract (the standard CDC assumption): batches
+arrive per-key in event-time order; a late change older than a key's stored
+transitions would need that key's raw log replayed.
+
+Snapshot version store
+----------------------
+``update_snapshot_version_store`` persists each micro-batch (a corpus
+snapshot) as a 16-byte ``(id, xxhash64(text))`` projection under
+``version=<batch_id>`` — document text is never retained or shuffled.
+Writes are idempotent per version (a replayed batch rewrites identical
+bytes into the same directory) and a partial version directory (no
+``_SUCCESS``) is invisible to readers. ``diff_snapshot_versions`` then
+computes added / removed / changed between ANY two retained versions from
+the projections alone — the streaming twin of
+``operators/llm/versioning.py:snapshot_diff``, with the diff available
+after the fact for every historical pair, not just consecutive ones.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.operators.cdc import scd2_compress, scd2_history
+from kda_flink_demo_spark.streaming.store import is_complete, promote, recover_standing
+
+
+def update_scd2_store(
+    batch_df: DataFrame,
+    store_path: str,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> None:
+    """Fold one micro-batch of change rows into the standing compressed
+    transition log (call from ``foreachBatch``; see module docstring for the
+    idempotence/ordering contract)."""
+    spark = batch_df.sparkSession
+    cols = [*keys, *attr_cols, ts_col, *([tie_col] if tie_col else [])]
+    batch = batch_df.select(*cols)
+    if recover_standing(spark, store_path):
+        standing = spark.read.parquet(store_path.rstrip("/"))
+        bkeys = batch.select(*keys).distinct()
+        untouched = standing.join(bkeys, list(keys), "left_anti")
+        affected = standing.join(bkeys, list(keys), "left_semi")
+        merged = affected.unionByName(batch)
+    else:  # first batch
+        untouched = None
+        merged = batch
+    kept = scd2_compress(merged, keys, attr_cols, ts_col, tie_col)
+    new_store = kept if untouched is None else untouched.unionByName(kept)
+    promote(new_store, store_path)
+
+
+def scd2_from_store(
+    spark: SparkSession,
+    store_path: str,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Read the standing transition log as SCD2 history — equal to running
+    ``scd2_history`` over everything folded so far (the batch-as-oracle
+    equality the streaming tests pin)."""
+    return scd2_history(
+        spark.read.parquet(store_path.rstrip("/")), keys, attr_cols, ts_col, tie_col
+    )
+
+
+def _version_dir(store_path: str, version: int) -> str:
+    return f"{store_path.rstrip('/')}/version={int(version)}"
+
+
+def update_snapshot_version_store(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist one snapshot micro-batch's (id, hash) projection as
+    ``version=<batch_id>`` (call from ``foreachBatch(lambda df, bid: ...)``);
+    per-version overwrite makes checkpoint replays idempotent."""
+    proj = batch_df.select(
+        F.col(id_col).alias(id_col), F.xxhash64(F.col(text_col)).alias("text_hash")
+    )
+    proj.write.mode("overwrite").parquet(_version_dir(store_path, batch_id))
+
+
+def list_snapshot_versions(spark: SparkSession, store_path: str) -> list[int]:
+    """Committed versions only (a half-written ``version=`` dir without
+    ``_SUCCESS`` is invisible until its replay rewrites it)."""
+    from kda_flink_demo_spark.streaming.store import _fs
+
+    store = store_path.rstrip("/")
+    fs, hpath = _fs(spark, store)
+    if not fs.exists(hpath(store)):
+        return []
+    out = []
+    for st in fs.listStatus(hpath(store)):
+        name = st.getPath().getName()
+        if name.startswith("version="):
+            v = int(name.split("=", 1)[1])
+            if is_complete(spark, f"{store}/{name}"):
+                out.append(v)
+    return sorted(out)
+
+
+def diff_snapshot_versions(
+    spark: SparkSession,
+    store_path: str,
+    old_version: int,
+    new_version: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """added / removed / changed ids between two retained versions, computed
+    from the 16-byte projections alone (same full-outer-join shape and
+    statuses as the batch ``snapshot_diff``)."""
+    o = spark.read.parquet(_version_dir(store_path, old_version)).select(
+        F.col(id_col).alias("_id"), F.col("text_hash").alias("_ho")
+    )
+    n = spark.read.parquet(_version_dir(store_path, new_version)).select(
+        F.col(id_col).alias("_id"), F.col("text_hash").alias("_hn")
+    )
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(F.col("_id").alias(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
