@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "dedup_span_stats",
     "span_dedup_apply",
     "bpe_merge_steps",
+    "bpe_encode",
     "length_buckets",
     "temperature_resample",
     "source_upsample",

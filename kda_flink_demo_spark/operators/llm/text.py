@@ -714,14 +714,23 @@ def bpe_merge_train(
     return out
 
 
-def bpe_merge_train_oracle_sql(steps: int = 4, table: str = "documents") -> str:
-    """DuckDB twin of :func:`bpe_merge_train`, the rounds unrolled as chained
-    CTEs (the kmeans-oracle pattern). The merge fold is a ``list_reduce``
-    over a ``chr(31)``-joined accumulator string (DuckDB's reduce carries the
-    element type, so the token list rides a separator no corpus token can
-    contain — the fixture alphabet is [a-z ]); ``regexp_extract/_replace`` on
-    ``[^\\x1f]*$`` address the accumulator's last token. Semantics match the
-    Spark fold exactly — validated on the overlapping-run cases in tests."""
+def _bpe_fold_sql(toks_expr: str, best_cte: str) -> str:
+    """The DuckDB merge fold: ``list_reduce`` over a ``chr(31)``-joined
+    accumulator string (DuckDB's reduce carries the element type, so the
+    token list rides a separator no corpus token can contain — the fixture
+    alphabet is [a-z ]); ``regexp_extract/_replace`` on ``[^\\x1f]*$``
+    address the accumulator's last token. Matches the Spark fold exactly —
+    validated on the overlapping-run cases in tests."""
+    return f"""string_split(list_reduce({toks_expr},
+                   (acc, x) -> CASE WHEN regexp_extract(acc, '[^\\x1f]*$') = {best_cte}.l
+                                         AND x = {best_cte}.r
+                               THEN regexp_replace(acc, '[^\\x1f]*$', {best_cte}.l || {best_cte}.r)
+                               ELSE acc || chr(31) || x END), chr(31))"""
+
+
+def _bpe_train_ctes(steps: int, table: str) -> str:
+    """Shared training CTE chain: vocab → per-round pair counts (p{s}),
+    argmax (b{s}), merged vocab state (t{s+1})."""
     parts = [
         f"""
     WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM {table}),
@@ -740,13 +749,16 @@ def bpe_merge_train_oracle_sql(steps: int = 4, table: str = "documents") -> str:
         if s < steps:
             parts.append(
                 f""",
-    t{s + 1} AS (SELECT wc, string_split(list_reduce(toks,
-                   (acc, x) -> CASE WHEN regexp_extract(acc, '[^\\x1f]*$') = b.l
-                                         AND x = b.r
-                               THEN regexp_replace(acc, '[^\\x1f]*$', b.l || b.r)
-                               ELSE acc || chr(31) || x END), chr(31)) AS toks
+    t{s + 1} AS (SELECT wc, {_bpe_fold_sql("toks", "b")} AS toks
              FROM t{s}, b{s} b)"""
             )
+    return "".join(parts)
+
+
+def bpe_merge_train_oracle_sql(steps: int = 4, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_merge_train`, the rounds unrolled as chained
+    CTEs (the kmeans-oracle pattern); see :func:`_bpe_fold_sql` for the merge
+    fold mechanics."""
     selects = [
         f"""
     SELECT CAST({s} AS BIGINT) AS step, l AS pair_left, r AS pair_right,
@@ -754,7 +766,115 @@ def bpe_merge_train_oracle_sql(steps: int = 4, table: str = "documents") -> str:
     FROM b{s}"""
         for s in range(1, steps + 1)
     ]
-    return "".join(parts) + " UNION ALL ".join(selects)
+    return _bpe_train_ctes(steps, table) + " UNION ALL ".join(selects)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    steps: int = 4,
+    merges: DataFrame | None = None,
+) -> DataFrame:
+    """BPE tokenizer APPLY: encode every document with the merge table
+    :func:`bpe_merge_train` learns (or a supplied one) — train + encode
+    closes the tokenizer loop. Returns ``(id, n_tokens, tokens_text)`` where
+    ``tokens_text`` renders each word's token list space-joined, words joined
+    by ``|`` (fully sensitive to merge placement, so the oracle catches any
+    mis-applied merge).
+
+    Scale shape: merges are applied to the corpus's DISTINCT words (the
+    vocabulary — encoding is vocab-bounded exactly like training; every word
+    is folded once no matter how often it occurs), each merge round joining
+    its single argmax row by BROADCAST. Documents then join their words
+    against the encoded vocabulary (one hash join on the word) and reassemble
+    in word order with a per-doc sorted collect — per-doc work is bounded by
+    document length. Words shorter than 2 chars never trained but still
+    encode (a single char is its own token); an empty-string word encodes to
+    zero tokens."""
+    if merges is None:
+        merges = bpe_merge_train(df, text_col=text_col, steps=steps)
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w")).distinct()
+    enc = words.select(
+        "w",
+        F.expr(
+            "CASE WHEN char_length(w) >= 1 THEN "
+            "transform(sequence(1, char_length(w)), i -> substring(w, i, 1)) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("toks"),
+    )
+    for s in range(1, steps + 1):
+        b = merges.filter(F.col("step") == s).select(
+            F.lit(1).alias("_j"),
+            F.col("pair_left").alias("_l"),
+            F.col("pair_right").alias("_r"),
+        )
+        enc = (
+            enc.withColumn("_j", F.lit(1))
+            .join(F.broadcast(b), "_j", "left")
+            .select(
+                "w",
+                F.when(F.size("toks") >= 2, _bpe_merge_fold(F.col("toks"), F.col("_l"), F.col("_r")))
+                .otherwise(F.col("toks"))
+                .alias("toks"),
+            )
+        )
+    enc = enc.select(
+        "w",
+        F.concat_ws(" ", "toks").alias("_wtoks"),
+        F.size("toks").alias("_wn"),
+    )
+    positions = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "w")
+    )
+    return (
+        positions.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_wn").cast("long").alias("n_tokens"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_wtoks"))),
+                    lambda x: x["_wtoks"],
+                ),
+            ).alias("tokens_text"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(steps: int = 4, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_encode`: the training CTEs of
+    :func:`bpe_merge_train_oracle_sql` plus the same folds applied to the
+    full (unfiltered) vocabulary and a word-order string_agg reassembly."""
+    parts = [_bpe_train_ctes(steps, table)]
+    parts.append(
+        f""",
+    allw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM {table}),
+    e1 AS (SELECT w, list_transform(range(1, length(w) + 1),
+                                    i -> substr(w, i, 1)) AS toks
+           FROM allw)"""
+    )
+    for s in range(1, steps + 1):
+        parts.append(
+            f""",
+    e{s + 1} AS (SELECT w, CASE WHEN len(toks) < 2 THEN toks ELSE
+                 {_bpe_fold_sql("toks", "b")} END AS toks
+             FROM e{s}, b{s} b)"""
+        )
+    parts.append(
+        f""",
+    wt AS (SELECT w, coalesce(array_to_string(toks, ' '), '') AS wtoks,
+                  CAST(len(toks) AS BIGINT) AS wn
+           FROM e{steps + 1}),
+    pos AS (SELECT doc_id, i, ws[i] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {table}),
+                 unnest(range(1, len(ws) + 1)) AS u(i))
+    SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_tokens,
+           string_agg(wtoks, '|' ORDER BY i) AS tokens_text
+    FROM pos JOIN wt USING (w) GROUP BY doc_id"""
+    )
+    return "".join(parts)
 
 
 def bpe_pair_counts_oracle_sql(k: int = 50, table: str = "documents") -> str:

@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (c) round-6 additions: first driver exposure
     "fuzzy_ingest_index_build",
     "bpe_merge_steps",
+    "bpe_encode",
     "span_dedup_apply",
 ]
 

@@ -925,3 +925,13 @@ def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle unrolls the same 4 rounds as chained DuckDB CTEs with a
     list_reduce merge fold."""
     return text.bpe_merge_train(load_table(spark, sf_dir, "documents"), steps=4)
+
+
+@register("bpe_encode", text.bpe_encode_oracle_sql(steps=4))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer train + APPLY: encode every document with the 4 learned
+    merges — the full tokenizer loop. Encoding is vocabulary-bounded (each
+    distinct word folded once, merges broadcast); documents join the encoded
+    vocab on the word and reassemble in order. tokens_text renders every
+    merge boundary, so the oracle catches any mis-placed merge corpus-wide."""
+    return text.bpe_encode(load_table(spark, sf_dir, "documents"), steps=4)

@@ -231,6 +231,76 @@ def test_bpe_merge_train_matches_reference_loop(spark):
     assert got == sorted(reference(corpus, 4))
 
 
+def test_bpe_encode_matches_reference(spark):
+    """Train + apply on a tiny corpus vs the pure-Python trainer above plus a
+    straightforward encoder: every distinct word folded through the learned
+    merges in step order, docs reassembled in word order; short and
+    single-char words (never trained) still encode."""
+    from kda_flink_demo_spark.operators.llm.text import bpe_encode
+
+    corpus = ["low lower a lowest low", "new newer newest x new lower"]
+
+    def ref_encode(texts, steps):
+        from collections import Counter
+
+        vocab = Counter(w for t in texts for w in t.split(" ") if len(w) >= 2)
+        words = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(steps):
+            pc = Counter()
+            for w, toks in words.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += vocab[w]
+            if not pc:
+                break
+            (l, r), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((l, r))
+
+            def apply(toks, l=l, r=r):
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                return out
+
+            words = {w: apply(t) for w, t in words.items()}
+        enc = {}
+        for w in {w for t in texts for w in t.split(" ")}:
+            toks = list(w)
+            for l, r in merges:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            enc[w] = toks
+        res = {}
+        for d, t in enumerate(texts):
+            ws = t.split(" ")
+            res[d] = (
+                sum(len(enc[w]) for w in ws),
+                "|".join(" ".join(enc[w]) for w in ws),
+            )
+        return res
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens_text)
+        for r in bpe_encode(df, steps=4).collect()
+    }
+    assert got == ref_encode(corpus, 4)
+
+
 # ------------------------------------------------------- span-level dedup
 
 
