@@ -37,10 +37,25 @@ def spread_for_compute(df):
     already parallel: the test fixtures are single parquet files (1–2 input
     splits) that would pin the work to one or two cores, but a 100 TB table
     arrives with ~10⁵ splits and must NOT be shuffled wholesale just to spread
-    work. Repartitions only when the incoming partition count is below
+    work. Repartitions only when the incoming parallelism is below
     defaultParallelism; streaming DataFrames (whose partitioning can't be
-    inspected) keep the unconditional repartition."""
+    inspected) keep the unconditional repartition.
+
+    Parallelism probe order (r05 VERDICT nit — ``df.rdd`` forces an extra
+    physical-planning pass per query construction): for file-backed frames
+    (every registry query) ``inputFiles()`` answers from the analyzed plan's
+    file index alone — splits ≥ files, and a many-file table is parallel
+    enough regardless of split math. Only file-less frames (local relations,
+    post-shuffle inputs) fall back to the ``rdd`` partition count."""
     para = df.sparkSession.sparkContext.defaultParallelism
-    if df.isStreaming or df.rdd.getNumPartitions() < para:
+    if df.isStreaming:
         return df.repartition(para)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — probe must never fail the query
+        n_files = 0
+    if n_files >= para:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= para:
+        return df
+    return df.repartition(para)
