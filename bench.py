@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "dedup_apply_fuzzy",
     "dedup_span_stats",
     "span_dedup_apply",
+    "span_decontaminate",
     "bpe_merge_steps",
     "bpe_encode",
     "length_buckets",

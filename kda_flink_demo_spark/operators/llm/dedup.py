@@ -489,6 +489,54 @@ def duplicate_spans_oracle_sql(
     """
 
 
+def _span_occurrences(
+    base: DataFrame, id_col: str, span: int
+) -> DataFrame:
+    """(id, pos, h): every ``span``-token window of every doc, hashed to an
+    8-byte xxhash64 key (shared by the span-dedup and decontamination ops)."""
+    return (
+        base.filter(F.size("toks") >= span)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {span} + 1), "
+                    f"i -> struct(i AS pos, "
+                    f"xxhash64(concat_ws(' ', slice(toks, i, {span}))) AS h))"
+                )
+            ).alias("o"),
+        )
+        .select(id_col, "o.pos", "o.h")
+    )
+
+
+def _apply_span_mask(
+    base: DataFrame, starts: DataFrame, id_col: str, span: int
+) -> DataFrame:
+    """Remove every token position covered by a span starting at any position
+    in ``starts`` (per doc): JVM-side exists() mask over the start list —
+    O(n_tokens · n_flagged_spans) per doc, no further shuffle."""
+    keep_mask = (
+        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+        f"s -> NOT exists(starts, st -> s.p >= st AND s.p < st + {span}))"
+    )
+    return (
+        base.join(starts, id_col, "left")
+        .withColumn("starts", F.coalesce("starts", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.expr(f"transform({keep_mask}, s -> s.t)").alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.concat_ws(" ", "_kept").alias("cleaned_text"),
+        )
+    )
+
+
 def span_dedup_apply(
     df: DataFrame,
     text_col: str = "text",
@@ -519,20 +567,7 @@ def span_dedup_apply(
     corpus-wide position explode."""
     spread = spread_for_compute(df)
     base = spread.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
-    occ = (
-        base.filter(F.size("toks") >= span)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {span} + 1), "
-                    f"i -> struct(i AS pos, "
-                    f"xxhash64(concat_ws(' ', slice(toks, i, {span}))) AS h))"
-                )
-            ).alias("o"),
-        )
-        .select(id_col, "o.pos", "o.h")
-    )
+    occ = _span_occurrences(base, id_col, span)
     from pyspark.sql import Window
 
     first_doc = F.min(id_col).over(Window.partitionBy("h"))
@@ -540,25 +575,85 @@ def span_dedup_apply(
         F.col(id_col), F.col("pos"), first_doc.alias("_first")
     ).filter(F.col("_first") < F.col(id_col))
     starts = contaminated.groupBy(id_col).agg(F.collect_list("pos").alias("starts"))
-    keep_mask = (
-        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
-        f"s -> NOT exists(starts, st -> s.p >= st AND s.p < st + {span}))"
+    return _apply_span_mask(base, starts, id_col, span)
+
+
+def span_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION at span granularity: cut from every training
+    document each ``span``-token window that appears verbatim anywhere in the
+    eval set — the removal complement of :func:`contamination_pairs` (which
+    only reports doc-level containment), and the cross-SET sibling of
+    :func:`span_dedup_apply`. Frontier pipelines decontaminate exactly this
+    way: the train doc survives, the leaked benchmark passage does not.
+    Returns ``(id, n_tokens, n_removed, cleaned_text)`` for every train doc.
+
+    Scale shape: the eval side reduces to a DISTINCT 8-byte hashed-span index
+    (eval sets are tiny next to the corpus) and is BROADCAST into a semi join
+    against the train occurrences — the corpus is scanned, never shuffled for
+    candidate detection; only flagged occurrences (the leaked tail) flow into
+    the per-doc start-list aggregate, and the mask fold is the shared
+    ``_apply_span_mask`` kernel."""
+    spread = spread_for_compute(train)
+    base = spread.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    eval_base = eval_set.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
     )
-    return (
-        base.join(starts, id_col, "left")
-        .withColumn("starts", F.coalesce("starts", F.array().cast("array<int>")))
-        .select(
-            id_col,
-            F.size("toks").cast("long").alias("n_tokens"),
-            F.expr(f"transform({keep_mask}, s -> s.t)").alias("_kept"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
-            F.concat_ws(" ", "_kept").alias("cleaned_text"),
-        )
+    eval_idx = _span_occurrences(eval_base, id_col, span).select("h").distinct()
+    occ = _span_occurrences(base, id_col, span)
+    flagged = occ.join(F.broadcast(eval_idx), "h", "left_semi")
+    starts = flagged.groupBy(id_col).agg(F.collect_list("pos").alias("starts"))
+    return _apply_span_mask(base, starts, id_col, span)
+
+
+def span_decontaminate_oracle_sql(
+    span: int = 10,
+    train_filter: str = "doc_id % 10 <> 0",
+    eval_filter: str = "doc_id % 10 = 0",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`span_decontaminate` on actual span strings."""
+    return f"""
+    WITH tb AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM {table} WHERE {train_filter}),
+    eb AS (SELECT string_split(text, ' ') AS toks FROM {table} WHERE {eval_filter}),
+    eidx AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, i, i + {span} - 1), ' ') AS s
+        FROM eb, unnest(range(1, len(toks) - {span} + 2)) AS u(i)
+        WHERE len(toks) >= {span}
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i, i + {span} - 1), ' ') AS s
+        FROM tb, unnest(range(1, len(toks) - {span} + 2)) AS u(i)
+        WHERE len(toks) >= {span}
+    ),
+    cont AS (
+        SELECT o.doc_id, list(o.pos) AS starts
+        FROM occ o JOIN eidx USING (s) GROUP BY 1
+    ),
+    masked AS (
+        SELECT b.doc_id,
+               CAST(len(b.toks) AS BIGINT) AS n_tokens,
+               list_filter(
+                   list_transform(range(1, len(b.toks) + 1),
+                       i -> CASE WHEN len(list_filter(
+                                     coalesce(c.starts, CAST([] AS BIGINT[])),
+                                     st -> i >= st AND i < st + {span})) = 0
+                            THEN b.toks[i] END),
+                   t -> t IS NOT NULL) AS kept
+        FROM tb b LEFT JOIN cont c USING (doc_id)
     )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM masked
+    """
 
 
 def span_dedup_apply_oracle_sql(span: int = 10, table: str = "documents") -> str:

@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_merge_steps",
     "bpe_encode",
     "span_dedup_apply",
+    "span_decontaminate",
 ]
 
 _DRIVER_WINDOW = 50

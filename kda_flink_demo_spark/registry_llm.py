@@ -551,6 +551,21 @@ def q_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup_apply(load_table(spark, sf_dir, "documents"), span=10)
 
 
+@register("span_decontaminate", dedup.span_decontaminate_oracle_sql(span=10))
+def q_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: every 10-token window appearing
+    verbatim in the eval split (doc_id % 10 == 0, the contamination_check
+    convention) is cut from the training docs' text — the removal complement
+    of contamination_check's doc-level report. Eval reduces to a broadcast
+    hashed-span index; the corpus never shuffles for detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        span=10,
+    )
+
+
 @register("length_buckets", text.length_buckets_oracle_sql())
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two token-length histogram (packing/batch-shape planning input);

@@ -130,6 +130,12 @@ def main() -> None:
 
     bench("duplicate_spans", _dedup.duplicate_spans(docs))
     bench("span_dedup_apply", _dedup.span_dedup_apply(docs))
+    bench(
+        "span_decontaminate",
+        _dedup.span_decontaminate(
+            docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+        ),
+    )
     bench_lazy("bpe_merge_train", lambda: _text.bpe_merge_train(docs, steps=4))
     bench("filter_pipeline", _pipeline.filter_pipeline(docs))
     bench("temperature_resample", _sampling.temperature_resample(docs, source_col="lang"))

@@ -329,3 +329,25 @@ def test_span_dedup_apply_semantics(spark):
     assert got[2] == (5, 5, "")
     assert got[3] == (2, 0, "p q")
     assert got[4] == (9, 0, "m n o m n o m n o")
+
+
+def test_span_decontaminate_semantics(spark):
+    """Only spans appearing verbatim in the eval set are cut from train docs;
+    sub-span overlaps (< span tokens) and non-contiguous overlaps survive."""
+    from kda_flink_demo_spark.operators.llm.dedup import span_decontaminate
+
+    eval_set = spark.createDataFrame([Row(doc_id=0, text="q r s t u")])
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b q r s c"),  # contains eval span (q r s)
+            Row(doc_id=11, text="q r x s t"),  # overlaps but never 3 contiguous
+            Row(doc_id=12, text="t u"),  # shorter than the span
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in span_decontaminate(train, eval_set, span=3).collect()
+    }
+    assert got[10] == (6, 3, "a b c")
+    assert got[11] == (5, 0, "q r x s t")
+    assert got[12] == (2, 0, "t u")
