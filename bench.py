@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "merge_changes_cdc",
     "events_interval_dedup",
     "dataset_profile",
+    "data_quality_checks",
     # function-surface packs (narrow projections — regression canaries)
     "string_function_pack",
     "date_function_pack",

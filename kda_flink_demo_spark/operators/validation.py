@@ -1,0 +1,107 @@
+"""Declarative data-quality / constraint validation — the expectation-check
+layer a production ingest pipeline runs before data reaches training or
+serving (Deequ / dbt-test / Great-Expectations shape, expressed as pure
+DataFrame aggregation).
+
+Three check families, each the cheapest plan its semantics allows:
+
+- Row rules (``column_rule_checks``): ALL rules evaluate in ONE scan as
+  map-side conditional sums — adding a rule adds a column to the aggregate,
+  never a pass over the data. NULL rule results count as violations
+  (a rule must say TRUE to pass), so rules don't silently skip NULL rows.
+- Uniqueness (``uniqueness_check``): one hash aggregate on the key;
+  violations = rows beyond the first per key (count − distinct).
+- Referential integrity (``referential_check``): child keys anti-joined
+  against the parent key projection (broadcast when the parent is a
+  dimension); SQL FK semantics — NULL child keys pass.
+
+Every check emits the same row shape ``(check_name, n_checked,
+n_violations, passed)``, so suites union into one report the oracle can
+hash-check — including the violation COUNTS, not just pass/fail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_REPORT_COLS = ("check_name", "n_checked", "n_violations", "passed")
+
+
+def _report(name: Column, checked: Column, violations: Column) -> list[Column]:
+    return [
+        name.alias("check_name"),
+        checked.cast("long").alias("n_checked"),
+        violations.cast("long").alias("n_violations"),
+        (violations == 0).alias("passed"),
+    ]
+
+
+def column_rule_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One row per rule; ``rules`` maps check_name → boolean Column that must
+    be TRUE for the row to pass (NULL = violation). Single scan, map-side
+    partial aggregation regardless of rule count."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(ok, 0).otherwise(1)).alias(f"_v{i}")
+        for i, ok in enumerate(rules.values())
+    ]
+    one = df.agg(*aggs)
+    packed = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        *_report(F.lit(name), F.col("_n"), F.col(f"_v{i}"))
+                    )
+                    for i, name in enumerate(rules.keys())
+                ]
+            )
+        ).alias("r")
+    )
+    return packed.select(*[F.col(f"r.{c}") for c in _REPORT_COLS])
+
+
+def uniqueness_check(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """Violations = rows beyond the first per key (0 for a true primary key).
+    NULL-keyed rows group together, matching SQL GROUP BY (a PK column with
+    NULLs therefore surfaces as duplicates, which is what you want flagged)."""
+    return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c")).agg(
+        *_report(
+            F.lit(name),
+            F.sum("_c"),
+            F.sum(F.col("_c") - 1),
+        )
+    )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str,
+) -> DataFrame:
+    """SQL FK semantics: non-null child keys must exist in the parent; NULL
+    child keys pass. One anti join on the key projections."""
+    orphans = (
+        child.select(F.col(child_key))
+        .filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+    )
+    n = child.agg(F.count(F.lit(1)).alias("_n"))
+    v = orphans.agg(F.count(F.lit(1)).alias("_v"))
+    return n.crossJoin(v).select(
+        *_report(F.lit(name), F.col("_n"), F.col("_v"))
+    )
+
+
+def check_suite(*checks: DataFrame) -> DataFrame:
+    """Union per-check reports into one suite result."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_encode",
     "span_dedup_apply",
     "span_decontaminate",
+    "data_quality_checks",
 ]
 
 _DRIVER_WINDOW = 50

@@ -1476,6 +1476,119 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_ORACLE = """
+    SELECT 'orders_custkey_not_null' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_priority_expected_domain', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_in_unit_range', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_positive', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT),
+           sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orderkey_unique', CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+           sum(c - 1) = 0
+    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'lineitem_pk_unique', CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+           sum(c - 1) = 0
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'orders_custkey_references_customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_orderkey_references_orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)) = 0
+"""
+
+
+@register("data_quality_checks", _DQ_ORACLE)
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (Deequ/dbt-test shape,
+    operators/validation.py): row rules fused into ONE scan per table
+    (map-side conditional sums — adding a rule never adds a pass), PK
+    uniqueness as a key aggregate, FK integrity as anti joins. Emits
+    violation COUNTS, not just pass/fail — the priority-domain rule is
+    deliberately narrower than the fixture's domain so non-zero violation
+    paths are exercised and hash-checked."""
+    from kda_flink_demo_spark.operators.validation import (
+        check_suite,
+        column_rule_checks,
+        referential_check,
+        uniqueness_check,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return check_suite(
+        column_rule_checks(
+            orders,
+            {
+                "orders_custkey_not_null": F.col("o_custkey").isNotNull(),
+                "orders_totalprice_positive": F.col("o_totalprice") > 0,
+                "orders_status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+                "orders_priority_expected_domain": F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM"
+                ),
+            },
+        ),
+        column_rule_checks(
+            lineitem,
+            {
+                "lineitem_discount_in_unit_range": F.col("l_discount").between(0, 1),
+                "lineitem_quantity_positive": F.col("l_quantity") > 0,
+            },
+        ),
+        uniqueness_check(orders, ["o_orderkey"], "orders_orderkey_unique"),
+        uniqueness_check(
+            lineitem, ["l_orderkey", "l_linenumber"], "lineitem_pk_unique"
+        ),
+        referential_check(
+            orders, customer, "o_custkey", "c_custkey",
+            "orders_custkey_references_customer",
+        ),
+        referential_check(
+            lineitem, orders, "l_orderkey", "o_orderkey",
+            "lineitem_orderkey_references_orders",
+        ),
+    )
+
+
 @register(
     "sketch_incremental_pack",
     """

@@ -166,6 +166,41 @@ def test_ingest_dedup_bloom_null_text_never_matches(spark):
     assert got == [11, 12]
 
 
+# --------------------------------------------------------- data validation
+
+
+def test_validation_check_semantics(spark):
+    """NULL rule results count as violations; uniqueness counts rows beyond
+    the first per key (NULL keys group); FK NULLs pass (SQL semantics)."""
+    from kda_flink_demo_spark.operators.validation import (
+        column_rule_checks,
+        referential_check,
+        uniqueness_check,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            Row(k=1, v=10, fk=100),
+            Row(k=1, v=None, fk=999),  # NULL v → rule violation; orphan fk
+            Row(k=2, v=-5, fk=None),  # negative v; NULL fk passes FK
+            Row(k=None, v=3, fk=100),
+            Row(k=None, v=4, fk=100),  # NULL-key dup → uniqueness violation
+        ]
+    )
+    parent = spark.createDataFrame([Row(pk=100)])
+
+    rule = {r.check_name: r for r in column_rule_checks(
+        rows, {"v_positive": F.col("v") > 0}
+    ).collect()}
+    assert (rule["v_positive"].n_checked, rule["v_positive"].n_violations) == (5, 2)
+
+    uniq = uniqueness_check(rows, ["k"], "k_unique").collect()[0]
+    assert (uniq.n_checked, uniq.n_violations, uniq.passed) == (5, 2, False)
+
+    ref = referential_check(rows, parent, "fk", "pk", "fk_ok").collect()[0]
+    assert (ref.n_checked, ref.n_violations, ref.passed) == (5, 1, False)
+
+
 # ----------------------------------------------------------- BPE training
 
 
