@@ -227,6 +227,11 @@ def test_llm_ops_survive_empty_input(spark, tmp_path_factory):
 
     assert text.bpe_pair_counts(docs).count() == 0
     assert versioning.snapshot_diff(docs, docs).count() == 0
+    # round-6 ops: span removal, decontamination, BPE training + encode
+    assert dedup.span_dedup_apply(docs).count() == 0
+    assert dedup.span_decontaminate(docs, docs).count() == 0
+    assert text.bpe_merge_train(docs, steps=2).count() == 0
+    assert text.bpe_encode(docs, steps=2).count() == 0
 
 
 def test_multimodal_all_match_oracle_with_empty_and_short_docs(edge_docs):
@@ -397,6 +402,12 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "dedup_keep_best",
     "dataset_split",
     "multimodal_resize",
+    # round-6 additions (all documents-only)
+    "span_dedup_apply",
+    "span_decontaminate",
+    "bpe_merge_steps",
+    "bpe_encode",
+    "fuzzy_ingest_index_build",
 ]
 
 
