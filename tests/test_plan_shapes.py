@@ -250,3 +250,59 @@ def test_no_shrinking_window_frames_in_fixed_operators(spark):
     ):
         plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
         assert "unboundedfollowing" not in plan, plan[:2000]
+
+
+def test_span_decontaminate_broadcasts_eval_index(spark):
+    """The eval span index must broadcast into the semi join — the train
+    corpus never shuffles for contamination detection — and the span keys on
+    the wire are xxhash64 longs, never span strings."""
+    from kda_flink_demo_spark.operators.llm.dedup import span_decontaminate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = span_decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "xxhash64" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_span_dedup_apply_is_pure_jvm_single_hash_window(spark):
+    """Ownership resolution is one window over the hashed span key; the mask
+    fold is a JVM higher-order function — no Python anywhere."""
+    from kda_flink_demo_spark.operators.llm.dedup import span_dedup_apply
+
+    plan = _plan(span_dedup_apply(load_table(spark, SF_DIR, "documents")))
+    assert "xxhash64" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bpe_encode_merges_reach_fold_by_broadcast(spark):
+    """Each learned merge joins the vocabulary fold by broadcast (never a
+    driver collect, never a shuffle of the vocab per round)."""
+    from kda_flink_demo_spark.operators.llm.text import bpe_encode
+
+    plan = _plan(bpe_encode(load_table(spark, SF_DIR, "documents"), steps=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_data_quality_row_rules_fuse_into_one_scan_per_table(spark):
+    """All four orders row rules must evaluate in a single parquet scan with
+    map-side partial aggregation — adding a rule adds a column, not a pass."""
+    from kda_flink_demo_spark.operators.validation import column_rule_checks
+
+    orders = load_table(spark, SF_DIR, "orders")
+    df = column_rule_checks(
+        orders,
+        {
+            "a": F.col("o_custkey").isNotNull(),
+            "b": F.col("o_totalprice") > 0,
+            "c": F.col("o_orderstatus").isin("O", "F", "P"),
+            "d": F.col("o_orderpriority").isin("1-URGENT"),
+        },
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
