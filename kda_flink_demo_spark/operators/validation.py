@@ -105,3 +105,26 @@ def check_suite(*checks: DataFrame) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def quarantine_split(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level enforcement of the same rule dictionary
+    :func:`column_rule_checks` aggregates: returns ``(good, bad)`` where
+    ``bad`` carries a ``violations`` array naming every failed rule (NULL
+    rule result = violation, matching the aggregate). One map-side
+    projection — no shuffle; both branches prune from the same scan."""
+    tags = F.filter(
+        F.array(
+            *[
+                F.when(ok, F.lit(None).cast("string")).otherwise(F.lit(name))
+                for name, ok in rules.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("violations", tags)
+    good = tagged.filter(F.size("violations") == 0).drop("violations")
+    bad = tagged.filter(F.size("violations") > 0)
+    return good, bad

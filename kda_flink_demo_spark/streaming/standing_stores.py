@@ -129,6 +129,35 @@ def list_snapshot_versions(spark: SparkSession, store_path: str) -> list[int]:
     return sorted(out)
 
 
+def update_quarantine_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    rules,
+    good_path: str,
+    quarantine_path: str,
+) -> None:
+    """Streaming data-quality gate (dead-letter pattern): split each
+    micro-batch by the rule dictionary (``validation.quarantine_split``),
+    landing passing rows under ``good_path/batch=<id>`` and violating rows —
+    tagged with the names of every failed rule — under
+    ``quarantine_path/batch=<id>``. Call from
+    ``foreachBatch(lambda df, bid: update_quarantine_store(df, bid, ...))``.
+
+    Idempotence is per-batch-partition overwrite (the snapshot-version-store
+    move): a checkpoint replay rewrites identical bytes into the same
+    ``batch=`` directory instead of appending duplicates, and a half-written
+    partition (no ``_SUCCESS``) is simply rewritten on replay. The split is
+    one map-side projection — both branches prune from the same scan; no
+    shuffle enters the gate at any scale."""
+    from kda_flink_demo_spark.operators.validation import quarantine_split
+
+    good, bad = quarantine_split(batch_df, rules)
+    good.write.mode("overwrite").parquet(f"{good_path.rstrip('/')}/batch={int(batch_id)}")
+    bad.withColumn("violations", F.array_join("violations", ",")).write.mode(
+        "overwrite"
+    ).parquet(f"{quarantine_path.rstrip('/')}/batch={int(batch_id)}")
+
+
 def diff_snapshot_versions(
     spark: SparkSession,
     store_path: str,

@@ -117,6 +117,46 @@ def test_streaming_scd2_store_crash_recovery(spark, tmp_path):
     assert _canon(scd2_from_store(spark, store, **_SCD2_ARGS)) == _scd2_expected(spark)
 
 
+def test_streaming_quarantine_gate_matches_batch(spark, tmp_path):
+    """Dead-letter gate: after a chunked replay, good ∪ quarantined must equal
+    the input exactly, quarantined rows carry the same violation tags the
+    batch split produces, and a checkpoint-style replay of a batch rewrites
+    its partition instead of appending duplicates."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.validation import quarantine_split
+    from kda_flink_demo_spark.streaming.standing_stores import update_quarantine_store
+
+    rules = lambda: {  # noqa: E731 — fresh Columns per plan
+        "value_in_range": F.col("value") <= 90,
+        "type_known": F.col("event_type").isin("click", "view", "purchase", "scroll"),
+    }
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    good_p, quar_p = str(tmp_path / "good"), str(tmp_path / "quarantine")
+    chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for bid, df in enumerate(chunks):
+        update_quarantine_store(df, bid, rules(), good_p, quar_p)
+
+    got_good = spark.read.parquet(good_p)
+    got_bad = spark.read.parquet(quar_p)
+    # reunion equals the input
+    reunion = got_good.select("event_id").unionByName(got_bad.select("event_id"))
+    assert _canon(reunion) == _canon(ev.select("event_id"))
+    # tags equal the batch split's
+    _g, bad = quarantine_split(ev, rules())
+    expected_bad = bad.select(
+        "event_id", F.array_join("violations", ",").alias("violations")
+    )
+    assert _canon(got_bad.select("event_id", "violations")) == _canon(expected_bad)
+    assert got_bad.count() > 0  # the gate actually fired on the fixture
+
+    # replayed batch: partition overwritten, not appended
+    update_quarantine_store(chunks[1], 1, rules(), good_p, quar_p)
+    assert _canon(
+        spark.read.parquet(quar_p).select("event_id", "violations")
+    ) == _canon(expected_bad)
+
+
 def _snapshots(spark):
     docs = load_table(spark, SF_DIR, "documents")
     v0 = docs.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
