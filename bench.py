@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "approx_distinct_users",
     "value_histogram",
     "merge_changes_cdc",
+    "temporal_scd2_join",
     "events_interval_dedup",
     "dataset_profile",
     "data_quality_checks",

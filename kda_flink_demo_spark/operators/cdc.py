@@ -71,6 +71,51 @@ def scd2_compress(
     )
 
 
+def temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attr_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks up the dimension
+    attributes that were valid AT its event time — ``valid_from <= ts <
+    valid_to`` (NULL valid_to = still open) against an SCD2 history table
+    (:func:`scd2_history` output). This is the feature-store correctness
+    join: joining "current" attributes onto historical facts leaks the
+    future into training data; the validity-interval join cannot.
+
+    LEFT join — facts before a key's first transition keep NULL attributes
+    (there was no state yet). SCD2 intervals are disjoint per key by
+    construction, so each fact matches at most one history row and the fact
+    count is preserved (asserted in tests).
+
+    Scale shape: an equi join on the key with the interval predicate as a
+    join filter — one hash shuffle on the key (or broadcast when the history
+    side is dimension-sized); never a cross product, because the equality on
+    ``keys`` drives the join and the range condition only filters matches.
+    """
+    h = history.select(
+        *[F.col(k).alias(f"_h_{k}") for k in keys],
+        *attr_cols,
+        F.col(valid_from).alias("_vf"),
+        F.col(valid_to).alias("_vt"),
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_h_{k}"))
+    cond = (
+        cond
+        & (F.col(fact_ts) >= F.col("_vf"))
+        & (F.col("_vt").isNull() | (F.col(fact_ts) < F.col("_vt")))
+    )
+    return facts.join(h, cond, "left").drop(
+        *[f"_h_{k}" for k in keys], "_vf", "_vt"
+    )
+
+
 def scd2_history(
     changes: DataFrame,
     keys: Sequence[str],

@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: list[str] = [
     "span_dedup_apply",
     "span_decontaminate",
     "data_quality_checks",
+    "temporal_scd2_join",
 ]
 
 _DRIVER_WINDOW = 50

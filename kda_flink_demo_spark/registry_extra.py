@@ -1476,6 +1476,64 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temporal_scd2_join",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, ts, event_id FROM events WHERE event_id % 2 = 0
+    ),
+    ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM src
+    ),
+    kept AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    ),
+    hist AS (
+        SELECT user_id, event_type AS state_at_event, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM kept
+    ),
+    facts AS (
+        SELECT event_id, user_id, event_type, ts FROM events WHERE event_id % 2 = 1
+    )
+    SELECT f.event_id, f.user_id, f.event_type, f.ts, h.state_at_event
+    FROM facts f LEFT JOIN hist h
+      ON f.user_id = h.user_id
+     AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    """,
+)
+def q_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join: transactions (odd event_ids) pick up the
+    user's profile state (SCD2 history of the even event_ids) valid AT each
+    transaction's timestamp — the feature-store correctness shape (joining
+    'current' attributes would leak the future into training data). LEFT
+    join on the user key with the validity interval as a join filter; facts
+    before a user's first profile state keep NULL. Disjoint SCD2 intervals
+    guarantee ≤1 match per fact (fact count preserved, tested)."""
+    from kda_flink_demo_spark.operators.cdc import scd2_history, temporal_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    hist = scd2_history(
+        ev.filter(F.col("event_id") % 2 == 0),
+        keys=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tie_col="event_id",
+    ).withColumnRenamed("event_type", "state_at_event")
+    facts = ev.filter(F.col("event_id") % 2 == 1)
+    return temporal_join(
+        facts, hist, keys=["user_id"], fact_ts="ts", attr_cols=("state_at_event",)
+    )
+
+
 _DQ_ORACLE = """
     SELECT 'orders_custkey_not_null' AS check_name,
            CAST(count(*) AS BIGINT) AS n_checked,

@@ -166,6 +166,42 @@ def test_ingest_dedup_bloom_null_text_never_matches(spark):
     assert got == [11, 12]
 
 
+# --------------------------------------------------------- temporal join
+
+
+def test_temporal_join_point_in_time_semantics(spark):
+    """Each fact picks up the attribute valid AT its timestamp: half-open
+    [valid_from, valid_to) intervals, NULL before the first state, open-ended
+    current state, and the fact count is always preserved (≤1 match)."""
+    import datetime as dt
+
+    from kda_flink_demo_spark.operators.cdc import temporal_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    hist = spark.createDataFrame(
+        [
+            Row(user_id=1, state="A", valid_from=t(1), valid_to=t(3)),
+            Row(user_id=1, state="B", valid_from=t(3), valid_to=None),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fact_id=0, user_id=1, ts=t(0)),  # before any state → NULL
+            Row(fact_id=1, user_id=1, ts=t(1)),  # boundary: new state wins
+            Row(fact_id=2, user_id=1, ts=t(2)),  # inside [A)
+            Row(fact_id=3, user_id=1, ts=t(3)),  # boundary: B from t3
+            Row(fact_id=4, user_id=1, ts=t(4)),  # open-ended current
+            Row(fact_id=5, user_id=2, ts=t(2)),  # unknown key → NULL
+        ]
+    )
+    out = temporal_join(
+        facts, hist, keys=["user_id"], fact_ts="ts", attr_cols=("state",)
+    )
+    got = {r.fact_id: r.state for r in out.collect()}
+    assert got == {0: None, 1: "A", 2: "A", 3: "B", 4: "B", 5: None}
+    assert out.count() == facts.count()
+
+
 # --------------------------------------------------------- data validation
 
 
