@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "quality_top_fraction",
     "corpus_filter_pipeline",
     "lm_bigram_score",
+    "quality_logreg_score",
     "domain_cap",
     "token_budget_select",
     "ingest_dedup",

@@ -100,6 +100,7 @@ _DRIVER_PRIORITY: list[str] = [
     "span_decontaminate",
     "data_quality_checks",
     "temporal_scd2_join",
+    "quality_logreg_score",
 ]
 
 _DRIVER_WINDOW = 50

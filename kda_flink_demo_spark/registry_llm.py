@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from kda_flink_demo_spark.io.sources import load_table
 from kda_flink_demo_spark.operators.llm import (
+    classifier,
     dedup,
     packing as packing_mod,
     embeddings,
@@ -839,6 +840,25 @@ def q_fuzzy_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return buckets.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bands")
+    )
+
+
+@register(
+    "quality_logreg_score", classifier.logreg_quality_score_oracle_sql(rounds=3)
+)
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed supervised training: a logistic-regression language/quality
+    classifier trained by 3 rounds of full-batch gradient descent (rational
+    fast sigmoid — no exp, so every arithmetic op is cross-engine
+    bit-identical; det_round(6)-ed mean gradients kill fold-order noise, the
+    kmeans recipe) and applied to score every document. One corpus scan per
+    round, 4 doubles of state, zero driver collects; the oracle unrolls the
+    identical rounds as DuckDB CTEs. (The synthetic fixture's lang labels are
+    content-independent — stopword ratios are ~equal across langs — so
+    majority-class is Bayes-optimal HERE; the separable-fixture unit test
+    proves the trainer actually learns when the data allows.)"""
+    return classifier.logreg_quality_score(
+        load_table(spark, sf_dir, "documents"), rounds=3
     )
 
 

@@ -166,6 +166,59 @@ def test_ingest_dedup_bloom_null_text_never_matches(spark):
     assert got == [11, 12]
 
 
+# ------------------------------------------------------ logistic trainer
+
+
+def test_logreg_learns_separable_fixture_and_matches_reference(spark):
+    """On a linearly separable corpus (positives saturated with 'the') the
+    distributed trainer must reach perfect training accuracy AND reproduce a
+    pure-python reference of the identical det_round-ed GD math exactly."""
+    from kda_flink_demo_spark.operators.llm.classifier import logreg_quality_score
+
+    pos = ["the the the of to a in is the and"] * 20
+    neg = ["table scan row batch window merge sort hash join query"] * 20
+    rows = [
+        Row(doc_id=i, text=t, lang=("en" if i < 20 else "de"), n_chars=len(t))
+        for i, t in enumerate(pos + neg)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in logreg_quality_score(df, rounds=3).collect()}
+    acc = sum(1 for r in out.values() if r.predicted == r.label) / len(out)
+    assert acc == 1.0
+
+    # pure-python reference of the identical math
+    import numpy as np
+
+    def det_round_f(v, d=6):
+        return np.floor(v * 10.0**d + 0.5) / 10.0**d
+
+    sw = {"the", "and", "of", "to", "a", "in", "is"}
+    X, y = [], []
+    for r in rows:
+        toks = r.text.split(" ")
+        hits = sum(1 for t in toks if t in sw)
+        X.append([1.0, r.n_chars / 1000.0, len(toks) / 100.0, hits / len(toks)])
+        y.append(1.0 if r.lang == "en" else 0.0)
+    X, y = np.array(X), np.array(y)
+
+    def zscore(w):  # sequential left-to-right, matching the Spark expression
+        z = w[0] * X[:, 0]
+        for j in range(1, 4):
+            z = z + w[j] * X[:, j]
+        return z
+
+    w = np.zeros(4)
+    for _ in range(3):
+        z = zscore(w)
+        p = 0.5 + z / (2.0 * (1.0 + np.abs(z)))
+        g = det_round_f(((p - y)[:, None] * X).mean(axis=0))
+        w = det_round_f(w - g)
+    z = zscore(w)
+    p_ref = det_round_f(0.5 + z / (2.0 * (1.0 + np.abs(z))))
+    for r, expected in zip(rows, p_ref):
+        assert out[r.doc_id].score == expected
+
+
 # --------------------------------------------------------- temporal join
 
 
