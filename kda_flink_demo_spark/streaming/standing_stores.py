@@ -129,6 +129,54 @@ def list_snapshot_versions(spark: SparkSession, store_path: str) -> list[int]:
     return sorted(out)
 
 
+def enrich_batch_with_scd2(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    sink_path: str,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    fact_ts: str = "ts",
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+    attr_aliases: Sequence[str] | None = None,
+) -> None:
+    """Streaming point-in-time enrichment — the full streaming feature-store
+    loop: each fact micro-batch joins the STANDING SCD2 store (maintained by
+    :func:`update_scd2_store`, possibly by another stream) picking up the
+    attributes valid AT each fact's own timestamp, then lands under
+    ``sink_path/batch=<id>`` (idempotent per-batch overwrite). Call from
+    ``foreachBatch``. Re-deriving the history from the store inside the batch
+    (rather than a stream-static join against a fixed plan) guarantees each
+    batch sees the store's LATEST promoted state. ``attr_aliases`` renames
+    the picked-up attributes (required when facts carry same-named columns);
+    before the first dimension state exists they land as NULL strings —
+    non-string attributes appear once the store does.
+
+    Leakage note: correctness of "state as of the fact's time" only needs
+    the store to CONTAIN each key's transitions up to that time — extra
+    future transitions never corrupt a fact's answer (its validity interval
+    is unchanged by later splits), so the enrichment is safe to run behind
+    the dimension stream."""
+    from kda_flink_demo_spark.operators.cdc import temporal_join
+
+    spark = batch_df.sparkSession
+    out_names = list(attr_aliases) if attr_aliases is not None else list(attr_cols)
+    if recover_standing(spark, store_path):
+        hist = scd2_from_store(spark, store_path, keys, attr_cols, ts_col, tie_col)
+        for a, alias in zip(attr_cols, out_names):
+            if alias != a:
+                hist = hist.withColumnRenamed(a, alias)
+        out = temporal_join(
+            batch_df, hist, keys=keys, fact_ts=fact_ts, attr_cols=out_names
+        )
+    else:  # no dimension state yet: every fact enriches to NULL
+        out = batch_df
+        for alias in out_names:
+            out = out.withColumn(alias, F.lit(None).cast("string"))
+    out.write.mode("overwrite").parquet(f"{sink_path.rstrip('/')}/batch={int(batch_id)}")
+
+
 def update_quarantine_store(
     batch_df: DataFrame,
     batch_id: int,

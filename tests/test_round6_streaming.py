@@ -175,6 +175,56 @@ def _snapshots(spark):
     return [v0, v1, v2]
 
 
+def test_streaming_scd2_enrichment_matches_batch_temporal_join(spark, tmp_path):
+    """The full streaming feature-store loop: dimension stream folds into the
+    SCD2 store, fact micro-batches enrich point-in-time against it; the union
+    of enriched batches must equal the one-shot batch temporal join, and a
+    replayed fact batch overwrites its partition (no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.cdc import scd2_history, temporal_join
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        enrich_batch_with_scd2,
+        update_scd2_store,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    dims = ev.filter(F.col("event_id") % 2 == 0)
+    facts = ev.filter(F.col("event_id") % 2 == 1)
+    store = str(tmp_path / "dim_store")
+    update_scd2_store(dims, store, **_SCD2_ARGS)
+
+    sink = str(tmp_path / "enriched")
+    chunks = [facts.filter(F.col("event_id") % 6 == i) for i in (1, 3, 5)]
+    for bid, df in enumerate(chunks):
+        enrich_batch_with_scd2(
+            df, bid, store, sink,
+            keys=["user_id"], attr_cols=["event_type"], fact_ts="ts",
+            ts_col="ts", tie_col="event_id", attr_aliases=["state_at_event"],
+        )
+
+    hist = scd2_history(dims, **_SCD2_ARGS).withColumnRenamed(
+        "event_type", "state_at_event"
+    )
+    expected = temporal_join(
+        facts, hist, keys=["user_id"], fact_ts="ts", attr_cols=("state_at_event",)
+    ).select("event_id", "state_at_event")
+    got = spark.read.parquet(sink).select("event_id", "state_at_event")
+    assert _canon(got) == _canon(expected)
+
+    # replayed fact batch: partition overwritten, not appended
+    enrich_batch_with_scd2(
+        chunks[1], 1, store, sink,
+        keys=["user_id"], attr_cols=["event_type"], fact_ts="ts",
+        ts_col="ts", tie_col="event_id", attr_aliases=["state_at_event"],
+    )
+    assert _canon(
+        spark.read.parquet(sink).select("event_id", "state_at_event")
+    ) == _canon(expected)
+
+
 def test_snapshot_version_store_diffs_match_batch(spark, tmp_path):
     """Each folded snapshot version's pairwise diff (from retained 16-byte
     projections) must equal the batch snapshot_diff over the full frames —
