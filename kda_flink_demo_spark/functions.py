@@ -41,21 +41,16 @@ def spread_for_compute(df):
     defaultParallelism; streaming DataFrames (whose partitioning can't be
     inspected) keep the unconditional repartition.
 
-    Parallelism probe order (r05 VERDICT nit — ``df.rdd`` forces an extra
-    physical-planning pass per query construction): for file-backed frames
-    (every registry query) ``inputFiles()`` answers from the analyzed plan's
-    file index alone — splits ≥ files, and a many-file table is parallel
-    enough regardless of split math. Only file-less frames (local relations,
-    post-shuffle inputs) fall back to the ``rdd`` partition count."""
+    The probe is ``df.rdd.getNumPartitions()`` — an extra physical-planning
+    pass per construction, but the only probe that answers the actual
+    question. A file-count shortcut (``inputFiles()``) is wrong in BOTH
+    directions: a few large files split into many 128 MB scan partitions
+    (file count undercounts parallelism → needless full-row shuffle), and
+    many tiny files bin-pack into few scan partitions via
+    maxPartitionBytes/openCostInBytes (file count overcounts → the CPU
+    pinning this helper exists to fix). Planning cost stays a per-query
+    constant; correctness of the shuffle decision is worth it."""
     para = df.sparkSession.sparkContext.defaultParallelism
-    if df.isStreaming:
+    if df.isStreaming or df.rdd.getNumPartitions() < para:
         return df.repartition(para)
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 — probe must never fail the query
-        n_files = 0
-    if n_files >= para:
-        return df
-    if n_files == 0 and df.rdd.getNumPartitions() >= para:
-        return df
-    return df.repartition(para)
+    return df

@@ -97,6 +97,14 @@ def temporal_join(
     side is dimension-sized); never a cross product, because the equality on
     ``keys`` drives the join and the range condition only filters matches.
     """
+    clash = sorted(set(attr_cols) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"temporal_join: attribute column(s) {clash} collide with fact "
+            "columns — rename them on the history side first (e.g. "
+            '.withColumnRenamed("event_type", "state_at_event")); a duplicate '
+            "output column would make every downstream reference ambiguous"
+        )
     h = history.select(
         *[F.col(k).alias(f"_h_{k}") for k in keys],
         *attr_cols,

@@ -39,13 +39,19 @@ _FEATS = ("b", "x1", "x2", "x3")  # bias, chars/1000, words/100, en-stopword rat
 def _features(df: DataFrame, text_col: str, label_expr) -> DataFrame:
     from kda_flink_demo_spark.operators.llm.text import LANG_STOPWORDS, _stopword_count
 
-    toks = F.size(F.split(F.col(text_col), " "))
-    sw = _stopword_count(F.col(text_col), LANG_STOPWORDS["en"])
+    # NULL normalization mirrors the oracle EXACTLY (both spelled with
+    # explicit coalesce): a NULL label counts as a negative (never a dropped
+    # row — Spark's avg would skip y=NULL while DuckDB's CASE keeps it), and
+    # NULL text behaves as '' (Spark's legacy size(NULL) = −1 vs DuckDB's
+    # NULL would otherwise feed different gradients per engine).
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.size(F.split(text, " "))
+    sw = _stopword_count(text, LANG_STOPWORDS["en"])
     return df.select(
         "doc_id",
-        label_expr.cast("double").alias("y"),
+        F.coalesce(label_expr.cast("double"), F.lit(0.0)).alias("y"),
         F.lit(1.0).alias("b"),
-        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.coalesce(F.col("n_chars"), F.lit(0)) / F.lit(1000.0)).alias("x1"),
         (toks / F.lit(100.0)).alias("x2"),
         # integer/integer division: identical doubles in both engines; the
         # exact-token stopword count is the proven cross-engine spelling
@@ -133,16 +139,16 @@ def logreg_quality_score_oracle_sql(
         z = " + ".join(f"{w}.w{i} * f.{c}" for i, c in enumerate(_FEATS))
         return f"(0.5 + ({z}) / (2.0 * (1.0 + abs({z}))))"
 
-    sw = _stopword_count_sql(LANG_STOPWORDS["en"])
+    sw = _stopword_count_sql(LANG_STOPWORDS["en"], "coalesce(text, '')")
     parts = [
         f"""
     WITH f AS (
         SELECT doc_id,
                CASE WHEN {label_col} = '{label_value}' THEN 1.0 ELSE 0.0 END AS y,
                1.0 AS b,
-               n_chars / 1000.0 AS x1,
-               len(string_split(text, ' ')) / 100.0 AS x2,
-               {sw} / len(string_split(text, ' ')) AS x3
+               coalesce(n_chars, 0) / 1000.0 AS x1,
+               len(string_split(coalesce(text, ''), ' ')) / 100.0 AS x2,
+               {sw} / len(string_split(coalesce(text, ''), ' ')) AS x3
         FROM {table}
     ),
     w0r AS (SELECT {", ".join(f"0.0 AS w{i}" for i in range(k))})"""

@@ -856,11 +856,16 @@ def bpe_encode_oracle_sql(steps: int = 4, table: str = "documents") -> str:
            FROM allw)"""
     )
     for s in range(1, steps + 1):
+        # LEFT JOIN ON TRUE, not a comma cross-join: when training exhausts
+        # the pair supply before `steps` rounds, b{s} is EMPTY — a cross join
+        # would zero-row the encoded vocabulary while the Spark side
+        # identity-degrades (NULL pair → fold appends unchanged). The CASE's
+        # b.l IS NULL arm mirrors that identity exactly.
         parts.append(
             f""",
-    e{s + 1} AS (SELECT w, CASE WHEN len(toks) < 2 THEN toks ELSE
+    e{s + 1} AS (SELECT w, CASE WHEN b.l IS NULL OR len(toks) < 2 THEN toks ELSE
                  {_bpe_fold_sql("toks", "b")} END AS toks
-             FROM e{s}, b{s} b)"""
+             FROM e{s} LEFT JOIN b{s} b ON TRUE)"""
         )
     parts.append(
         f""",

@@ -41,8 +41,11 @@ def column_rule_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """One row per rule; ``rules`` maps check_name → boolean Column that must
     be TRUE for the row to pass (NULL = violation). Single scan, map-side
     partial aggregation regardless of rule count."""
+    # coalesce: sum() over ZERO rows is NULL — an empty table/partition must
+    # report 0 violations / passed=TRUE (vacuous pass), not a NULL verdict
+    # that neither passes nor fails a downstream filter
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(F.when(ok, 0).otherwise(1)).alias(f"_v{i}")
+        F.coalesce(F.sum(F.when(ok, 0).otherwise(1)), F.lit(0)).alias(f"_v{i}")
         for i, ok in enumerate(rules.values())
     ]
     one = df.agg(*aggs)
@@ -68,8 +71,9 @@ def uniqueness_check(df: DataFrame, cols: list[str], name: str) -> DataFrame:
     return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c")).agg(
         *_report(
             F.lit(name),
-            F.sum("_c"),
-            F.sum(F.col("_c") - 1),
+            # empty input: sums over zero groups are NULL → vacuous pass
+            F.coalesce(F.sum("_c"), F.lit(0)),
+            F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)),
         )
     )
 

@@ -1537,41 +1537,41 @@ def q_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DQ_ORACLE = """
     SELECT 'orders_custkey_not_null' AS check_name,
            CAST(count(*) AS BIGINT) AS n_checked,
-           CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
-           sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) = 0 AS passed
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_violations,
+           coalesce(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END), 0) = 0 AS passed
     FROM orders
     UNION ALL
     SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
-           sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0
+           CAST(coalesce(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'orders_status_domain', CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT),
-           sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0
+           CAST(coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'orders_priority_expected_domain', CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 0 ELSE 1 END) AS BIGINT),
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 0 ELSE 1 END) = 0
+           CAST(coalesce(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 0 ELSE 1 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 0 ELSE 1 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'lineitem_discount_in_unit_range', CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT),
-           sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) = 0
+           CAST(coalesce(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END), 0) = 0
     FROM lineitem
     UNION ALL
     SELECT 'lineitem_quantity_positive', CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT),
-           sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) = 0
+           CAST(coalesce(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END), 0) = 0
     FROM lineitem
     UNION ALL
-    SELECT 'orders_orderkey_unique', CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
-           sum(c - 1) = 0
+    SELECT 'orders_orderkey_unique', CAST(coalesce(sum(c), 0) AS BIGINT), CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+           coalesce(sum(c - 1), 0) = 0
     FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
     UNION ALL
-    SELECT 'lineitem_pk_unique', CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
-           sum(c - 1) = 0
+    SELECT 'lineitem_pk_unique', CAST(coalesce(sum(c), 0) AS BIGINT), CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+           coalesce(sum(c - 1), 0) = 0
     FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
     UNION ALL
     SELECT 'orders_custkey_references_customer',
@@ -1712,12 +1712,17 @@ def q_sketch_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         report.join(exact, "event_type")
         .join(overlap, "event_type", "left")
+        # coalesce BEFORE the accuracy comparison: an event type with zero
+        # anchor overlap has no overlap row, and abs(est − NULL) ≤ 0.05·NULL
+        # would emit a NULL boolean where the oracle pins TRUE
+        .withColumn(
+            "ids_also_in_anchor_exact",
+            F.coalesce("ids_also_in_anchor_exact", F.lit(0).cast("long")),
+        )
         .select(
             "event_type",
             "distinct_ids_exact",
-            F.coalesce("ids_also_in_anchor_exact", F.lit(0).cast("long")).alias(
-                "ids_also_in_anchor_exact"
-            ),
+            "ids_also_in_anchor_exact",
             within("distinct_ids", "distinct_ids_exact").alias("hll_within_5pct"),
             within("ids_also_in_anchor", "ids_also_in_anchor_exact").alias(
                 "theta_within_5pct"

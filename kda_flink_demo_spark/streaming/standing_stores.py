@@ -140,6 +140,7 @@ def enrich_batch_with_scd2(
     ts_col: str = "ts",
     tie_col: str | None = None,
     attr_aliases: Sequence[str] | None = None,
+    attr_types: Sequence[str] | None = None,
 ) -> None:
     """Streaming point-in-time enrichment — the full streaming feature-store
     loop: each fact micro-batch joins the STANDING SCD2 store (maintained by
@@ -149,9 +150,12 @@ def enrich_batch_with_scd2(
     ``foreachBatch``. Re-deriving the history from the store inside the batch
     (rather than a stream-static join against a fixed plan) guarantees each
     batch sees the store's LATEST promoted state. ``attr_aliases`` renames
-    the picked-up attributes (required when facts carry same-named columns);
-    before the first dimension state exists they land as NULL strings —
-    non-string attributes appear once the store does.
+    the picked-up attributes (required when facts carry same-named columns).
+    Batches arriving BEFORE the first dimension state land with typed NULL
+    attributes: pass ``attr_types`` (Spark SQL type strings, default
+    "string") matching the store's real attribute types — otherwise a
+    string-NULL batch 0 and a double batch 1 would leave the sink with
+    conflicting parquet schemas that whole-sink reads cannot merge.
 
     Leakage note: correctness of "state as of the fact's time" only needs
     the store to CONTAIN each key's transitions up to that time — extra
@@ -170,10 +174,11 @@ def enrich_batch_with_scd2(
         out = temporal_join(
             batch_df, hist, keys=keys, fact_ts=fact_ts, attr_cols=out_names
         )
-    else:  # no dimension state yet: every fact enriches to NULL
+    else:  # no dimension state yet: every fact enriches to a TYPED NULL
+        types = list(attr_types) if attr_types is not None else ["string"] * len(out_names)
         out = batch_df
-        for alias in out_names:
-            out = out.withColumn(alias, F.lit(None).cast("string"))
+        for alias, t in zip(out_names, types):
+            out = out.withColumn(alias, F.lit(None).cast(t))
     out.write.mode("overwrite").parquet(f"{sink_path.rstrip('/')}/batch={int(batch_id)}")
 
 

@@ -31,6 +31,21 @@ def is_complete(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath(path.rstrip("/") + "/_SUCCESS"))
 
 
+def _swap_in(fs, hpath, store: str, nxt: str) -> None:
+    """Delete the old store and rename ``.next`` into place, CHECKING the
+    Hadoop boolean results: an ignored failed delete would make the
+    subsequent rename nest ``.next`` INSIDE the still-existing store
+    directory (Hadoop rename-into-existing-dir semantics) — silent state
+    corruption. Raising instead makes the batch fail and replay."""
+    if fs.exists(hpath(store)) and not fs.delete(hpath(store), True):
+        raise IOError(f"standing store promote: could not delete old store {store}")
+    if not fs.rename(hpath(nxt), hpath(store)):
+        raise IOError(
+            f"standing store promote: rename {nxt} -> {store} failed "
+            "(concurrent writer on the same store_path?)"
+        )
+
+
 def recover_standing(spark: SparkSession, store_path: str) -> bool:
     """Promote an interrupted ``.next`` if the store is missing or incomplete.
     Returns True iff a complete store exists afterwards (False = first fold)."""
@@ -38,8 +53,7 @@ def recover_standing(spark: SparkSession, store_path: str) -> bool:
     nxt = store + ".next"
     fs, hpath = _fs(spark, store)
     if not is_complete(spark, store) and is_complete(spark, nxt):
-        fs.delete(hpath(store), True)
-        fs.rename(hpath(nxt), hpath(store))
+        _swap_in(fs, hpath, store, nxt)
     return is_complete(spark, store)
 
 
@@ -51,5 +65,4 @@ def promote(df: DataFrame, store_path: str) -> None:
     nxt = store + ".next"
     fs, hpath = _fs(spark, store)
     df.write.mode("overwrite").parquet(nxt)
-    fs.delete(hpath(store), True)
-    fs.rename(hpath(nxt), hpath(store))
+    _swap_in(fs, hpath, store, nxt)

@@ -166,6 +166,103 @@ def test_ingest_dedup_bloom_null_text_never_matches(spark):
     assert got == [11, 12]
 
 
+# ------------------------------------------------- review-finding guards
+
+
+def _oracle_on_docs(spark_df, rows, sql):
+    """Run an oracle SQL against an in-memory documents fixture and compare."""
+    import duckdb
+
+    from tests.oracle import compare_to_oracle
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    compare_to_oracle(spark_df, con, sql)
+
+
+def test_bpe_encode_oracle_parity_when_pairs_exhaust(spark):
+    """Training exhausts the pair supply before `steps` rounds: the Spark
+    fold identity-degrades and the oracle's LEFT JOIN must too — the r06
+    review caught the comma cross-join zero-rowing the encoded vocab."""
+    from kda_flink_demo_spark.operators.llm.text import (
+        bpe_encode,
+        bpe_encode_oracle_sql,
+    )
+
+    rows = [(0, "ab ab ab"), (1, "ab cd")]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    _oracle_on_docs(bpe_encode(df, steps=4), rows, bpe_encode_oracle_sql(steps=4))
+
+
+def test_validation_checks_vacuous_pass_on_empty_table(spark):
+    """sum() over zero rows is NULL — an empty partition must report
+    0 violations / passed=TRUE, not a NULL verdict no filter can see."""
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.validation import (
+        column_rule_checks,
+        uniqueness_check,
+    )
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("v", T.LongType())])
+    )
+    r = column_rule_checks(empty, {"v_pos": F.col("v") > 0}).collect()[0]
+    assert (r.n_checked, r.n_violations, r.passed) == (0, 0, True)
+    u = uniqueness_check(empty, ["v"], "v_unique").collect()[0]
+    assert (u.n_checked, u.n_violations, u.passed) == (0, 0, True)
+
+
+def test_temporal_join_rejects_colliding_attr_columns(spark):
+    import datetime as dt
+
+    from kda_flink_demo_spark.operators.cdc import temporal_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    hist = spark.createDataFrame(
+        [(1, "A", t0, None)],
+        "user_id long, event_type string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame([Row(user_id=1, event_type="x", ts=t0)])
+    with pytest.raises(ValueError, match="collide"):
+        temporal_join(facts, hist, keys=["user_id"], attr_cols=("event_type",))
+
+
+def test_logreg_null_rows_match_oracle(spark):
+    """NULL lang counts as a negative and NULL text as '' in BOTH engines —
+    without the explicit coalesces Spark's avg() drops the NULL-label row
+    while DuckDB's CASE keeps it, and size(split(NULL)) = −1 feeds a phantom
+    feature."""
+    import duckdb
+
+    from kda_flink_demo_spark.operators.llm.classifier import (
+        logreg_quality_score,
+        logreg_quality_score_oracle_sql,
+    )
+    from tests.oracle import compare_to_oracle
+
+    rows = [
+        (0, "the of to a in", "en", 14),
+        (1, "scan table join", "de", 15),
+        (2, None, "en", 0),  # NULL text
+        (3, "the and is", None, 10),  # NULL label
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lg, n_chars=n) for i, t, lg, n in rows]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+    compare_to_oracle(
+        logreg_quality_score(df, rounds=3),
+        con,
+        logreg_quality_score_oracle_sql(rounds=3),
+    )
+
+
 # ------------------------------------------------------ logistic trainer
 
 
