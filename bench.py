@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "merge_changes_cdc",
     "temporal_scd2_join",
+    "trend_forecast_by_type",
     "events_interval_dedup",
     "dataset_profile",
     "data_quality_checks",

@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "data_quality_checks",
     "temporal_scd2_join",
     "quality_logreg_score",
+    "trend_forecast_by_type",
 ]
 
 _DRIVER_WINDOW = 50

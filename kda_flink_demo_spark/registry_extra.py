@@ -1476,6 +1476,24 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trend_oracle() -> str:
+    from kda_flink_demo_spark.operators.trend import trend_forecast_oracle_sql
+
+    return trend_forecast_oracle_sql()
+
+
+@register("trend_forecast_by_type", _trend_oracle())
+def q_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend + next-minute forecast over minute-bucketed event
+    counts: OLS from INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx² —
+    exact at any aggregation order, no rounding needed anywhere), closed-form
+    division as the only float step, NULL slope for degenerate single-bucket
+    keys. Capacity-planning / anomaly-baseline readout."""
+    from kda_flink_demo_spark.operators.trend import trend_forecast
+
+    return trend_forecast(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "temporal_scd2_join",
     """

@@ -166,6 +166,30 @@ def test_ingest_dedup_bloom_null_text_never_matches(spark):
     assert got == [11, 12]
 
 
+# ---------------------------------------------------------- trend/forecast
+
+
+def test_trend_forecast_exact_line_and_degenerate_key(spark):
+    """Counts 1,2,3 over minutes 0,1,2 fit slope=1, intercept=1, forecast=4
+    EXACTLY (integer sufficient statistics → one closed-form division);
+    a single-bucket key yields NULL slope/forecast, never a division error."""
+    import datetime as dt
+
+    from kda_flink_demo_spark.operators.trend import trend_forecast
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for m in range(3):
+        for i in range(m + 1):
+            rows.append(Row(event_type="a", ts=base + dt.timedelta(minutes=m, seconds=i)))
+    for i in range(5):
+        rows.append(Row(event_type="b", ts=base + dt.timedelta(seconds=i)))
+    out = {r.event_type: r for r in trend_forecast(spark.createDataFrame(rows)).collect()}
+    assert (out["a"].slope, out["a"].intercept, out["a"].forecast_next) == (1.0, 1.0, 4.0)
+    assert out["b"].n_points == 1
+    assert out["b"].slope is None and out["b"].forecast_next is None
+
+
 # ------------------------------------------------- review-finding guards
 
 
