@@ -73,6 +73,30 @@ def main() -> None:
         results[name] = round(time.time() - t0, 2)
 
     bench("tumbling_count", windows.tumbling_counts(ev))
+    from kda_flink_demo_spark.operators.trend import trend_forecast
+
+    bench("trend_forecast", trend_forecast(ev_raw))
+    from kda_flink_demo_spark.operators.validation import (
+        check_suite,
+        column_rule_checks,
+        referential_check,
+        uniqueness_check,
+    )
+
+    bench(
+        "data_quality",
+        check_suite(
+            column_rule_checks(
+                orders,
+                {
+                    "custkey_not_null": F.col("o_custkey").isNotNull(),
+                    "price_positive": F.col("o_totalprice") > 0,
+                },
+            ),
+            uniqueness_check(orders, ["o_orderkey"], "orderkey_unique"),
+            referential_check(li, orders, "l_orderkey", "o_orderkey", "li_fk"),
+        ),
+    )
     bench("sliding_range_count", over_windows.sliding_range_count(ev))
     bench(
         "star_join_revenue",
