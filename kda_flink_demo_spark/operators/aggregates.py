@@ -59,6 +59,35 @@ def approx_distinct_counts(
     return df.groupBy(group_key).agg(F.approx_count_distinct(value, rsd).alias(alias))
 
 
+def approx_distinct_report(
+    df: DataFrame,
+    group_key: str,
+    value: str,
+    rsd: float = 0.01,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """HLL++ estimate held to its exact companion in one pass — the
+    rows-only→hash-checkable conversion shape (the sketch_incremental_pack
+    template): the sketch value itself is engine-specific, so the output
+    carries the EXACT count (oracle-verifiable) plus a deterministic
+    ``approx_ok`` boolean asserting the estimate landed within ``tolerance``
+    of exact. Spark's HLL++ at fixed rsd is deterministic, so the boolean is
+    stable; the oracle pins it TRUE. At 100 TB you'd drop the exact column
+    and keep only the sketch — this shape exists to make the approximation
+    externally checkable."""
+    exact = F.count_distinct(F.col(value)).cast("long").alias("exact_distinct")
+    approx = F.approx_count_distinct(value, rsd).alias("_approx")
+    ok = (
+        F.abs(F.col("_approx").cast("double") - F.col("exact_distinct").cast("double"))
+        <= F.lit(tolerance) * F.col("exact_distinct").cast("double")
+    ).alias("approx_ok")
+    return (
+        df.groupBy(group_key)
+        .agg(exact, approx)
+        .select(group_key, "exact_distinct", ok)
+    )
+
+
 def rollup_counts(df: DataFrame, *keys: str, alias: str = "cnt") -> DataFrame:
     """A6 breadth: ROLLUP grouping-sets aggregate."""
     return df.rollup(*keys).agg(F.count(F.lit(1)).alias(alias))

@@ -91,6 +91,7 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    scalar_cols: bool = False,
 ) -> DataFrame:
     """Distributed PCA projection: reduce the embedding column to its top-k
     principal components — the dimension-reduction step before ANN/clustering
@@ -111,7 +112,12 @@ def pca_project(
     positive) so output is deterministic; projections are det_round-ed. No
     SQL oracle (eigendecomposition is not SQL-expressible) — validated
     against a pure-numpy reference in tests and registered rows-only, like
-    the other linear-algebra/approximate operators."""
+    the other linear-algebra/approximate operators.
+
+    ``scalar_cols=True`` flattens the projection into det-rounded scalar
+    columns ``pc1..pck`` instead of one ``array<double>`` column — the shape
+    external row-comparators can sort/count (plain doubles, no nested
+    arrays)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -154,9 +160,10 @@ def pca_project(
         .collect()
     )  # dim²/2 + dim + 1 rows — model-sized, not a data collect
     if not stats:  # empty corpus: nothing to fit, empty projection
-        return base.select(
+        empty = base.select(
             F.col(id_col), F.lit(None).cast("array<double>").alias("pca")
         ).limit(0)
+        return _flatten_pca(empty, k, id_col) if scalar_cols else empty
     n = next(r["v"] for r in stats if r["i"] == -1 and r["j"] == -1)
     dim = max(r["i"] for r in stats) + 1
     mu = np.zeros(dim)
@@ -185,4 +192,13 @@ def pca_project(
         proj = det_round_np((m - mu_b) @ comp_b, round_digits)
         return pd.Series(list(proj))
 
-    return base.select(F.col(id_col), _project(F.col("_v")).alias("pca"))
+    out = base.select(F.col(id_col), _project(F.col("_v")).alias("pca"))
+    return _flatten_pca(out, k, id_col) if scalar_cols else out
+
+
+def _flatten_pca(df: DataFrame, k: int, id_col: str) -> DataFrame:
+    """``pca array<double>`` → scalar columns ``pc1..pck`` (already rounded)."""
+    return df.select(
+        F.col(id_col),
+        *[F.element_at(F.col("pca"), i + 1).alias(f"pc{i + 1}") for i in range(k)],
+    )

@@ -147,6 +147,78 @@ def ivf_ann_topk(
     )
 
 
+def ann_recall_report(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    method: str = "lsh",
+    recall_tenths: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    **ann_kwargs,
+) -> DataFrame:
+    """ANN made externally checkable (the sketch_incremental_pack template):
+    per query vector, emit the BRUTE-FORCE top-k evidence (neighbor CSV,
+    rounded cosine sum, row count — all SQL-expressible, hash-verified by the
+    oracle) plus a deterministic ``recall_ok`` boolean asserting the ANN path
+    recovered ≥ ``recall_tenths``/10 of the true neighbors. The ANN side is
+    fully seeded (fixed hyperplanes / centroid lists), so the boolean cannot
+    flap; the comparison is pure integer arithmetic (``hits·10 ≥
+    tenths·|brute|``) so no float boundary can flip it between runs.
+
+    Scale shape: both branches share one normalized scan; the brute branch is
+    the O(N·Q) baseline (Q tiny, broadcast), the ANN branch is the bucketed
+    scale path; the recall join is per-query-id over two k-row sides."""
+    brute = cosine_topk(df, query_ids, k, id_col, vec_col, round_digits)
+    if method == "lsh":
+        ann = lsh_ann_topk(
+            df, query_ids, k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits, **ann_kwargs,
+        )
+    elif method == "ivf":
+        ann = ivf_ann_topk(
+            df, query_ids, k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits, **ann_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown ANN method {method!r}")
+
+    ann_sets = ann.groupBy("query_id").agg(
+        F.collect_set("neighbor_id").alias("_ann_ids")
+    )
+    per_q = (
+        brute.join(broadcast(ann_sets), "query_id", "left")
+        .withColumn(
+            "_hit",
+            F.coalesce(
+                F.array_contains(F.col("_ann_ids"), F.col("neighbor_id")), F.lit(False)
+            ).cast("long"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "neighbor_id"))),
+                    lambda s: s["neighbor_id"].cast("string"),
+                ),
+            ).alias("brute_neighbors"),
+            det_round(F.sum("cosine"), round_digits).alias("brute_cos_sum"),
+            F.count(F.lit(1)).cast("long").alias("brute_cnt"),
+            F.sum("_hit").alias("_hits"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "brute_neighbors",
+        "brute_cos_sum",
+        "brute_cnt",
+        (F.col("_hits") * F.lit(10) >= F.lit(int(recall_tenths)) * F.col("brute_cnt"))
+        .alias("recall_ok"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block_col: str,

@@ -346,11 +346,20 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.distinct_counts(load_table(spark, sf_dir, "events"), "event_type", "user_id")
 
 
-@register("approx_distinct_users", None)
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS approx_ok
+    FROM events GROUP BY 1
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 breadth: HyperLogLog++ distinct estimate — sketch values are
-    engine-specific, so no SQL oracle (rows-only check)."""
-    return aggregates.approx_distinct_counts(
+    """A6 breadth: HyperLogLog++ distinct estimate, made hash-checkable (the
+    sketch_incremental_pack template): the raw sketch value is engine-specific,
+    so the row carries the exact count (oracle-verified) plus a deterministic
+    within-5% ``approx_ok`` boolean the oracle pins TRUE. HLL++ at fixed
+    rsd=0.01 is deterministic, so the boolean cannot flap."""
+    return aggregates.approx_distinct_report(
         load_table(spark, sf_dir, "events"), "event_type", "user_id"
     )
 
