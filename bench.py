@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "events_interval_dedup",
     "dataset_profile",
     "data_quality_checks",
+    "quarantine_gate",
     # function-surface packs (narrow projections — regression canaries)
     "string_function_pack",
     "date_function_pack",
@@ -135,6 +136,7 @@ BENCH_QUERIES = [
     "span_decontaminate",
     "bpe_merge_steps",
     "bpe_encode",
+    "bpe_encode_stored",
     "length_buckets",
     "temperature_resample",
     "source_upsample",
@@ -166,6 +168,22 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "multimodal_frame_sample",
 ]
+
+# Standing-artifact cost split (operators/llm/standing.py): BUILD rows must
+# run before their consumers, else a silent reorder would shift the build
+# cost into the consumer's min-of-2 and invert the documented split
+# (r06 VERDICT directive 5). bpe_encode_stored is exempt: it cold-builds its
+# ON-DISK store transparently and re-loads on the second run.
+_BUILD_BEFORE = {
+    "dedup_minhash_lsh": ("dedup_clusters", "dedup_apply_fuzzy"),
+    "fuzzy_ingest_index_build": ("ingest_dedup_fuzzy",),
+    "bpe_merge_steps": ("bpe_encode",),
+}
+for _b, _consumers in _BUILD_BEFORE.items():
+    for _c in _consumers:
+        assert BENCH_QUERIES.index(_b) < BENCH_QUERIES.index(_c), (
+            f"bench ordering: build query {_b} must precede consumer {_c}"
+        )
 
 
 def main() -> None:

@@ -578,6 +578,54 @@ def span_dedup_apply(
     return _apply_span_mask(base, starts, id_col, span)
 
 
+def span_dedup_probe(
+    batch: DataFrame,
+    index_hashes: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+) -> DataFrame:
+    """Per-batch exact-substring dedup against a STANDING span-hash index —
+    the streaming/ingest twin of :func:`span_dedup_apply` (the
+    ``ingest_dedup_fuzzy_probe`` shape): a token position in the incoming
+    batch is removed iff covered by a ``span``-token window that occurs in
+    the standing index (any earlier batch) OR in a smaller-id document of
+    the SAME batch. With batches arriving in id order this equals
+    :func:`span_dedup_apply` over everything ingested so far, restricted to
+    the batch's docs — the batch-as-oracle equality the streaming tests pin.
+
+    Scale shape: the standing index (corpus-sized) NEVER shuffles — the
+    batch's distinct span hashes broadcast into a semi join against the
+    index scan, and the (small) hit set broadcasts back to flag batch
+    occurrences; within-batch firsts reuse the per-span min-id window on
+    batch-sized data only."""
+    from pyspark.sql import Window
+
+    base = batch.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    occ = _span_occurrences(base, id_col, span)
+    first_doc = F.min(id_col).over(Window.partitionBy("h"))
+    within = occ.select(F.col(id_col), F.col("pos"), first_doc.alias("_first")).filter(
+        F.col("_first") < F.col(id_col)
+    )
+    flagged = within.select(id_col, "pos")
+    if index_hashes is not None:
+        batch_h = occ.select("h").distinct()
+        hits = index_hashes.join(F.broadcast(batch_h), "h", "left_semi").distinct()
+        cross = occ.join(F.broadcast(hits), "h", "left_semi").select(id_col, "pos")
+        flagged = flagged.unionByName(cross).distinct()
+    starts = flagged.groupBy(id_col).agg(F.collect_list("pos").alias("starts"))
+    return _apply_span_mask(base, starts, id_col, span)
+
+
+def span_index_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", span: int = 10
+) -> DataFrame:
+    """A batch's contribution to the standing span index: its DISTINCT 8-byte
+    span hashes (column ``h``) — what :func:`span_dedup_probe` probes."""
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    return _span_occurrences(base, id_col, span).select("h").distinct()
+
+
 def span_decontaminate(
     train: DataFrame,
     eval_set: DataFrame,

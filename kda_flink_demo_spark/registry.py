@@ -64,68 +64,61 @@ _DRIVER_PRIORITY: list[str] = [
     "projection_json_cast",
     "ts_parse_fallback",
     "filter_predicates",
-    # Round-6 unpinning (r05 VERDICT directive 1): every r05-green row —
-    # the LSH/clusters/packing flagships and all 30+ round-5 session
-    # additions — moved to the rotating tail (each stays covered by
-    # tests/test_registry_oracle.py and scripts/driver_sim.py every round).
-    # Pinned instead: the rows with NO external CORRECTNESS record yet.
-    # (a) sketch_incremental_pack — r05's only no-oracle row, converted this
-    #     round to a hash-checkable exact+booleans shape; first hash exposure
-    "sketch_incremental_pack",
-    # (b) the 18 queries absent from every CORRECTNESS_r{1..5}.json (TPC-H
-    #     breadth + the three rows-only LLM ops) — first driver exposure
-    "dataset_profile",
-    "chunk_documents",
-    "corpus_shuffle_order",
+    # Round-7 re-pin (r06 VERDICT directives 1–3): the rows whose SHAPE
+    # changed this round and need fresh hash exposure — the fixed PCA output,
+    # the two ANN→recall-report conversions, the HLL→exact+boolean conversion.
+    # Everything r06-green (sketch pack, TPC-H breadth, round-6 additions)
+    # moved to the rotating tail.
     "embedding_pca",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_variety",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_promo_part_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # (c) round-6 additions: first driver exposure
-    "fuzzy_ingest_index_build",
-    "bpe_merge_steps",
-    "bpe_encode",
-    "span_dedup_apply",
-    "span_decontaminate",
-    "data_quality_checks",
-    "temporal_scd2_join",
-    "quality_logreg_score",
-    "trend_forecast_by_type",
+    "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "approx_distinct_users",
+    # round-7 additions: first driver exposure
+    "quarantine_gate",
+    "bpe_encode_stored",
 ]
 
 _DRIVER_WINDOW = 50
 
 
-def _round_seed() -> int:
-    """Deterministic per-round rotation seed: the count of CORRECTNESS_r*.json
-    files the driver has committed at the repo root. Stable within a round,
-    advances between rounds — no wall-clock dependence."""
+def _latest_driver_round() -> dict[str, int]:
+    """name -> latest round with a committed CORRECTNESS_r*.json row. Stable
+    within a round (the driver commits round N's file after running round N's
+    queries), advances between rounds — no wall-clock dependence."""
     import glob as _glob
+    import json as _json
+    import re as _re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return len(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    latest: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                names = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for n in names:
+            latest[n] = max(latest.get(n, -1), rnd)
+    return latest
 
 
 def _ordered() -> list[str]:
-    """Pinned core first, then the remaining queries rotated so a fresh slice
-    of them lands inside the driver's first-50 window each round."""
+    """Pinned core first, then the remaining queries ordered least-recently-
+    externally-verified first (never-checked before everything), so the
+    driver's first-50 window always re-verifies the stalest rows. Replaces the
+    round-4..6 blind shift, which round 6 showed can skip the stale tail
+    indefinitely (19 rows were stuck at their r03 check)."""
     in_priority = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(in_priority)]
-    slots = max(0, _DRIVER_WINDOW - len(in_priority))
-    if rest and slots:
-        shift = (_round_seed() * slots) % len(rest)
-        rest = rest[shift:] + rest[:shift]
+    pinned = set(in_priority)
+    latest = _latest_driver_round()
+    rest = sorted(
+        (n for n in _REGISTRY if n not in pinned),
+        key=lambda n: (latest.get(n, -1), n),
+    )
     return in_priority + rest
 
 

@@ -1665,6 +1665,60 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUARANTINE_ORACLE = """
+    WITH tagged AS (
+        SELECT o_orderkey,
+               array_to_string(list_filter([
+                   CASE WHEN o_custkey IS NOT NULL THEN NULL ELSE 'custkey_not_null' END,
+                   CASE WHEN o_totalprice > 0 THEN NULL ELSE 'totalprice_positive' END,
+                   CASE WHEN o_orderstatus IN ('O','F','P') THEN NULL ELSE 'status_domain' END,
+                   CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN NULL
+                        ELSE 'priority_expected_domain' END
+               ], x -> x IS NOT NULL), ',') AS violations
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN coalesce(violations, '') = '' THEN 'good' ELSE 'quarantined' END AS split,
+           coalesce(violations, '') AS violations
+    FROM tagged
+"""
+
+
+@register("quarantine_gate", _QUARANTINE_ORACLE)
+def q_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dead-letter gate
+    (streaming/standing_stores.py: update_quarantine_store): the SAME rule
+    dictionary style as data_quality_checks, enforced row-level via
+    validation.quarantine_split — passing rows tagged 'good', violating rows
+    'quarantined' with a CSV of every failed rule (rule order = declaration
+    order on both engines). One map-side projection, both branches prune from
+    a single scan, no shuffle at any scale. The narrow priority domain
+    guarantees a non-empty quarantine branch, so both paths are hash-checked."""
+    from kda_flink_demo_spark.operators.validation import quarantine_split
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    rules = {
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_expected_domain": F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM"
+        ),
+    }
+    good, bad = quarantine_split(orders, rules)
+    return good.select(
+        "o_orderkey", F.lit("good").alias("split"), F.lit("").alias("violations")
+    ).unionByName(
+        bad.select(
+            "o_orderkey",
+            F.lit("quarantined").alias("split"),
+            F.array_join("violations", ",").alias("violations"),
+        )
+    )
+
+
 @register(
     "sketch_incremental_pack",
     """

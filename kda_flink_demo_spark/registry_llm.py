@@ -1034,6 +1034,56 @@ def _bpe_merges_cached(spark: SparkSession, sf_dir: str, steps: int = 4) -> Data
     )
 
 
+def _bpe_store_path(sf_dir: str, steps: int) -> str:
+    """Stable cross-session store location for the trained merge table,
+    keyed by corpus IDENTITY (path + documents.parquet size/mtime): a
+    regenerated fixture or different SF can never be served a stale
+    tokenizer. Root overridable via SPARK_GRAFT_STORE_DIR (defaults to the
+    system temp dir — the store is a cache, not a deliverable)."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_STORE_DIR") or os.path.join(
+        tempfile.gettempdir(), "kda_spark_standing"
+    )
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        ident = f"{os.path.abspath(doc)}|{st.st_size}|{st.st_mtime_ns}|{steps}"
+    except OSError:  # non-local fs: fall back to path identity
+        ident = f"{os.path.abspath(doc)}|{steps}"
+    key = hashlib.sha1(ident.encode()).hexdigest()[:16]
+    return os.path.join(root, f"bpe_merges_{key}")
+
+
+@register("bpe_encode_stored", text.bpe_encode_oracle_sql(steps=4))
+def q_bpe_encode_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode through the PERSISTENT merge-table store
+    (streaming/standing_stores.py: train_bpe_to_store /
+    bpe_merges_from_store): a tokenizer trained in one SESSION encodes in
+    the next — the production shape, where the merge table is a versioned
+    artifact, not a session object. First run trains and crash-safe-promotes
+    the store (``.next`` staging + delete/rename); every later run — or a
+    run after a mid-promote crash — loads it back and pays apply cost only.
+    Training is deterministic for a fixed corpus and the store key carries
+    the corpus identity, so stored-vs-fresh output is identical (the
+    equality the crash-recovery tests pin) and the bpe_encode oracle
+    hash-checks it exactly."""
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        bpe_merges_from_store,
+        train_bpe_to_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _bpe_store_path(sf_dir, steps=4)
+    merges = bpe_merges_from_store(spark, path)
+    if merges is None:
+        train_bpe_to_store(docs, path, steps=4)
+        merges = bpe_merges_from_store(spark, path)
+    return text.bpe_encode(docs, steps=4, merges=merges)
+
+
 @register("bpe_encode", text.bpe_encode_oracle_sql(steps=4))
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLY: encode every document with the 4 learned merges —

@@ -160,6 +160,30 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
         ),
     )
+    # round-7: per-batch span probe against a standing index (index built
+    # OUTSIDE the timer — the probe measures the recurring per-batch cost,
+    # the build cost is span_index_hashes' one narrow pass)
+    _span_idx = _dedup.span_index_hashes(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    ).localCheckpoint()
+    bench(
+        "span_dedup_probe",
+        _dedup.span_dedup_probe(docs.filter(F.col("doc_id") % 2 == 1), _span_idx),
+    )
+    from kda_flink_demo_spark.operators.validation import quarantine_split
+
+    _qg, _qb = quarantine_split(
+        orders,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "priority_domain": F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        },
+    )
+    bench(
+        "quarantine_split",
+        _qg.select("o_orderkey").unionByName(_qb.select("o_orderkey")),
+    )
     bench_lazy("bpe_merge_train", lambda: _text.bpe_merge_train(docs, steps=4))
     bench("filter_pipeline", _pipeline.filter_pipeline(docs))
     bench("temperature_resample", _sampling.temperature_resample(docs, source_col="lang"))

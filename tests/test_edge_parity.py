@@ -408,6 +408,8 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "bpe_merge_steps",
     "bpe_encode",
     "fuzzy_ingest_index_build",
+    # round-7 additions (documents-only)
+    "bpe_encode_stored",
 ]
 
 

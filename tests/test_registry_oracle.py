@@ -35,31 +35,49 @@ def test_oracle_free_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
-def test_driver_window_pins_core_and_rotates_tail(monkeypatch):
+def test_driver_window_pins_core_and_cycles_stalest_first(monkeypatch):
     """The first-50 correctness window must always contain the pinned core,
-    and the tail slice must rotate deterministically with the round seed so
-    every query is periodically externally verified."""
+    and the rotating tail must be ordered least-recently-externally-verified
+    first (never-checked before everything), so simulated rounds eventually
+    expose every query and the stale tail can never be stranded (the r06
+    failure mode of the old blind-shift rotation)."""
     from kda_flink_demo_spark import registry
 
-    names_by_seed = {}
-    for seed in (0, 1, 2, 3, 7):
-        monkeypatch.setattr(registry, "_round_seed", lambda s=seed: s)
-        ordered = registry._ordered()
-        assert sorted(ordered) == sorted(registry._REGISTRY)  # nothing lost
-        window = ordered[:50]
-        for core in registry._DRIVER_PRIORITY:
-            assert core in window
-        names_by_seed[seed] = tuple(window)
-    # rotation actually changes the exposed tail across rounds
-    assert len(set(names_by_seed.values())) > 1
-    # same seed → same order (stable within a round)
-    monkeypatch.setattr(registry, "_round_seed", lambda: 3)
+    pins = [n for n in registry._DRIVER_PRIORITY if n in registry._REGISTRY]
+    tail = sorted(set(registry._REGISTRY) - set(pins))
+
+    # synthetic history: half the tail checked in round 2, a quarter in round
+    # 5, the rest never checked
+    hist = {}
+    for i, n in enumerate(tail):
+        if i % 2 == 0:
+            hist[n] = 2
+        elif i % 4 == 1:
+            hist[n] = 5
+    monkeypatch.setattr(registry, "_latest_driver_round", lambda: dict(hist))
+    ordered = registry._ordered()
+    assert sorted(ordered) == sorted(registry._REGISTRY)  # nothing lost
+    window = ordered[:50]
+    for core in pins:
+        assert core in window
+    # the tail must be grouped never-checked → r02 → r05, names sorted within
+    rest = ordered[len(pins):]
+    ranks = [hist.get(n, -1) for n in rest]
+    assert ranks == sorted(ranks)
+    never = [n for n in rest if n not in hist]
+    assert rest[: len(never)] == sorted(never)
+    # deterministic within a round
     assert tuple(registry._ordered()) == tuple(registry._ordered())
-    # over enough rounds, every registered query appears in some window
-    exposed = set()
-    slots = 50 - len([n for n in registry._DRIVER_PRIORITY if n in registry._REGISTRY])
-    rest = len(registry._REGISTRY) - (50 - slots)
-    for seed in range((rest // max(slots, 1)) + 2):
-        monkeypatch.setattr(registry, "_round_seed", lambda s=seed: s)
-        exposed.update(registry._ordered()[:50])
+
+    # simulated rounds: each round stamps the window as verified; every
+    # registered query must be exposed within ceil(|rest|/slots) + 1 rounds
+    slots = 50 - len(pins)
+    exposed: set[str] = set()
+    for rnd in range(10, 10 + (len(rest) // max(slots, 1)) + 2):
+        window = registry._ordered()[:50]
+        exposed.update(window)
+        for n in window:
+            hist[n] = rnd
+        if exposed == set(registry._REGISTRY):
+            break
     assert exposed == set(registry._REGISTRY)

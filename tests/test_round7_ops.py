@@ -1,0 +1,280 @@
+"""Round-7 operators: rows-only→hash-checkable conversions (ANN recall
+reports, HLL exact+boolean, PCA scalar output), the persistent BPE merge
+store, the standing span-dedup index (streaming twin of span_dedup_apply),
+and the batch quarantine gate."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, n=200):
+    from kda_flink_demo_spark.io.sources import load_table
+
+    return load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < n)
+
+
+def _emb(spark):
+    from kda_flink_demo_spark.io.sources import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# PCA scalar output (r06 VERDICT directive 1)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_scalar_cols_equal_array_elements(spark):
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_project
+
+    emb = _emb(spark)
+    arr = {r.vec_id: list(r.pca) for r in pca_project(emb, k=3).collect()}
+    flat = pca_project(emb, k=3, scalar_cols=True)
+    assert flat.columns == ["vec_id", "pc1", "pc2", "pc3"]
+    for r in flat.collect():
+        assert [r.pc1, r.pc2, r.pc3] == arr[r.vec_id]
+
+
+def test_pca_scalar_cols_empty_input(spark):
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_project
+
+    empty = _emb(spark).limit(0)
+    out = pca_project(empty, k=3, scalar_cols=True)
+    assert out.columns == ["vec_id", "pc1", "pc2", "pc3"]
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact-companion conversions (r06 VERDICT directives 2–3)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_distinct_report_exact_and_boolean(spark):
+    from kda_flink_demo_spark.io.sources import load_table
+    from kda_flink_demo_spark.operators.aggregates import approx_distinct_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r.event_type: (r.exact_distinct, r.approx_ok)
+        for r in approx_distinct_report(ev, "event_type", "user_id").collect()
+    }
+    exact = {
+        r.event_type: r.c
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, (ex, ok) in got.items():
+        assert ex == exact[et]
+        assert ok is True  # rsd=0.01 is far inside the 5% tolerance
+
+
+def test_ann_recall_report_brute_columns_and_boolean(spark):
+    from kda_flink_demo_spark.operators.llm import similarity
+
+    emb = _emb(spark)
+    qids = [0, 1, 2, 3, 4]
+    brute = similarity.cosine_topk(emb, qids, k=5).collect()
+    order = {}
+    for r in sorted(brute, key=lambda r: (r.query_id, r.rank)):
+        order.setdefault(r.query_id, []).append(str(r.neighbor_id))
+    for method, kw in (("lsh", {"nprobe": 3}), ("ivf", {"nprobe": 8})):
+        rep = similarity.ann_recall_report(
+            emb, qids, k=5, method=method, recall_tenths=6, **kw
+        ).collect()
+        assert {r.query_id for r in rep} == set(qids)
+        for r in rep:
+            assert r.brute_neighbors == ",".join(order[r.query_id])
+            assert r.brute_cnt == 5
+            assert r.recall_ok is True, f"{method} recall fell below 0.6 for {r.query_id}"
+
+
+def test_ann_recall_report_rejects_unknown_method(spark):
+    import pytest
+
+    from kda_flink_demo_spark.operators.llm import similarity
+
+    with pytest.raises(ValueError, match="unknown ANN method"):
+        similarity.ann_recall_report(_emb(spark), [0], method="exact")
+
+
+# ---------------------------------------------------------------------------
+# Persistent BPE merge store (r06 VERDICT directive 6)
+# ---------------------------------------------------------------------------
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bpe_store_roundtrip_equals_fresh_train(spark, tmp_path):
+    from kda_flink_demo_spark.operators.llm.text import bpe_encode, bpe_merge_train
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        bpe_merges_from_store,
+        train_bpe_to_store,
+    )
+
+    docs = _docs(spark)
+    store = str(tmp_path / "bpe_store")
+    assert bpe_merges_from_store(spark, store) is None  # no store yet
+    train_bpe_to_store(docs, store, steps=3)
+    stored = bpe_merges_from_store(spark, store)
+    assert stored is not None
+    fresh = bpe_merge_train(docs, steps=3)
+    assert _canon(stored) == _canon(fresh)
+    # and the encode-through-store equals encode-with-fresh-merges
+    assert _canon(bpe_encode(docs, steps=3, merges=stored)) == _canon(
+        bpe_encode(docs, steps=3, merges=fresh)
+    )
+
+
+def test_bpe_store_recovers_from_crash_between_delete_and_promote(spark, tmp_path):
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        bpe_merges_from_store,
+        train_bpe_to_store,
+    )
+
+    docs = _docs(spark)
+    store = str(tmp_path / "bpe_store")
+    train_bpe_to_store(docs, store, steps=3)
+    before = _canon(bpe_merges_from_store(spark, store))
+    # simulate a crash after the old store was deleted but before .next was
+    # renamed into place: the complete .next must be promoted on next read
+    os.rename(store, store + ".next")
+    recovered = bpe_merges_from_store(spark, store)
+    assert recovered is not None
+    assert _canon(recovered) == before
+    assert os.path.exists(os.path.join(store, "_SUCCESS"))
+    assert not os.path.exists(store + ".next")
+
+
+def test_bpe_store_ignores_partial_next(spark, tmp_path):
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        bpe_merges_from_store,
+        train_bpe_to_store,
+    )
+
+    docs = _docs(spark)
+    store = str(tmp_path / "bpe_store")
+    train_bpe_to_store(docs, store, steps=3)
+    before = _canon(bpe_merges_from_store(spark, store))
+    # a half-written .next (no _SUCCESS) must never shadow the good store
+    nxt = store + ".next"
+    os.makedirs(nxt)
+    with open(os.path.join(nxt, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    assert _canon(bpe_merges_from_store(spark, store)) == before
+
+
+# ---------------------------------------------------------------------------
+# Standing span-dedup index (r06 VERDICT directive 7)
+# ---------------------------------------------------------------------------
+
+
+def _span_batches(spark, span, n_batches=3):
+    """documents cut into id-ordered batches (the probe's ordering contract)."""
+    docs = _docs(spark, n=150)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[i * len(ids) // n_batches] for i in range(1, n_batches)] + [
+        ids[-1] + 1
+    ]
+    lo = None
+    for hi in cuts:
+        b = docs.filter(F.col("doc_id") < hi)
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= lo)
+        yield b
+        lo = hi
+
+
+def test_span_index_stream_equals_batch(spark, tmp_path):
+    from kda_flink_demo_spark.operators.llm.dedup import span_dedup_apply
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        update_span_index_store,
+    )
+
+    span = 5
+    store, sink = str(tmp_path / "idx"), str(tmp_path / "clean")
+    for bid, batch in enumerate(_span_batches(spark, span)):
+        update_span_index_store(batch, bid, store, sink, span=span)
+    streamed = spark.read.parquet(sink)
+    batch_ref = span_dedup_apply(_docs(spark, n=150), span=span)
+    assert _canon(streamed.select(*batch_ref.columns)) == _canon(batch_ref)
+
+
+def test_span_index_replay_is_idempotent(spark, tmp_path):
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        update_span_index_store,
+    )
+
+    span = 5
+    store, sink = str(tmp_path / "idx"), str(tmp_path / "clean")
+    batches = list(_span_batches(spark, span))
+    for bid, batch in enumerate(batches):
+        update_span_index_store(batch, bid, store, sink, span=span)
+    before = _canon(spark.read.parquet(sink))
+    # checkpoint replay of the LAST batch (the standard failure-recovery path)
+    update_span_index_store(batches[-1], len(batches) - 1, store, sink, span=span)
+    assert _canon(spark.read.parquet(sink)) == before
+
+
+def test_span_index_half_written_segment_is_invisible(spark, tmp_path):
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        read_span_index,
+        update_span_index_store,
+    )
+
+    span = 5
+    store, sink = str(tmp_path / "idx"), str(tmp_path / "clean")
+    batches = list(_span_batches(spark, span))
+    update_span_index_store(batches[0], 0, store, sink, span=span)
+    n0 = read_span_index(spark, store).count()
+    # fake a crash mid-write of segment 1: directory exists, no _SUCCESS
+    half = os.path.join(store, "seg=1")
+    os.makedirs(half)
+    with open(os.path.join(half, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    assert read_span_index(spark, store).count() == n0
+    # the replay rewrites the half segment and it becomes visible
+    update_span_index_store(batches[1], 1, store, sink, span=span)
+    assert read_span_index(spark, store).count() >= n0
+
+
+# ---------------------------------------------------------------------------
+# Batch quarantine gate (r06 VERDICT directive 8)
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_gate_partitions_and_tags(spark):
+    from kda_flink_demo_spark.registry import queries
+
+    out = queries()["quarantine_gate"](spark, SF_DIR).collect()
+    from kda_flink_demo_spark.io.sources import load_table
+
+    assert len(out) == load_table(spark, SF_DIR, "orders").count()
+    good = [r for r in out if r.split == "good"]
+    bad = [r for r in out if r.split == "quarantined"]
+    assert good and bad, "fixture must exercise both branches"
+    assert all(r.violations == "" for r in good)
+    assert all(r.violations for r in bad)
+    # the narrow priority domain is the designed violation
+    assert all("priority_expected_domain" in r.violations for r in bad)
+
+
+# ---------------------------------------------------------------------------
+# Bench ordering guard (r06 VERDICT directive 5)
+# ---------------------------------------------------------------------------
+
+
+def test_bench_build_rows_precede_consumers():
+    import bench
+
+    for b, consumers in bench._BUILD_BEFORE.items():
+        for c in consumers:
+            assert bench.BENCH_QUERIES.index(b) < bench.BENCH_QUERIES.index(c)
