@@ -75,15 +75,22 @@ def approx_distinct_report(
     stable; the oracle pins it TRUE. At 100 TB you'd drop the exact column
     and keep only the sketch — this shape exists to make the approximation
     externally checkable."""
-    exact = F.count_distinct(F.col(value)).cast("long").alias("exact_distinct")
-    approx = F.approx_count_distinct(value, rsd).alias("_approx")
+    # dedupe to (key, value) FIRST, then aggregate: exact is a plain count and
+    # the HLL sees each value once (duplicates never change a sketch — same
+    # estimate). Mixing count_distinct + approx in ONE agg makes Catalyst plan
+    # an Expand (data ×2 on the wire) — measured 2.5 s vs 1.1 s at sf0.1.
     ok = (
         F.abs(F.col("_approx").cast("double") - F.col("exact_distinct").cast("double"))
         <= F.lit(tolerance) * F.col("exact_distinct").cast("double")
     ).alias("approx_ok")
     return (
-        df.groupBy(group_key)
-        .agg(exact, approx)
+        df.select(group_key, value)
+        .distinct()
+        .groupBy(group_key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_distinct"),
+            F.approx_count_distinct(value, rsd).alias("_approx"),
+        )
         .select(group_key, "exact_distinct", ok)
     )
 

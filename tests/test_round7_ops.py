@@ -278,3 +278,56 @@ def test_bench_build_rows_precede_consumers():
     for b, consumers in bench._BUILD_BEFORE.items():
         for c in consumers:
             assert bench.BENCH_QUERIES.index(b) < bench.BENCH_QUERIES.index(c)
+
+
+def test_span_index_real_stream_matches_batch(spark, tmp_path):
+    """Drive the span gate through a REAL readStream + foreachBatch +
+    checkpoint (not direct fold calls): union of the cleaned micro-batch
+    partitions must equal one-shot span_dedup_apply over everything replayed.
+    Files are replayed one per trigger in doc_id order (the probe's ordering
+    contract — mtimes pin FileStreamSource's ordering)."""
+    import glob
+    import time as _time
+
+    from kda_flink_demo_spark.operators.llm.dedup import span_dedup_apply
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        update_span_index_store,
+    )
+
+    span = 5
+    docs = _docs(spark, n=150).select("doc_id", "text")
+    replay = tmp_path / "replay"
+    for i, batch in enumerate(_span_batches(spark, span)):
+        batch.select("doc_id", "text").coalesce(1).write.parquet(
+            str(replay / f"chunk={i:02d}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(replay / "chunk=*/*.parquet")))):
+        os.utime(f, (_time.time() + i, _time.time() + i))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    store, sink_dir = str(tmp_path / "idx"), str(tmp_path / "clean")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay / "chunk=*"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(
+            lambda df, bid: update_span_index_store(df, bid, store, sink_dir, span=span)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    streamed = spark.read.parquet(sink_dir)
+    batch_ref = span_dedup_apply(docs, span=span)
+    assert _canon(streamed.select(*batch_ref.columns)) == _canon(batch_ref)
