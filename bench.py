@@ -11,9 +11,10 @@ Each query is forced end-to-end with the noop sink (full computation, no driver
 collect). The timer wraps query CONSTRUCTION + execution: some operators
 (simhash, clustering) eagerly localCheckpoint an intermediate at construction
 time, and that work must not escape the measurement. Excluded:
-dedup_ngram_jaccard — the deliberately-quadratic exact-pairwise oracle
-baseline (its benched scale twin is dedup_minhash_lsh; dedup_clusters rides
-the LSH pair graph and IS benched).
+dedup_ngram_jaccard and dedup_simhash_report — both deliberately pay the
+quadratic exact-pairwise oracle baseline (the benched scale twins are
+dedup_minhash_lsh and dedup_simhash; dedup_clusters rides the LSH pair graph
+and IS benched).
 """
 
 from __future__ import annotations
@@ -126,6 +127,7 @@ BENCH_QUERIES = [
     "url_domain_stats",
     "embedding_quantize",
     "embedding_pca",
+    "embedding_pca_check",
     "contamination_check",
     "pack_sequences",
     "chunk_documents",

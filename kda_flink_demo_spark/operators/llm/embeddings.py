@@ -125,6 +125,31 @@ def pca_project(
     from kda_flink_demo_spark.operators.llm.similarity import _as_double
 
     base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    fit = _fit_pca(base, k)
+    if fit is None:  # empty corpus: nothing to fit, empty projection
+        empty = base.select(
+            F.col(id_col), F.lit(None).cast("array<double>").alias("pca")
+        ).limit(0)
+        return _flatten_pca(empty, k, id_col) if scalar_cols else empty
+    mu_b, comp_b = fit
+
+    @pandas_udf("array<double>")
+    def _project(vecs_s: pd.Series) -> pd.Series:
+        m = np.vstack(vecs_s.to_numpy()).astype(np.float64)
+        proj = det_round_np((m - mu_b) @ comp_b, round_digits)
+        return pd.Series(list(proj))
+
+    out = base.select(F.col(id_col), _project(F.col("_v")).alias("pca"))
+    return _flatten_pca(out, k, id_col) if scalar_cols else out
+
+
+def _fit_pca(base, k: int):
+    """Fit the top-``k`` principal components from one distributed pass over
+    ``base`` (a DataFrame with an ``_v`` array<double> column): returns
+    ``(mu, components)`` as numpy arrays with canonical signs, or None on an
+    empty corpus. The sufficient statistics (XᵀX upper triangle, column sums,
+    count) are dim²-bounded — the collect is model-sized, never data-sized."""
+    import numpy as np
 
     # sufficient statistics (XtX upper triangle, column sums, count) as ONE
     # mapInPandas pass — per-partition BLAS outer products, then a dim²-bounded
@@ -159,11 +184,8 @@ def pca_project(
         .agg(F.sum("v").alias("v"))
         .collect()
     )  # dim²/2 + dim + 1 rows — model-sized, not a data collect
-    if not stats:  # empty corpus: nothing to fit, empty projection
-        empty = base.select(
-            F.col(id_col), F.lit(None).cast("array<double>").alias("pca")
-        ).limit(0)
-        return _flatten_pca(empty, k, id_col) if scalar_cols else empty
+    if not stats:
+        return None
     n = next(r["v"] for r in stats if r["i"] == -1 and r["j"] == -1)
     dim = max(r["i"] for r in stats) + 1
     mu = np.zeros(dim)
@@ -183,17 +205,77 @@ def pca_project(
         j = int(np.argmax(np.abs(comp[:, c])))
         if comp[j, c] < 0:
             comp[:, c] = -comp[:, c]
-    comp_b = comp.copy()
-    mu_b = mu.copy()
+    return mu.copy(), comp.copy()
 
-    @pandas_udf("array<double>")
-    def _project(vecs_s: pd.Series) -> pd.Series:
+
+def pca_check(
+    df: DataFrame,
+    k: int = 8,
+    var_tenths: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hash-checkable companion to :func:`pca_project` (the
+    sketch_incremental_pack template — eigendecomposition itself is not
+    SQL-expressible, but its defining PROPERTIES are assertable): per vector,
+    emit
+
+    - ``centered_norm2`` — ‖v − μ‖², det-rounded: the oracle computes it
+      exactly (per-dim means + per-row fold), anchoring that both engines see
+      the same centering;
+    - ``bessel_ok`` — ‖proj‖² ≤ ‖centered‖² (+1e-9 slack): an orthogonal
+      projection can never grow a norm (Bessel's inequality); any fit/apply
+      bug that breaks orthonormality trips it;
+    - ``var_explained_ok`` — the GLOBAL Σ‖proj‖²/Σ‖centered‖² clears
+      ``var_tenths``/10, computed with integer-free float arithmetic on two
+      det-rounded global sums; deterministic because the fit is (canonical
+      signs, fixed fold shapes). The oracle pins both booleans TRUE.
+
+    One fit (the shared dim²-bounded stats pass) + one map-side projection
+    pass + a 2-cell global aggregate — evidence cost is O(corpus) map-side."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from kda_flink_demo_spark.functions import det_round
+    from kda_flink_demo_spark.operators.llm.similarity import _as_double
+
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    fit = _fit_pca(base, k)
+    if fit is None:
+        return base.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("centered_norm2"),
+            F.lit(None).cast("boolean").alias("bessel_ok"),
+            F.lit(None).cast("boolean").alias("var_explained_ok"),
+        ).limit(0)
+    mu_b, comp_b = fit
+
+    @pandas_udf("struct<cn2: double, pn2: double>")
+    def _norms(vecs_s: pd.Series) -> pd.DataFrame:
         m = np.vstack(vecs_s.to_numpy()).astype(np.float64)
-        proj = det_round_np((m - mu_b) @ comp_b, round_digits)
-        return pd.Series(list(proj))
+        c = m - mu_b
+        cn2 = np.einsum("ij,ij->i", c, c)
+        p = c @ comp_b
+        pn2 = np.einsum("ij,ij->i", p, p)
+        return pd.DataFrame({"cn2": cn2, "pn2": pn2})
 
-    out = base.select(F.col(id_col), _project(F.col("_v")).alias("pca"))
-    return _flatten_pca(out, k, id_col) if scalar_cols else out
+    per = base.select(F.col(id_col), _norms(F.col("_v")).alias("_n")).select(
+        F.col(id_col),
+        F.col("_n.cn2").alias("_cn2"),
+        F.col("_n.pn2").alias("_pn2"),
+    )
+    tot = per.agg(
+        det_round(F.sum("_cn2"), round_digits).alias("_tc"),
+        det_round(F.sum("_pn2"), round_digits).alias("_tp"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        det_round(F.col("_cn2"), round_digits).alias("centered_norm2"),
+        (F.col("_pn2") <= F.col("_cn2") + F.lit(1e-9)).alias("bessel_ok"),
+        (F.col("_tp") * F.lit(10.0) >= F.col("_tc") * F.lit(float(var_tenths)))
+        .alias("var_explained_ok"),
+    )
 
 
 def _flatten_pca(df: DataFrame, k: int, id_col: str) -> DataFrame:

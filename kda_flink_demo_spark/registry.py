@@ -76,6 +76,8 @@ _DRIVER_PRIORITY: list[str] = [
     # round-7 additions: first driver exposure
     "quarantine_gate",
     "bpe_encode_stored",
+    "dedup_simhash_report",
+    "embedding_pca_check",
 ]
 
 _DRIVER_WINDOW = 50

@@ -96,8 +96,31 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3, 16-bit-quarter blocking), all
     JVM-side. Token hash is Spark's xxhash64 (not available in DuckDB) → no SQL
-    oracle; validated against ngram-Jaccard pairs in tests."""
+    oracle; validated against ngram-Jaccard pairs in tests, and externally
+    evidenced by the hash-checkable dedup_simhash_report companion."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_report",
+    "SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok FROM ("
+    + _NGRAM_ORACLE.format(threshold=0.8)
+    + ") t",
+)
+def q_dedup_simhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable companion to dedup_simhash (the recall-report template):
+    the exact Jaccard ≥ 0.8 pair-graph size (oracle-verified exactly) plus a
+    pinned boolean asserting SimHash candidates at hamming ≤ 6 recall ≥ 0.8 of
+    it — integer arithmetic on a deterministic candidate set, so the boolean
+    cannot flap (measured floors 0.93/0.92/0.88 across the three SFs).
+    Verification query, not the scale path — it deliberately pays the exact
+    pair graph, like its oracle."""
+    return dedup.simhash_recall_report(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        max_hamming=6,
+        recall_tenths=8,
+    )
 
 
 _TOPK_ORACLE = """
@@ -926,6 +949,36 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     external row-comparators can sort and count it."""
     return embeddings.pca_project(
         load_table(spark, sf_dir, "embeddings"), k=8, scalar_cols=True
+    )
+
+
+@register(
+    "embedding_pca_check",
+    """
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM n),
+    mu AS (SELECT pos, avg(x) AS m FROM d GROUP BY 1),
+    cn AS (
+        SELECT vec_id, sum((x - m) * (x - m)) AS cn2
+        FROM d JOIN mu USING (pos) GROUP BY 1
+    )
+    SELECT vec_id,
+           floor(cn2 * 1000000.0 + 0.5) / 1000000.0 AS centered_norm2,
+           TRUE AS bessel_ok,
+           TRUE AS var_explained_ok
+    FROM cn
+    """,
+)
+def q_embedding_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable companion to embedding_pca (eigh is not
+    SQL-expressible, but its defining properties are): per vector the
+    det-rounded ‖v−μ‖² the oracle computes exactly, a pinned Bessel boolean
+    (an orthogonal projection never grows a norm — trips on any
+    orthonormality bug), and a pinned global variance-explained ≥ 0.1
+    boolean (measured 0.20/0.20/0.16 across the three SFs for k=8). One
+    shared dim²-bounded fit + one map-side norms pass."""
+    return embeddings.pca_check(
+        load_table(spark, sf_dir, "embeddings"), k=8, var_tenths=1
     )
 
 

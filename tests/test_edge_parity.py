@@ -410,6 +410,7 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     "fuzzy_ingest_index_build",
     # round-7 additions (documents-only)
     "bpe_encode_stored",
+    "dedup_simhash_report",
 ]
 
 

@@ -331,3 +331,64 @@ def test_span_index_real_stream_matches_batch(spark, tmp_path):
     streamed = spark.read.parquet(sink_dir)
     batch_ref = span_dedup_apply(docs, span=span)
     assert _canon(streamed.select(*batch_ref.columns)) == _canon(batch_ref)
+
+
+# ---------------------------------------------------------------------------
+# Hash-checkable companions for the two remaining rows-only ops
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_recall_report_values(spark):
+    from kda_flink_demo_spark.operators.llm.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        simhash_recall_report,
+    )
+
+    docs = _docs(spark, n=300)
+    rows = simhash_recall_report(docs, threshold=0.8, max_hamming=6).collect()
+    assert len(rows) == 1
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    cand = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert rows[0].n_exact_pairs == len(exact)
+    expected_ok = len(exact & cand) * 10 >= 8 * len(exact)
+    assert rows[0].recall_ok == expected_ok
+
+
+def test_simhash_recall_report_vacuous_on_no_pairs(spark):
+    from kda_flink_demo_spark.operators.llm.dedup import simhash_recall_report
+
+    # two wholly distinct docs: empty exact pair graph → vacuous pass
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    row = simhash_recall_report(docs).collect()[0]
+    assert row.n_exact_pairs == 0 and row.recall_ok is True
+
+
+def test_pca_check_properties(spark):
+    import numpy as np
+
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_check
+
+    emb = _emb(spark)
+    rows = pca_check(emb, k=8, var_tenths=1).collect()
+    assert len(rows) == emb.count()
+    assert all(r.bessel_ok for r in rows)
+    assert all(r.var_explained_ok for r in rows)
+    # centered_norm2 agrees with a direct numpy computation
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    m = np.vstack([data[k] for k in sorted(data)])
+    mu = m.mean(axis=0)
+    ref = {k: float(((data[k] - mu) ** 2).sum()) for k in data}
+    for r in rows:
+        assert abs(r.centered_norm2 - ref[r.vec_id]) < 1e-5
+
+
+def test_pca_check_empty_input(spark):
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_check
+
+    out = pca_check(_emb(spark).limit(0), k=4)
+    assert out.columns == ["vec_id", "centered_norm2", "bessel_ok", "var_explained_ok"]
+    assert out.count() == 0
