@@ -392,3 +392,54 @@ def test_pca_check_empty_input(spark):
     out = pca_check(_emb(spark).limit(0), k=4)
     assert out.columns == ["vec_id", "centered_norm2", "bessel_ok", "var_explained_ok"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Partition-count invariance (the r05 boundary-sampling bug class): round-7
+# ops must produce identical results at any input partitioning
+# ---------------------------------------------------------------------------
+
+
+def test_round7_ops_partition_invariant(spark):
+    from kda_flink_demo_spark.io.sources import load_table
+    from kda_flink_demo_spark.operators.aggregates import approx_distinct_report
+    from kda_flink_demo_spark.operators.llm import similarity
+    from kda_flink_demo_spark.operators.llm.dedup import (
+        simhash_recall_report,
+        span_dedup_probe,
+        span_index_hashes,
+    )
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_check
+
+    docs = _docs(spark, n=150)
+    emb = _emb(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    idx = span_index_hashes(docs.filter(F.col("doc_id") % 2 == 0), span=5)
+
+    builders = {
+        "span_probe": lambda d: span_dedup_probe(
+            docs.filter(F.col("doc_id") % 2 == 1) if d is None else d, idx, span=5
+        ),
+        "simhash_report": lambda d: simhash_recall_report(
+            docs if d is None else d, threshold=0.8, max_hamming=6
+        ),
+        "pca_check": lambda d: pca_check(emb if d is None else d, k=4, var_tenths=1),
+        "ann_recall": lambda d: similarity.ann_recall_report(
+            emb if d is None else d, [0, 1, 2], k=5, method="lsh", nprobe=3
+        ),
+        "approx_distinct": lambda d: approx_distinct_report(
+            ev if d is None else d, "event_type", "user_id"
+        ),
+    }
+    sources = {
+        "span_probe": docs.filter(F.col("doc_id") % 2 == 1),
+        "simhash_report": docs,
+        "pca_check": emb,
+        "ann_recall": emb,
+        "approx_distinct": ev,
+    }
+    for name, build in builders.items():
+        base = _canon(build(None))
+        for parts in (1, 13):
+            got = _canon(build(sources[name].repartition(parts)))
+            assert got == base, f"{name} changed at repartition({parts})"
