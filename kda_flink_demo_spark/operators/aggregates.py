@@ -88,7 +88,10 @@ def approx_distinct_report(
         .distinct()
         .groupBy(group_key)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("exact_distinct"),
+            # count(value), not count(*): a NULL value survives .distinct() as
+            # its own (key, NULL) row, but SQL count(DISTINCT) and the HLL both
+            # ignore NULLs — counting it would overshoot the oracle by one
+            F.count(F.col(value)).cast("long").alias("exact_distinct"),
             F.approx_count_distinct(value, rsd).alias("_approx"),
         )
         .select(group_key, "exact_distinct", ok)

@@ -232,8 +232,10 @@ def pca_check(
       det-rounded global sums; deterministic because the fit is (canonical
       signs, fixed fold shapes). The oracle pins both booleans TRUE.
 
-    One fit (the shared dim²-bounded stats pass) + one map-side projection
-    pass + a 2-cell global aggregate — evidence cost is O(corpus) map-side."""
+    One fit (the shared dim²-bounded stats pass) + ONE map-side norms pass
+    (checkpointed as a 24-byte/row projection so the global-sum aggregate and
+    the per-row output don't re-scan the corpus) + a 2-cell global
+    aggregate."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -260,10 +262,18 @@ def pca_check(
         pn2 = np.einsum("ij,ij->i", p, p)
         return pd.DataFrame({"cn2": cn2, "pn2": pn2})
 
-    per = base.select(F.col(id_col), _norms(F.col("_v")).alias("_n")).select(
-        F.col(id_col),
-        F.col("_n.cn2").alias("_cn2"),
-        F.col("_n.pn2").alias("_pn2"),
+    per = (
+        base.select(F.col(id_col), _norms(F.col("_v")).alias("_n"))
+        .select(
+            F.col(id_col),
+            F.col("_n.cn2").alias("_cn2"),
+            F.col("_n.pn2").alias("_pn2"),
+        )
+        # checkpoint the 24-byte/row norm projection: `per` feeds BOTH the
+        # global-sum aggregate and the final select, and without a
+        # materialization point the corpus scan + Arrow norms pass would run
+        # twice (the simhash signature-table move)
+        .localCheckpoint()
     )
     tot = per.agg(
         det_round(F.sum("_cn2"), round_digits).alias("_tc"),
@@ -279,8 +289,12 @@ def pca_check(
 
 
 def _flatten_pca(df: DataFrame, k: int, id_col: str) -> DataFrame:
-    """``pca array<double>`` → scalar columns ``pc1..pck`` (already rounded)."""
+    """``pca array<double>`` → scalar columns ``pc1..pck`` (already rounded).
+    ``F.get`` (0-based), not ``element_at``: when ``k`` exceeds the embedding
+    dimension the fit yields only ``dim`` components, and under Spark 4's
+    default ANSI mode an out-of-bounds ``element_at`` would throw instead of
+    padding the extra columns with NULL."""
     return df.select(
         F.col(id_col),
-        *[F.element_at(F.col("pca"), i + 1).alias(f"pc{i + 1}") for i in range(k)],
+        *[F.get(F.col("pca"), i).alias(f"pc{i + 1}") for i in range(k)],
     )

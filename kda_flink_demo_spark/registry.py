@@ -84,9 +84,12 @@ _DRIVER_WINDOW = 50
 
 
 def _latest_driver_round() -> dict[str, int]:
-    """name -> latest round with a committed CORRECTNESS_r*.json row. Stable
-    within a round (the driver commits round N's file after running round N's
-    queries), advances between rounds — no wall-clock dependence."""
+    """name -> latest round with a committed CORRECTNESS_r*.json row that
+    actually PASSED (oracle rows: err null; rows-only rows: counted rows).
+    A failed/errored row must NOT advance a query's recency — it needs
+    re-verification soonest, not latest. Stable within a round (the driver
+    commits round N's file after running round N's queries), advances between
+    rounds — no wall-clock dependence."""
     import glob as _glob
     import json as _json
     import re as _re
@@ -100,11 +103,16 @@ def _latest_driver_round() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path) as fh:
-                names = _json.load(fh)
+                rows = _json.load(fh)
         except (OSError, ValueError):
             continue
-        for n in names:
-            latest[n] = max(latest.get(n, -1), rnd)
+        for n, row in rows.items():
+            err = row.get("err") if isinstance(row, dict) else "malformed"
+            passed = err is None or (
+                err == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if passed:
+                latest[n] = max(latest.get(n, -1), rnd)
     return latest
 
 

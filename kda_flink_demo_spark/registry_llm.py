@@ -1130,10 +1130,21 @@ def q_bpe_encode_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     path = _bpe_store_path(sf_dir, steps=4)
-    merges = bpe_merges_from_store(spark, path)
-    if merges is None:
-        train_bpe_to_store(docs, path, steps=4)
+    # The store contract is single-writer (store.py's promote raises on a
+    # concurrent rename). Two sessions racing the same cold store — bench and
+    # pytest on the same corpus, say — must degrade gracefully, not fail the
+    # query: on ANY store-path error, fall back to the session-local merge
+    # table (identical output — training is deterministic for this corpus).
+    try:
         merges = bpe_merges_from_store(spark, path)
+        if merges is None:
+            train_bpe_to_store(docs, path, steps=4)
+            merges = bpe_merges_from_store(spark, path)
+        # materialize through the store NOW: a concurrent writer deleting the
+        # store mid-promote must surface here (and fall back), not mid-encode
+        merges = merges.localCheckpoint()
+    except Exception:  # noqa: BLE001 — lost the store race; train in-session
+        merges = None
     return text.bpe_encode(docs, steps=4, merges=merges)
 
 

@@ -249,22 +249,29 @@ def _seg_dir(store_path: str, batch_id: int) -> str:
     return f"{store_path.rstrip('/')}/seg={int(batch_id)}"
 
 
-def read_span_index(spark: SparkSession, store_path: str) -> DataFrame | None:
+def read_span_index(
+    spark: SparkSession, store_path: str, exclude_batch: int | None = None
+) -> DataFrame | None:
     """Union of all COMMITTED index segments (column ``h``); None before the
     first fold. A half-written segment (no ``_SUCCESS``) is invisible until
-    its replay rewrites it — same visibility rule as the snapshot store."""
+    its replay rewrites it — same visibility rule as the snapshot store.
+    ``exclude_batch`` drops that batch's own segment: on a checkpoint replay a
+    doc must never be cleaned against spans it itself introduced."""
     from kda_flink_demo_spark.streaming.store import _fs
 
     store = store_path.rstrip("/")
     fs, hpath = _fs(spark, store)
     if not fs.exists(hpath(store)):
         return None
-    segs = [
-        st.getPath().getName()
-        for st in fs.listStatus(hpath(store))
-        if st.getPath().getName().startswith("seg=")
-        and is_complete(spark, f"{store}/{st.getPath().getName()}")
-    ]
+    segs = []
+    for st in fs.listStatus(hpath(store)):
+        name = st.getPath().getName()
+        if not name.startswith("seg="):
+            continue
+        if exclude_batch is not None and int(name.split("=", 1)[1]) == int(exclude_batch):
+            continue
+        if is_complete(spark, f"{store}/{name}"):
+            segs.append(name)
     if not segs:
         return None
     return spark.read.parquet(*[f"{store}/{s}" for s in segs]).select("h")
@@ -301,23 +308,7 @@ def update_span_index_store(
     )
 
     spark = batch_df.sparkSession
-    # exclude this batch's own (possibly replayed) segment from the probe:
-    # a doc must never be cleaned against spans it itself introduced
-    store = store_path.rstrip("/")
-    from kda_flink_demo_spark.streaming.store import _fs
-
-    fs, hpath = _fs(spark, store)
-    idx = None
-    if fs.exists(hpath(store)):
-        segs = [
-            st.getPath().getName()
-            for st in fs.listStatus(hpath(store))
-            if st.getPath().getName().startswith("seg=")
-            and int(st.getPath().getName().split("=", 1)[1]) != int(batch_id)
-            and is_complete(spark, f"{store}/{st.getPath().getName()}")
-        ]
-        if segs:
-            idx = spark.read.parquet(*[f"{store}/{s}" for s in segs]).select("h")
+    idx = read_span_index(spark, store_path, exclude_batch=batch_id)
     cleaned = span_dedup_probe(
         batch_df, idx, text_col=text_col, id_col=id_col, span=span
     )

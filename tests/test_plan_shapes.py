@@ -340,12 +340,41 @@ def test_span_probe_index_side_never_shuffles(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     idx = span_index_hashes(docs.filter(F.col("doc_id") % 2 == 0)).localCheckpoint()
-    plan = _plan(span_dedup_probe(docs.filter(F.col("doc_id") % 2 == 1), idx, span=5))
-    # the two index-facing joins are broadcast semi joins
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = _plan(span_dedup_probe(batch, idx, span=5))
+    # the two index-facing joins are broadcast semi joins (an index-side
+    # sort-merge join would shuffle the corpus-sized index every micro-batch)
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    # the only Exchanges allowed are on BATCH-side aggregates/windows (the
-    # within-batch min-id window + per-doc start list), never on the scan of
-    # the checkpointed index
-    for line in plan.splitlines():
-        if "Exchange" in line and "logical" not in line:
-            assert "Scan ExistingRDD" not in line, plan
+    assert "SortMergeJoin" not in plan, plan
+    # STRUCTURAL guard: the index scan's immediate consumer (the first
+    # operator above it at lower tree depth) must be the broadcast LEFT-SEMI
+    # join that filters the index to batch-matching hashes — i.e. the
+    # corpus-sized index is reduced map-side BEFORE any Exchange can touch
+    # it (the hits-distinct shuffle downstream carries only the already-
+    # filtered hit set, which is bounded by the batch's hash count)
+    def _depth(line: str) -> int:
+        for i, ch in enumerate(line):
+            if ch.isalpha():
+                return i
+        return len(line)
+
+    lines = plan.splitlines()
+    scan_i = next(
+        i for i, line in enumerate(lines) if "Scan ExistingRDD" in line
+    )
+    parent = next(
+        lines[j]
+        for j in range(scan_i - 1, -1, -1)
+        if _depth(lines[j]) < _depth(lines[scan_i])
+    )
+    assert "BroadcastHashJoin" in parent and "LeftSemi" in parent, (
+        f"index scan feeds {parent!r}, not a broadcast semi join:\n{plan}"
+    )
+    # differential shuffle budget vs the no-index probe: the index path may
+    # add only batch-bounded hash Exchanges (batch-hash distinct, hit-set
+    # distinct, flagged-position dedupe) — three, never a corpus-sized one
+    base_plan = _plan(span_dedup_probe(batch, None, span=5))
+    extra = plan.count("Exchange hashpartitioning") - base_plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert extra <= 3, f"index side added {extra} hash Exchanges:\n{plan}"

@@ -443,3 +443,52 @@ def test_round7_ops_partition_invariant(spark):
         for parts in (1, 13):
             got = _canon(build(sources[name].repartition(parts)))
             assert got == base, f"{name} changed at repartition({parts})"
+
+
+# ---------------------------------------------------------------------------
+# Post-review regression tests (round-7 code review)
+# ---------------------------------------------------------------------------
+
+
+def test_latest_driver_round_ignores_failed_rows():
+    """A failed/errored CORRECTNESS row must not advance a query's recency —
+    it needs re-verification soonest. Checked against the real committed
+    files: embedding_pca ERRORED in r06 (its only row ever) so it must have
+    NO recency; similarity_ivf_topk's r06 row was a completed rows-only check
+    so it counts."""
+    from kda_flink_demo_spark.registry import _latest_driver_round
+
+    latest = _latest_driver_round()
+    assert "embedding_pca" not in latest  # errored r06, absent before
+    assert latest.get("similarity_ivf_topk") == 6  # rows-only, counted rows
+    assert latest.get("tumbling_1m", 0) >= 6  # always-green pinned row
+
+
+def test_approx_distinct_report_ignores_null_values(spark):
+    from kda_flink_demo_spark.operators.aggregates import approx_distinct_report
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None), ("b", None)],
+        "k string, v int",
+    )
+    got = {r.k: (r.exact_distinct, r.approx_ok) for r in
+           approx_distinct_report(df, "k", "v").collect()}
+    # SQL count(DISTINCT) semantics: NULLs are not values
+    assert got["a"] == (2, True)
+    assert got["b"] == (0, True)  # all-NULL group: 0 distinct, vacuous pass
+
+
+def test_flatten_pca_pads_nulls_when_k_exceeds_dim(spark):
+    """k greater than the embedding dimension must yield NULL pc columns, not
+    an ANSI INVALID_ARRAY_INDEX crash."""
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_project
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(2 * i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project(df, k=5, scalar_cols=True).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.pc4 is None and r.pc5 is None  # dim=3 < k=5 → padded
+        assert r.pc1 is not None
