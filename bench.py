@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "asof_join_last_purchase",
     "asof_join_next_purchase",
     "range_join_recent_purchases",
+    "interval_join_views_purchases",
     "deterministic_sample",
     "session_windows_5m",
     "session_windows_dynamic_gap",
@@ -118,6 +119,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "text_tfidf_top_terms",
     "vocab_top_terms",
+    "inverted_index",
     "text_language_id",
     "text_quality",
     "text_token_stats",
@@ -161,6 +163,7 @@ BENCH_QUERIES = [
     "zorder_layout",
     "incremental_agg_merge",
     "sketch_incremental_pack",
+    "quantile_sketch_report",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",

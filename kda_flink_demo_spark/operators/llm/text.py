@@ -279,6 +279,84 @@ def vocab_top_terms_oracle_sql(k: int = 500, table: str = "documents") -> str:
     """
 
 
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings_cap: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """Search-infrastructure posting lists — the retrieval-side twin of
+    :func:`vocab_top_terms`: per term, its document frequency, total term
+    count, and the FIRST ``postings_cap`` doc ids (ascending) as a CSV
+    posting list. Terms below ``min_df`` are pruned (hapax legomena dominate
+    the vocabulary but serve no retrieval purpose).
+
+    Scale shape: explode → partial→final aggregate on (term, doc) → ONE
+    hash shuffle on term that both the row_number window and the final
+    aggregate ride (same partitioning, Catalyst reuses the exchange — plan
+    shows a single Exchange on term after the (term, doc) one). The
+    posting-list state is BOUNDED: the rank filter runs before collect_list,
+    so no aggregate buffer ever holds more than ``postings_cap`` ids, no
+    matter how many documents contain a stopword — the property that makes
+    this safe at 100 TB where df("the") is billions. doc_freq/term_count
+    still count every row (computed in the same aggregate, not the capped
+    list).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    td = terms.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term").orderBy("doc")
+    ranked = td.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("term_count"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("rn") <= postings_cap, F.col("doc"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def inverted_index_oracle_sql(
+    postings_cap: int = 20, min_df: int = 2, table: str = "documents"
+) -> str:
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+    ),
+    td AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM terms WHERE term <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM td
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS term_count,
+           string_agg(CASE WHEN rn <= {postings_cap}
+                           THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS postings
+    FROM ranked GROUP BY term HAVING count(*) >= {min_df}
+    """
+
+
 TFIDF_ORACLE_SQL = """
     WITH terms AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kda_flink_demo_spark.functions import det_round
+
 
 def sketch_state(
     df: DataFrame,
@@ -99,6 +101,91 @@ def kll_quantile_state(
     return df.groupBy(key_col).agg(
         F.kll_sketch_agg_double(value_col).alias("kll_state")
     )
+
+
+def quantile_sketch_report(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Hash-checkable quantile-sketch readout (the ``approx_distinct_report``
+    template applied to the quantile family): per key, the EXACT p50/p95/p99
+    (oracle-verifiable, interpolated — matches DuckDB ``quantile_cont``) plus
+    per-percentile booleans asserting the Greenwald–Khanna
+    ``percentile_approx`` estimate lands inside the exact quantile envelope
+    ``[Q(p − ε), Q(p + ε)]`` with ε = 2/accuracy — twice GK's worst-case rank
+    error of 1/accuracy, so the boolean is guaranteed by the algorithm's
+    published bound and cannot flap. GK summaries are deterministic (no
+    randomized compaction, unlike KLL — see ``kll_quantile_state``'s
+    exclusion), so this IS registry-safe.
+
+    The raw approximate values are deliberately NOT emitted: they are
+    engine-specific (no oracle can recompute them), which is exactly what
+    made ``approx_distinct_users`` rows-only for five rounds. Evidence
+    columns + pinned booleans keep the row hash-checkable.
+
+    The accuracy check verifies GK's ACTUAL published guarantee — a RANK
+    bound, not a value bound: the returned value's rank interval
+    [count(x < v), count(x ≤ v)] must overlap the target rank p·n within
+    2n/accuracy + 1 ranks (twice the worst-case ⌈n/accuracy⌉ plus one rank
+    of discrete slack, so the boolean cannot flap at any n — a value-
+    envelope formulation fails at small n where ±ε spans less than one
+    order statistic). The rank of the approx value is computed by a second
+    conditional-count pass joined on the broadcast per-key report.
+
+    Scale shape: the sketch itself is ONE partial→final aggregate on the
+    key; GK state is O(accuracy · log n) per key and merges associatively,
+    so at 100 TB the shuffle carries a bounded summary per (task, key) —
+    the same constant-state story as the HLL/Theta states above, for rank
+    statistics. The exact companions and the rank-verification rescan are
+    the evidence cost (at true 100 TB one ships only the sketch —
+    documented tradeoff, same as distinct_users_per_type vs
+    approx_distinct_users); the rescan joins against the BROADCAST key-row
+    report, no extra shuffle of the data side.
+    """
+    ps = {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    pcts = ", ".join(str(p) for p in ps.values())
+    base = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            det_round(F.expr(f"percentile({value_col}, {p})"), 6).alias(
+                f"{name}_exact"
+            )
+            for name, p in ps.items()
+        ],
+        F.expr(f"percentile_approx({value_col}, array({pcts}), {accuracy})").alias(
+            "_ap"
+        ),
+    )
+    v = F.col(value_col)
+    rank_aggs = []
+    for i, name in enumerate(ps):
+        ap = F.element_at("_ap", i + 1)
+        rank_aggs.append(
+            F.sum((v < ap).cast("long")).alias(f"_lt_{name}")
+        )
+        rank_aggs.append(
+            F.sum((v <= ap).cast("long")).alias(f"_le_{name}")
+        )
+    ranks = (
+        df.join(F.broadcast(base.select(key_col, "_ap")), key_col)
+        .groupBy(key_col)
+        .agg(*rank_aggs)
+    )
+    slack = 2.0 / accuracy
+    cols = [F.col(key_col), F.col("n")]
+    for name, p in ps.items():
+        target = F.lit(p) * F.col("n")
+        tol = F.lit(slack) * F.col("n") + F.lit(1.0)
+        cols.append(F.col(f"{name}_exact"))
+        cols.append(
+            (
+                (F.col(f"_lt_{name}") - tol <= target)
+                & (target <= F.col(f"_le_{name}") + tol)
+            ).alias(f"{name}_ok")
+        )
+    return base.join(ranks, key_col).select(*cols)
 
 
 def update_sketch_store(

@@ -78,6 +78,9 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_encode_stored",
     "dedup_simhash_report",
     "embedding_pca_check",
+    "interval_join_views_purchases",
+    "inverted_index",
+    "quantile_sketch_report",
 ]
 
 _DRIVER_WINDOW = 50

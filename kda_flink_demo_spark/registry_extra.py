@@ -893,6 +893,36 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_views_purchases",
+    """
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1800 SECONDS
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/jobs.py:job_interval_join — Flink's KeyedStream.intervalJoin
+    shape): each view joins the same user's purchases within [view_ts,
+    view_ts + 30 min]. The SAME builder serves both modes (withWatermark is a
+    no-op on batch), so this oracle row externally checks the exact join the
+    streaming test replays; the range predicate rides the user_id equi-join,
+    and in streaming the watermark-bounded state holds only rows inside the
+    join bound."""
+    from kda_flink_demo_spark.streaming.jobs import job_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return job_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        bound_seconds=1800,
+    )
+
+
+@register(
     "deterministic_sample",
     """
     SELECT doc_id, source
@@ -1801,3 +1831,30 @@ def q_sketch_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+@register(
+    "quantile_sketch_report",
+    """
+    SELECT event_type, count(*) AS n,
+           floor(quantile_cont(value, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS p50_exact,
+           TRUE AS p50_ok,
+           floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95_exact,
+           TRUE AS p95_ok,
+           floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99_exact,
+           TRUE AS p99_ok
+    FROM events GROUP BY 1
+    """,
+)
+def q_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch readout made hash-checkable (the approx_distinct /
+    sketch_incremental template applied to rank statistics): exact
+    interpolated p50/p95/p99 per event type (oracle-verified against DuckDB
+    quantile_cont) plus booleans pinning Greenwald–Khanna percentile_approx
+    inside the exact quantile envelope [Q(p−ε), Q(p+ε)], ε = 2/accuracy —
+    guaranteed by GK's published rank-error bound, so the oracle pins TRUE.
+    GK is deterministic (unlike KLL, which stays excluded); sketch state is
+    O(accuracy·log n) per key, merged associatively in one partial→final
+    aggregate."""
+    from kda_flink_demo_spark.operators.sketches import quantile_sketch_report
+
+    return quantile_sketch_report(load_table(spark, sf_dir, "events"))

@@ -671,6 +671,19 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_top_terms(load_table(spark, sf_dir, "documents"), k=500)
 
 
+@register("inverted_index", text.inverted_index_oracle_sql(postings_cap=20, min_df=2))
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-side posting lists (search infra for a training-data
+    pipeline): per term with df ≥ 2, doc frequency + total count + the first
+    20 doc ids CSV. The rank filter precedes collect_list, so posting-list
+    aggregate state is bounded by the cap regardless of stopword df — the
+    100 TB-safety property; the window and final aggregate share one term
+    exchange."""
+    return text.inverted_index(
+        load_table(spark, sf_dir, "documents"), postings_cap=20, min_df=2
+    )
+
+
 _UPSAMPLE_WEIGHTS = {"src0": 250, "src1": 130, "src2": 60, "src3": 0}
 _MIX_PARTS = {"en": 4, "zh": 3, "es": 2}
 

@@ -72,6 +72,77 @@ def job_sliding(events: DataFrame, preceding_seconds: int = 30 * 60) -> DataFram
     return sliding_range_count_stream(events, preceding_seconds=preceding_seconds)
 
 
+def job_session(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Streaming session windows (W6 extension — the reference has none; the
+    batch twin is ``operators/windows.py:session_counts``): Spark's native
+    ``session_window`` aggregate under the job watermark. Append mode emits a
+    session once the watermark passes its close (last event + gap); sessions
+    still open at end of a bounded replay stay in state — the batch-as-oracle
+    test compares closed sessions exactly. State per key is one open session
+    interval, merged on overlap — O(open sessions), watermark-pruned."""
+    from kda_flink_demo_spark.operators.windows import session_counts
+
+    return session_counts(events.withWatermark("rowtime", WATERMARK), gap=gap)
+
+
+def job_dedup(events: DataFrame, keys=("event_id",), delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch exact-dedup
+    family (``operators/llm/dedup.exact_dedup_*`` / ``ingest_dedup``), closing
+    that family's last batch/streaming asymmetry: first-seen wins, and any
+    duplicate arriving within ``delay`` of the original's event time is
+    dropped. Built on ``dropDuplicatesWithinWatermark``, whose state holds
+    one entry per kept key and is EVICTED once the watermark passes the
+    key's event time + ``delay`` — bounded state, the property a plain
+    ``dropDuplicates`` lacks on an unbounded stream (its key set grows
+    forever). Rows are emitted immediately on first sight (no aggregation,
+    so append mode has no watermark-close latency); the delay knob is the
+    dedup horizon: at 100 TB/day choose it as the max expected redelivery
+    lag (e.g. the at-least-once source's retry window), NOT the stream's
+    lifetime. A bounded replay whose duplicates all arrive inside the
+    horizon yields EXACTLY the batch ``dropDuplicates`` result — the
+    equality the streaming test pins."""
+    return events.withWatermark("rowtime", delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def job_interval_join(
+    views: DataFrame, purchases: DataFrame, bound_seconds: int = 1800
+) -> DataFrame:
+    """Stream-stream event-time INTERVAL JOIN (beyond the reference's surface;
+    the Flink equivalent is ``KeyedStream.intervalJoin``): each view event
+    joins the same user's purchases with ``view_ts ≤ purchase_ts ≤ view_ts +
+    bound``. This is the only scale-safe stream-stream join shape: the
+    time-range predicate plus both-side watermarks lets the state store evict
+    every row older than the bound — state is O(events within the bound) per
+    key, never unbounded. Watermark delay equals the join bound (the standard
+    choice: tolerated lateness = how long a row can still find a partner), so
+    no in-bound match is ever evicted early and a bounded replay's inner-join
+    output equals the batch join EXACTLY — the equality the streaming test
+    pins."""
+    from pyspark.sql import functions as F
+
+    delay = f"{int(bound_seconds)} seconds"
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", delay)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", delay)
+    cond = (
+        (v["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {int(bound_seconds)} SECONDS"))
+    )
+    return v.join(p, cond, "inner").select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts"
+    )
+
+
 JOB_REGISTRY = {
     "StreamJobSqlTumbling": job_tumbling,
     "StreamJobTumbling": job_tumbling,
@@ -79,6 +150,9 @@ JOB_REGISTRY = {
     "StreamJobSqlHopping": job_hopping,
     "StreamJobSqlSliding": job_sliding,
     "StreamJobSingle": job_sliding,
+    # capability extensions past the reference's six jobs
+    "StreamJobSession": job_session,
+    "StreamJobDedup": job_dedup,
 }
 
 

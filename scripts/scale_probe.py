@@ -213,6 +213,7 @@ def main() -> None:
     bench("mix_interleave", _sampling.mix_interleave(docs, {"en": 4, "zh": 3, "es": 2}, source_col="lang"))
     bench("quality_top_fraction", _sampling.quality_top_fraction(docs, fraction=(1, 4)))
     bench("vocab_top_terms", _text.vocab_top_terms(docs, k=500))
+    bench("inverted_index", _text.inverted_index(docs))
     from kda_flink_demo_spark.operators.event_dedup import interval_dedup as _idedup
 
     bench("events_interval_dedup", _idedup(ev_raw, interval_sec=86400))
@@ -276,6 +277,9 @@ def main() -> None:
             )
         ),
     )
+    from kda_flink_demo_spark.operators.sketches import quantile_sketch_report
+
+    bench("quantile_sketch_report", quantile_sketch_report(ev_raw))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

@@ -232,6 +232,7 @@ def test_llm_ops_survive_empty_input(spark, tmp_path_factory):
     assert dedup.span_decontaminate(docs, docs).count() == 0
     assert text.bpe_merge_train(docs, steps=2).count() == 0
     assert text.bpe_encode(docs, steps=2).count() == 0
+    assert text.inverted_index(docs).count() == 0
 
 
 def test_multimodal_all_match_oracle_with_empty_and_short_docs(edge_docs):
@@ -411,6 +412,7 @@ _DOCS_ONLY_ORACLE_QUERIES = [
     # round-7 additions (documents-only)
     "bpe_encode_stored",
     "dedup_simhash_report",
+    "inverted_index",
 ]
 
 

