@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ivf_topk",
+    "pq_index_build",
+    "similarity_pq_adc",
     "dedup_embedding_cosine",
     "embedding_kmeans",
     "semantic_dedup",
@@ -128,6 +130,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "url_domain_stats",
     "embedding_quantize",
+    "embedding_pq",
     "embedding_pca",
     "embedding_pca_check",
     "contamination_check",
@@ -135,6 +138,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "corpus_shuffle_order",
     "dedup_apply_fuzzy",
+    "leakage_safe_split",
     "dedup_span_stats",
     "span_dedup_apply",
     "span_decontaminate",
@@ -164,6 +168,8 @@ BENCH_QUERIES = [
     "incremental_agg_merge",
     "sketch_incremental_pack",
     "quantile_sketch_report",
+    "cms_heavy_hitters",
+    "corpus_drift_report",
     "shard_assignment",
     "dedup_keep_best",
     "dataset_split",
@@ -180,8 +186,9 @@ BENCH_QUERIES = [
 # (r06 VERDICT directive 5). bpe_encode_stored is exempt: it cold-builds its
 # ON-DISK store transparently and re-loads on the second run.
 _BUILD_BEFORE = {
-    "dedup_minhash_lsh": ("dedup_clusters", "dedup_apply_fuzzy"),
+    "dedup_minhash_lsh": ("dedup_clusters", "dedup_apply_fuzzy", "leakage_safe_split"),
     "fuzzy_ingest_index_build": ("ingest_dedup_fuzzy",),
+    "pq_index_build": ("similarity_pq_adc",),
     "bpe_merge_steps": ("bpe_encode",),
 }
 for _b, _consumers in _BUILD_BEFORE.items():

@@ -138,3 +138,78 @@ def apply_dedup(
     """
     drop = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
     return documents.join(drop, id_col, "left_anti").select(id_col, *keep_cols)
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "leak",
+) -> DataFrame:
+    """Group-aware train/val/test split — `sampling.dataset_split` hardened
+    against near-duplicate LEAKAGE: the md5 threshold hashes each document's
+    near-dup COMPONENT canonical id (itself for singletons), so an entire
+    near-dup cluster lands in one split and no pair of the dedup graph can
+    straddle the train/eval boundary. A doc-id-hashed split (dataset_split)
+    leaks: two near-identical documents hash independently and ~2·p·(1−p) of
+    dup pairs cross splits, contaminating eval — the canonical-id hash makes
+    that probability 0 BY CONSTRUCTION (asserted in tests over the fixture's
+    real cluster graph).
+
+    Scale shape: `clusters` holds near-dup members only (≪ corpus), so the
+    left join is broadcast-able; the hash + CASE are map-side. One corpus
+    scan, no shuffle of the corpus — the same stable-at-any-parallelism
+    property as dataset_split, with the leakage guarantee on top.
+    """
+    from kda_flink_demo_spark.operators.llm.sampling import _HASH_SPACE
+
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError("weights and names must align, with >= 2 buckets")
+    total = sum(weights)
+    bounds = []
+    acc = 0
+    for wgt in weights[:-1]:
+        acc += wgt
+        bounds.append(_HASH_SPACE * acc // total)
+    canon = documents.select(id_col).join(
+        F.broadcast(clusters.select(id_col, "canonical_id")), id_col, "left"
+    )
+    key = F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("canonical_id")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    expr = F.lit(names[-1])
+    for b, name in zip(reversed(bounds), reversed(names[:-1])):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return canon.select(F.col(id_col), key, expr.alias("split"))
+
+
+def leakage_safe_split_case_sql(
+    key_expr: str,
+    weights: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "leak",
+) -> str:
+    """The DuckDB CASE expression matching :func:`leakage_safe_split`'s
+    thresholds on an arbitrary canonical-id SQL expression."""
+    from kda_flink_demo_spark.operators.llm.sampling import _HASH_SPACE
+
+    total = sum(weights)
+    bounds = []
+    acc = 0
+    for wgt in weights[:-1]:
+        acc += wgt
+        bounds.append(_HASH_SPACE * acc // total)
+    u = (
+        f"CAST(concat('0x', substring(md5(concat('{seed}:', "
+        f"CAST({key_expr} AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+    return (
+        "CASE "
+        + " ".join(f"WHEN {u} < {b} THEN '{n}'" for b, n in zip(bounds, names[:-1]))
+        + f" ELSE '{names[-1]}' END"
+    )

@@ -298,3 +298,213 @@ def _flatten_pca(df: DataFrame, k: int, id_col: str) -> DataFrame:
         F.col(id_col),
         *[F.get(F.col("pca"), i).alias(f"pc{i + 1}") for i in range(k)],
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    with_codebook: bool = False,
+) -> DataFrame:
+    """Product quantization (codebook train + encode) — the ANN memory-scale
+    path between int8 scalar quantization (`quantize_embeddings`) and the IVF
+    index (`similarity.ivf_ann_topk`): each vector is cut into ``m``
+    ``subdim``-dim subvectors, a ``k``-centroid Lloyd codebook is trained PER
+    SUBSPACE, and every vector compresses to ``m`` byte-sized codes
+    (64 doubles → 8 bytes here, 64× memory reduction for in-RAM candidate
+    scoring). Output: one row per (vector, subspace) with the assigned
+    ``code`` and that subspace's exact squared reconstruction error
+    ``dist2`` (det-rounded).
+
+    The per-subspace k-means reuses `kmeans.kmeans_assign`'s deterministic
+    recipe with ``sub`` carried as a key column, so ALL subspaces train in
+    the same plan — no per-subspace driver loop:
+
+    - seeds: the k globally-smallest ``md5(id)`` vectors (TakeOrdered), their
+      slices seeding every subspace's codebook identically;
+    - assignment: the m codebooks fold into m array-of-structs rows broadcast
+      and joined on ``sub`` — a purely map-side argmin, zero corpus shuffle;
+    - update: posexplode → grouped avg on (sub, cluster, pos), det-rounded so
+      fold-order noise can't leak into the next round's distances.
+
+    Scale shape: per iteration the sliced corpus scans once map-side plus one
+    m·k·subdim-sized aggregate; inter-round state is the m·k×subdim codebook
+    only. Oracle: the same rounds unrolled as DuckDB CTEs with ``sub`` as a
+    grouping column (`pq_oracle_sql`).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from kda_flink_demo_spark.functions import spread_for_compute
+    from kda_flink_demo_spark.operators.llm.similarity import _as_double, dot
+
+    # the per-row argmin is a k-struct fold over subdim-length dot products —
+    # CPU-heavy enough that a single-file input (1 scan partition) pins every
+    # Lloyd round to one core; spread first (the dedup.py shingle rule)
+    df = spread_for_compute(df)
+    base = (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            _as_double(F.col(vec_col)).alias("_v"),
+        )
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("_v"),
+        )
+        .select(
+            id_col,
+            "sub",
+            F.slice(F.col("_v"), F.col("sub") * subdim + 1, F.lit(subdim)).alias("_sv"),
+        )
+        .withColumn("_svn2", dot(F.col("_sv"), F.col("_sv")))
+    )
+
+    w0 = Window.orderBy("_h", id_col)
+    seeds = (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(k)
+        .withColumn("cluster", (F.row_number().over(w0) - 1).cast("long"))
+        .select(id_col, "cluster")
+    )
+    cent = base.join(broadcast(seeds), id_col).select(
+        "sub", "cluster", F.col("_sv").alias("_c")
+    )
+
+    asg = None
+    for i in range(iters):
+        cset = (
+            cent.withColumn("_cn2", dot(F.col("_c"), F.col("_c")))
+            .groupBy("sub")
+            .agg(F.collect_list(F.struct("cluster", "_c", "_cn2")).alias("_cs"))
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda s: F.struct(
+                    det_round(
+                        F.col("_svn2") + s["_cn2"] - F.lit(2.0) * dot(F.col("_sv"), s["_c"]),
+                        round_digits,
+                    ).alias("_d2"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        asg = (
+            base.join(broadcast(cset), "sub")
+            .withColumn("_m", best)
+            .select(
+                id_col,
+                "sub",
+                F.col("_m.cluster").alias("code"),
+                F.col("_m._d2").alias("dist2"),
+                "_sv",
+                "_svn2",
+            )
+        )
+        if i < iters - 1:
+            cent = (
+                asg.select("sub", F.col("code").alias("cluster"), F.posexplode("_sv").alias("pos", "x"))
+                .groupBy("sub", "cluster", "pos")
+                .agg(det_round(F.avg("x"), round_digits).alias("mn"))
+                .groupBy("sub", "cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_pm"))
+                .select("sub", "cluster", F.transform("_pm", lambda s: s["mn"]).alias("_c"))
+            )
+    codes = asg.select(id_col, F.col("sub").cast("long").alias("sub"), "code", "dist2")
+    if with_codebook:
+        # the codebook the FINAL assignment used (cluster vectors per subspace)
+        return codes, cent.select(
+            F.col("sub").cast("long").alias("sub"), "cluster", F.col("_c").alias("cvec")
+        )
+    return codes
+
+
+def pq_oracle_sql(
+    m: int = 8,
+    subdim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    digits: int = 6,
+    table: str = "embeddings",
+    normalized: bool = False,
+) -> str:
+    """DuckDB twin of :func:`pq_encode`: iterations unrolled, ``sub`` carried
+    as a grouping column — same seeding, same rounded distances, same
+    smallest-cluster tie-break. ``normalized=True`` trains on L2-normalized
+    vectors (the `pq_adc_topk` / `pq_index_build` variant; division by the
+    sequential-fold norm is the identical IEEE op in both engines)."""
+    d2 = det_round_sql("b.svn2 + c.cn2 - 2 * list_dot_product(b.sv, c.c)", digits)
+    mn = det_round_sql("avg(x)", digits)
+    vexpr = "embedding::DOUBLE[]"
+    if normalized:
+        vexpr = (
+            "CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0 "
+            "THEN list_transform(embedding::DOUBLE[], "
+            "x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) "
+            "ELSE embedding::DOUBLE[] END"
+        )
+    parts = [
+        f"""
+    WITH base AS (
+        SELECT vec_id, t.sub,
+               v[t.sub * {subdim} + 1 : t.sub * {subdim} + {subdim}] AS sv,
+               list_dot_product(v[t.sub * {subdim} + 1 : t.sub * {subdim} + {subdim}],
+                                v[t.sub * {subdim} + 1 : t.sub * {subdim} + {subdim}]) AS svn2
+        FROM (SELECT vec_id, {vexpr} AS v FROM {table}),
+             (SELECT unnest(range({m})) AS sub) t
+    ),
+    seeds AS (
+        SELECT vec_id,
+               (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1) AS cluster
+        FROM {table}
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {k}
+    ),
+    c0 AS (
+        SELECT b.sub, s.cluster, b.sv AS c, b.svn2 AS cn2
+        FROM base b JOIN seeds s USING (vec_id)
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i} AS (
+        SELECT vec_id, sub, sv, svn2, cluster, d2 FROM (
+            SELECT b.vec_id, b.sub, b.sv, b.svn2, c.cluster, {d2} AS d2
+            FROM base b JOIN c{i - 1} c ON b.sub = c.sub
+        )
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) = 1
+    )"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+    c{i} AS (
+        SELECT sub, cluster, list(mn ORDER BY pos) AS c,
+               list_dot_product(list(mn ORDER BY pos), list(mn ORDER BY pos)) AS cn2
+        FROM (
+            SELECT sub, cluster, pos, {mn} AS mn
+            FROM (
+                SELECT sub, cluster AS cluster, unnest(range(1, len(sv) + 1)) AS pos,
+                       unnest(sv) AS x
+                FROM a{i}
+            )
+            GROUP BY sub, cluster, pos
+        )
+        GROUP BY sub, cluster
+    )"""
+            )
+    ctes = "".join(parts)
+    return f"""{ctes}
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub, cluster AS code, d2 AS dist2
+    FROM a{iters}"""

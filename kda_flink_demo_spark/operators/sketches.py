@@ -188,6 +188,234 @@ def quantile_sketch_report(
     return base.join(ranks, key_col).select(*cols)
 
 
+def _cms_bucket(item: F.Column, d: int, width: int) -> F.Column:
+    """Row d's bucket for ``item``: the first 15 hex chars of
+    ``md5(d || ':' || item)`` as a 60-bit integer, mod ``width`` — the same
+    cross-engine md5-uniform idiom as `llm/sampling.py` (DuckDB recomputes it
+    bit-identically, unlike xxhash64/murmur which only Spark has)."""
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{d}:"), item)), 1, 15), 16, 10
+    ).cast("long")
+    return (u % width).alias("bucket")
+
+
+def cms_state(
+    df: DataFrame,
+    item_col: str = "term",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch state over an item stream: ``depth × width`` counter
+    cells ``(d, bucket, cnt)`` — the mergeable FREQUENCY twin of the HLL/Theta
+    distinct states above. Cells are SUMS, so the merge is commutative and
+    associative addition: slice states fold in any order to bit-identical
+    counters (unlike Misra–Gries summaries, whose merge is order-sensitive —
+    the reason CMS is the registry-safe choice here).
+
+    Scale shape: ONE partial→final aggregate on the item key collapses the
+    stream to its vocabulary, then the ``depth``-way explode runs over
+    distinct items only (vocab-bounded, not stream-bounded) into a second
+    aggregate whose key space is the constant ``depth × width``. At 100 TB
+    the shuffled state per task is ≤ depth·width longs — a few KB —
+    regardless of corpus size."""
+    counts = df.groupBy(F.col(item_col).alias("_item")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        counts.select(
+            "_cnt",
+            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+            F.array(
+                *[_cms_bucket(F.col("_item"), d, width) for d in range(depth)]
+            ).alias("_bs"),
+        )
+        .withColumn("bucket", F.element_at("_bs", F.col("d") + 1))
+        .groupBy("d", "bucket")
+        .agg(F.sum("_cnt").alias("cnt"))
+    )
+
+
+def merge_cms_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of slice CMS states into one: cell-wise SUM. Addition
+    commutes, so any merge order (and any replay of the SAME slice exactly
+    once) yields bit-identical counters to the one-pass sketch — pinned by
+    tests/test_round7_ops.py."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_heavy_hitters_report(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 25,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Hash-checkable heavy-hitters readout (the ``quantile_sketch_report``
+    template applied to the frequency family), mining the corpus's most
+    frequent word TRIGRAMS — the boilerplate-phrase detection pass of a
+    training-data pipeline (hot shingles are exactly what span-dedup later
+    removes). The fixture corpus has ~16k distinct trigrams vs only 31
+    distinct words, so the phrase stream is the one where a 512-bucket
+    sketch genuinely collides and the report shows real overcounts.
+
+    Per top-``k`` phrase by EXACT count: the count-min estimate, the integer
+    overcount ``err = cms_est − exact_cnt`` (CMS never undercounts — it is
+    the min over rows of non-negative collision sums), and a boolean pinning
+    the estimate inside the classic εN guarantee with ε = e/width. Because
+    the bucket hash is the cross-engine md5 idiom, the ESTIMATES themselves
+    are oracle-recomputable integers — the whole row hash-checks, not just
+    pinned booleans (the rare sketch that is directly SQL-reproducible,
+    unlike ``approx_count_distinct``).
+
+    Scale shape: the phrase aggregate is the one corpus-sized shuffle
+    (phrase-keyed, map-side combined); the sketch build rides the SAME
+    counts table (vocab-bounded explode → depth·width cells); probes are the
+    TakeOrdered top-k joined against the BROADCAST cell table (≤ depth·width
+    rows), so the report adds zero corpus-sized work beyond the counts pass
+    the exact companions need anyway. At true 100 TB one keeps only the
+    constant-size cell table per slice (`cms_state` / `merge_cms_states`)
+    and probes candidates against the merged sketch — the exact companions
+    here are the evidence cost, same tradeoff as quantile_sketch_report.
+    The trigram explode is CPU-heavy per row (the split re-evaluates per
+    gram under the higher-order transform), so the input spreads across
+    cores first — the dedup.py shingle-explode rule (4.6 s → 1.2 s at
+    sf0.1 on the single-file fixture)."""
+    from kda_flink_demo_spark.functions import spread_for_compute
+
+    df = spread_for_compute(df)
+    toks = F.split(F.col(text_col), " ")
+    n = 3
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = df.select(F.explode(grams).alias("term")).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    counts = counts.localCheckpoint()  # counts feeds N, cells, AND probes
+    n_total = counts.agg(F.sum("exact_cnt").alias("_n"))
+    cells = (
+        counts.select(
+            "exact_cnt",
+            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+            *[
+                _cms_bucket(F.col("term"), d, width).alias(f"_b{d}")
+                for d in range(depth)
+            ],
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(*[F.col(f"_b{d}") for d in range(depth)]), F.col("d") + 1
+            ),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    probes = (
+        counts.orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("exact_cnt").desc(), "term"))
+            .cast("long"),
+        )
+    )
+    probed = probes.select(
+        "term",
+        "rank",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+        *[
+            _cms_bucket(F.col("term"), d, width).alias(f"_b{d}")
+            for d in range(depth)
+        ],
+    ).withColumn(
+        "bucket",
+        F.element_at(
+            F.array(*[F.col(f"_b{d}") for d in range(depth)]), F.col("d") + 1
+        ),
+    )
+    est = (
+        probed.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("term", "rank", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    # ε = e/width; integerized as err · width ≤ 3 · N (3 > e, so the boolean
+    # is implied by the published bound whenever the bound holds — and being
+    # an observed integer fact, the oracle recomputes it exactly either way)
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            "term",
+            "rank",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("err"),
+            ((F.col("cms_est") - F.col("exact_cnt")) * width <= 3 * F.col("_n")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def _cms_bucket_sql(term_expr: str, d_expr: str, width: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat(CAST({d_expr} AS VARCHAR), "
+        f"':', {term_expr})), 1, 15)) AS BIGINT) % {width}"
+    )
+
+
+def cms_heavy_hitters_oracle_sql(
+    k: int = 25, depth: int = 4, width: int = 512, table: str = "documents"
+) -> str:
+    cell_bucket = _cms_bucket_sql("term", "d", width)
+    probe_bucket = _cms_bucket_sql("p.term", "dd.d", width)
+    return f"""
+    WITH terms AS (
+        SELECT unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+        FROM (SELECT string_split(text, ' ') AS w FROM {table})
+    ),
+    counts AS (
+        SELECT term, count(*) AS exact_cnt FROM terms WHERE term <> '' GROUP BY 1
+    ),
+    n_total AS (SELECT sum(exact_cnt) AS n FROM counts),
+    cells AS (
+        SELECT d, {cell_bucket} AS bucket, sum(exact_cnt) AS cnt
+        FROM counts CROSS JOIN (SELECT unnest(range({depth})) AS d)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT term, CAST(row_number() OVER (ORDER BY exact_cnt DESC, term) AS BIGINT) AS rank,
+               exact_cnt
+        FROM counts ORDER BY exact_cnt DESC, term LIMIT {k}
+    ),
+    est AS (
+        SELECT p.term, p.rank, p.exact_cnt, min(c.cnt) AS cms_est
+        FROM probes p CROSS JOIN (SELECT unnest(range({depth})) AS d) dd
+        JOIN cells c ON c.d = dd.d AND c.bucket = ({probe_bucket})
+        GROUP BY 1, 2, 3
+    )
+    SELECT term, rank, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS err,
+           (cms_est - exact_cnt) * {width} <= 3 * (SELECT n FROM n_total) AS within_bound
+    FROM est ORDER BY rank
+    """
+
+
 def update_sketch_store(
     batch_df: DataFrame,
     store_path: str,

@@ -132,3 +132,87 @@ def quarantine_split(
     good = tagged.filter(F.size("violations") == 0).drop("violations")
     bad = tagged.filter(F.size("violations") > 0)
     return good, bad
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    dims: dict[str, Column],
+    psi_micro_threshold: int = 200_000,
+) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots — the
+    data-monitoring gate run before a refreshed corpus is allowed into
+    training (the PSI / population-stability-index shape used in ML
+    monitoring). ``dims`` maps a dimension name to a bucket expression
+    (e.g. language, power-of-two length bucket); per (dim, bucket) the
+    report carries both snapshots' counts, Laplace-smoothed proportions,
+    the PSI term, the dimension's total PSI, and a ``drifted`` verdict.
+
+    Determinism contract: proportions are ratios of INTEGER counts (the
+    identical doubles in any engine), per-bucket PSI terms are floored to
+    integer MICRO-units, and the per-dimension total is an integer SUM of
+    those micro-terms — summation order can never flip a bit, so the whole
+    report hash-checks cross-engine (the one libm call, ``ln``, feeds a
+    floor at 1e-6 granularity — the same accepted boundary as
+    lm_bigram_score). Laplace add-one smoothing keeps vanished/new buckets
+    finite without an epsilon clamp.
+
+    Scale shape: each snapshot is scanned ONCE — every dimension's bucket
+    row comes out of a single explode(array(struct...)) projection, so
+    adding a dimension adds zero passes; the aggregate keys on
+    (dim, bucket) with map-side combine (output rows = bucket count, a few
+    dozen); window totals run over that tiny aggregate, never the corpus.
+    """
+    def rows(df: DataFrame, tag: int) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("dim"),
+                    expr.cast("string").alias("bucket"),
+                )
+                for name, expr in dims.items()
+            ]
+        )
+        return df.select(F.explode(pairs).alias("p")).select(
+            F.col("p.dim").alias("dim"),
+            F.col("p.bucket").alias("bucket"),
+            F.lit(tag).alias("_t"),
+        )
+
+    from pyspark.sql import Window
+
+    from kda_flink_demo_spark.functions import det_round
+
+    counted = (
+        rows(old, 0)
+        .unionByName(rows(new, 1))
+        .groupBy("dim", "bucket")
+        .agg(
+            F.sum(F.when(F.col("_t") == 0, 1).otherwise(0)).alias("old_cnt"),
+            F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)).alias("new_cnt"),
+        )
+    )
+    w = Window.partitionBy("dim")
+    totals = (
+        counted.withColumn("_old_total", F.sum("old_cnt").over(w))
+        .withColumn("_new_total", F.sum("new_cnt").over(w))
+        .withColumn("_nb", F.count(F.lit(1)).over(w))
+    )
+    old_frac = (F.col("old_cnt") + 1) / (F.col("_old_total") + F.col("_nb"))
+    new_frac = (F.col("new_cnt") + 1) / (F.col("_new_total") + F.col("_nb"))
+    psi_micro = F.floor(
+        (new_frac - old_frac) * F.log(new_frac / old_frac) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per_bucket = totals.select(
+        "dim",
+        "bucket",
+        F.col("old_cnt").cast("long").alias("old_cnt"),
+        F.col("new_cnt").cast("long").alias("new_cnt"),
+        det_round(old_frac, 6).alias("old_frac"),
+        det_round(new_frac, 6).alias("new_frac"),
+        psi_micro.alias("psi_micro"),
+    )
+    return per_bucket.withColumn(
+        "dim_psi_micro", F.sum("psi_micro").over(Window.partitionBy("dim"))
+    ).withColumn("drifted", F.col("dim_psi_micro") >= psi_micro_threshold)

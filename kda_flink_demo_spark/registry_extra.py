@@ -1858,3 +1858,97 @@ def q_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kda_flink_demo_spark.operators.sketches import quantile_sketch_report
 
     return quantile_sketch_report(load_table(spark, sf_dir, "events"))
+
+
+def _cms_oracle() -> str:
+    from kda_flink_demo_spark.operators.sketches import cms_heavy_hitters_oracle_sql
+
+    return cms_heavy_hitters_oracle_sql(k=25, depth=4, width=512)
+
+
+@register("cms_heavy_hitters", _cms_oracle())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over the document corpus — the
+    mergeable FREQUENCY sketch next to the HLL/Theta distinct states
+    (sketch_incremental_pack) and the GK rank states (quantile_sketch_report).
+    Because the bucket hash is the cross-engine md5 idiom, the ESTIMATES
+    themselves are oracle-recomputable integers — the whole row hash-checks,
+    not just pinned booleans. Top-25 exact terms, each with its CMS estimate,
+    integer overcount, and the εN-bound boolean (ε = e/width)."""
+    from kda_flink_demo_spark.operators.sketches import cms_heavy_hitters_report
+
+    return cms_heavy_hitters_report(load_table(spark, sf_dir, "documents"))
+
+
+_DRIFT_ORACLE = """
+    WITH new_docs AS (
+        SELECT * FROM documents WHERE lang <> 'zh'
+    ),
+    old_rows AS (
+        SELECT 'lang' AS dim, lang AS bucket FROM documents
+        UNION ALL
+        SELECT 'len_pow2',
+               CAST(length(format('{:b}', len(string_split(text, ' ')))) - 1 AS VARCHAR)
+        FROM documents
+    ),
+    new_rows AS (
+        SELECT 'lang' AS dim, lang AS bucket FROM new_docs
+        UNION ALL
+        SELECT 'len_pow2',
+               CAST(length(format('{:b}', len(string_split(text, ' ')))) - 1 AS VARCHAR)
+        FROM new_docs
+    ),
+    counted AS (
+        SELECT dim, bucket,
+               sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS old_cnt,
+               sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS new_cnt
+        FROM (
+            SELECT dim, bucket, 0 AS t FROM old_rows
+            UNION ALL
+            SELECT dim, bucket, 1 AS t FROM new_rows
+        )
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT dim, bucket, old_cnt, new_cnt,
+               (old_cnt + 1) / (sum(old_cnt) OVER (PARTITION BY dim)
+                                + count(*) OVER (PARTITION BY dim)) AS of,
+               (new_cnt + 1) / (sum(new_cnt) OVER (PARTITION BY dim)
+                                + count(*) OVER (PARTITION BY dim)) AS nf
+        FROM counted
+    ),
+    per_bucket AS (
+        SELECT dim, bucket,
+               CAST(old_cnt AS BIGINT) AS old_cnt,
+               CAST(new_cnt AS BIGINT) AS new_cnt,
+               floor(of * 1000000.0 + 0.5) / 1000000.0 AS old_frac,
+               floor(nf * 1000000.0 + 0.5) / 1000000.0 AS new_frac,
+               CAST(floor((nf - of) * ln(nf / of) * 1000000.0 + 0.5) AS BIGINT)
+                   AS psi_micro
+        FROM tot
+    )
+    SELECT dim, bucket, old_cnt, new_cnt, old_frac, new_frac, psi_micro,
+           sum(psi_micro) OVER (PARTITION BY dim) AS dim_psi_micro,
+           sum(psi_micro) OVER (PARTITION BY dim) >= 200000 AS drifted
+    FROM per_bucket
+"""
+
+
+@register("corpus_drift_report", _DRIFT_ORACLE)
+def q_corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots (PSI, the ML-monitoring
+    standard): per (dimension, bucket) counts, smoothed proportions, and
+    integer-micro PSI terms whose per-dimension sum is order-free — the
+    refresh gate next to data_quality_checks. The synthesized new snapshot
+    drops lang='zh' entirely (a REAL planted drift the report must flag) while
+    the length mix barely moves (a non-drift the report must NOT flag)."""
+    from kda_flink_demo_spark.operators.validation import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("lang") != "zh")
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    dims = {
+        "lang": F.col("lang"),
+        "len_pow2": (F.length(F.bin(n)) - 1).cast("long"),
+    }
+    return distribution_drift(docs, new, dims)

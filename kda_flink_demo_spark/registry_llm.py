@@ -1175,3 +1175,100 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=4,
         merges=_bpe_merges_cached(spark, sf_dir, 4),
     )
+
+
+def _leakage_split_oracle() -> str:
+    from kda_flink_demo_spark.operators.llm.clustering import (
+        leakage_safe_split_case_sql,
+    )
+
+    case = leakage_safe_split_case_sql("coalesce(comp.canonical_id, d.doc_id)")
+    return (
+        _CLUSTERS_CTE
+        + f"""
+    SELECT d.doc_id,
+           coalesce(comp.canonical_id, d.doc_id) AS canonical_id,
+           {case} AS split
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.u
+"""
+    )
+
+
+@register("leakage_safe_split", _leakage_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the md5 split hash keys on each
+    document's near-dup COMPONENT canonical id (from the standing LSH pair
+    graph), so whole clusters land in one split and near-duplicate leakage
+    across the train/eval boundary is zero BY CONSTRUCTION — the benchmark-
+    contamination guard a plain per-doc hash split (dataset_split) lacks.
+    Oracle: the recursive-CTE component closure + identical integer md5
+    thresholds. Clusters ≪ corpus → broadcast left join; hash + CASE are
+    map-side; one corpus scan."""
+    from kda_flink_demo_spark.operators.llm import clustering
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = clustering.dedup_clusters(docs, _lsh_pairs_cached(spark, sf_dir))
+    return clustering.leakage_safe_split(docs, clusters)
+
+
+@register("embedding_pq", embeddings.pq_oracle_sql(m=8, subdim=8, k=16, iters=2))
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over the embeddings table: per-subspace Lloyd
+    codebooks (8 subspaces × 16 centroids, 2 assignment rounds) trained and
+    applied in ONE declarative plan — 64 doubles compress to 8 codes. Each
+    output row carries the assigned code and exact subspace reconstruction
+    error; the oracle unrolls the identical rounds as DuckDB CTEs (same
+    md5-ordered seeding, same det-rounded distances, same tie-breaks), so
+    codes AND errors hash-match."""
+    return embeddings.pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_index_cached(spark: SparkSession, sf_dir: str):
+    """The session's standing PQ search index over the embeddings table
+    (normalized corpus + codes + codebook) — trained once per session by
+    pq_index_build or on first ADC use, like the LSH pair graph."""
+    return standing_artifact(
+        spark,
+        ("pq_index", sf_dir),
+        lambda: similarity.build_pq_index(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+@register(
+    "pq_index_build",
+    embeddings.pq_oracle_sql(m=8, subdim=8, k=16, iters=2, normalized=True),
+)
+def q_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index BUILD (normalize → per-subspace Lloyd codebooks → encode),
+    refreshed into the session standing cache — its benched time is the
+    honest offline-training cost the ADC query then consumes (the
+    fuzzy_ingest_index_build convention). Oracle: the unrolled-CTE PQ oracle
+    over L2-normalized vectors; returns the standing code table, so codes AND
+    subspace reconstruction errors hash-match."""
+    idx = standing_put(
+        spark,
+        ("pq_index", sf_dir),
+        similarity.build_pq_index(load_table(spark, sf_dir, "embeddings")),
+    )
+    return idx[1]
+
+
+@register("similarity_pq_adc", _ANN_RECALL_ORACLE)
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 (ADC scan over the 8-byte codes →
+    shortlist → exact rerank of 300 candidates), made hash-checkable exactly
+    like similarity_ann_lsh: brute-force top-5 evidence the oracle verifies,
+    plus a pinned recall@5 ≥ 0.5 boolean from the fully deterministic PQ
+    branch (md5-seeded codebooks, integer micro-unit ADC sums). Measured
+    per-query recall floor at shortlist=300/k=16/iters=2: 0.6 at sf0.01,
+    0.8 at sf0.1 — the 0.5 pin leaves a bucket of margin against fixture
+    regeneration (a heavier 32×3 codebook bought no floor and 2× the cost)."""
+    return similarity.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4],
+        k=5,
+        method="pq",
+        recall_tenths=5,
+        shortlist=300,
+        index=_pq_index_cached(spark, sf_dir),
+    )

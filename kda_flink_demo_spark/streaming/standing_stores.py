@@ -257,24 +257,10 @@ def read_span_index(
     its replay rewrites it — same visibility rule as the snapshot store.
     ``exclude_batch`` drops that batch's own segment: on a checkpoint replay a
     doc must never be cleaned against spans it itself introduced."""
-    from kda_flink_demo_spark.streaming.store import _fs
-
-    store = store_path.rstrip("/")
-    fs, hpath = _fs(spark, store)
-    if not fs.exists(hpath(store)):
-        return None
-    segs = []
-    for st in fs.listStatus(hpath(store)):
-        name = st.getPath().getName()
-        if not name.startswith("seg="):
-            continue
-        if exclude_batch is not None and int(name.split("=", 1)[1]) == int(exclude_batch):
-            continue
-        if is_complete(spark, f"{store}/{name}"):
-            segs.append(name)
+    segs = _committed_seg_paths(spark, store_path, exclude_batch=exclude_batch)
     if not segs:
         return None
-    return spark.read.parquet(*[f"{store}/{s}" for s in segs]).select("h")
+    return spark.read.parquet(*segs).select("h")
 
 
 def update_span_index_store(
@@ -343,3 +329,78 @@ def bpe_merges_from_store(spark: SparkSession, store_path: str) -> DataFrame | N
     if recover_standing(spark, store_path):
         return spark.read.parquet(store_path.rstrip("/"))
     return None
+
+
+# ---------------------------------------------------------------------------
+# Standing count-min frequency store (streaming twin of
+# operators/sketches.py: cms_state / merge_cms_states)
+# ---------------------------------------------------------------------------
+
+
+def _committed_seg_paths(
+    spark: SparkSession, store_path: str, exclude_batch: int | None = None
+) -> list[str]:
+    """All COMMITTED ``seg=<batch_id>`` directories under a segment store
+    (the span-index visibility rule, factored for reuse): half-written
+    segments (no ``_SUCCESS``) are invisible until their replay rewrites
+    them; ``exclude_batch`` drops that batch's own segment."""
+    from kda_flink_demo_spark.streaming.store import _fs
+
+    store = store_path.rstrip("/")
+    fs, hpath = _fs(spark, store)
+    if not fs.exists(hpath(store)):
+        return []
+    out = []
+    for st in fs.listStatus(hpath(store)):
+        name = st.getPath().getName()
+        if not name.startswith("seg="):
+            continue
+        if exclude_batch is not None and int(name.split("=", 1)[1]) == int(exclude_batch):
+            continue
+        if is_complete(spark, f"{store}/{name}"):
+            out.append(f"{store}/{name}")
+    return out
+
+
+def update_cms_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    item_col: str = "term",
+    depth: int = 4,
+    width: int = 512,
+) -> None:
+    """Fold one micro-batch's item stream into a standing count-min frequency
+    store (call from ``foreachBatch(lambda df, bid: ...)``) — the streaming
+    frequency monitor next to the HLL/Theta distinct store
+    (``update_sketch_store``).
+
+    CMS cells merge by ADDITION, which is associative/commutative but NOT
+    idempotent — re-merging a checkpoint-replayed batch into a single
+    standing table would double-count it (the failure mode the HLL/Theta
+    store never has, because register-max/set-union absorb replays). The
+    store therefore keeps ONE ``seg=<batch_id>`` cell table per batch,
+    written with overwrite: a replay REWRITES its own segment with identical
+    bytes instead of re-adding, and the standing sketch is exact for any
+    replay history. Per-segment size is the constant depth×width regardless
+    of batch size, so even 10⁵ folded batches stay a cheap scan; a
+    compaction job may merge closed segments (pure cell addition) without
+    changing any readout."""
+    from kda_flink_demo_spark.operators.sketches import cms_state
+
+    cells = cms_state(batch_df, item_col=item_col, depth=depth, width=width)
+    cells.write.mode("overwrite").parquet(_seg_dir(store_path, batch_id))
+
+
+def cms_from_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """The standing sketch: committed segments summed cell-wise — equals the
+    one-pass ``cms_state`` over every row ever folded (bit-exact, pinned by
+    tests). None before the first committed fold."""
+    segs = _committed_seg_paths(spark, store_path)
+    if not segs:
+        return None
+    return (
+        spark.read.parquet(*segs)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

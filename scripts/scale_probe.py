@@ -281,6 +281,37 @@ def main() -> None:
 
     bench("quantile_sketch_report", quantile_sketch_report(ev_raw))
 
+    from kda_flink_demo_spark.operators.llm.clustering import leakage_safe_split
+    from kda_flink_demo_spark.operators.llm.similarity import pq_adc_topk
+    from kda_flink_demo_spark.operators.sketches import cms_heavy_hitters_report
+    from kda_flink_demo_spark.operators.validation import distribution_drift
+
+    # cms report eagerly localCheckpoints its counts table at construction
+    bench_lazy("cms_heavy_hitters", lambda: cms_heavy_hitters_report(docs))
+    bench(
+        "corpus_drift_report",
+        distribution_drift(
+            docs,
+            docs.filter(F.col("lang") != "zh"),
+            {"lang": F.col("lang"), "source": F.col("source")},
+        ),
+    )
+    # leakage split at probe scale: a synthetic 1-in-7 cluster table (the
+    # split's cost profile — broadcast join + map-side hash — is independent
+    # of how the cluster graph was produced; its build is probed separately
+    # via dedup_minhash_lsh/dedup_clusters)
+    bench(
+        "leakage_safe_split",
+        leakage_safe_split(
+            docs,
+            docs.select(
+                "doc_id", (F.col("doc_id") % 1000).alias("canonical_id")
+            ).filter(F.col("doc_id") % 7 == 0),
+        ),
+    )
+    bench("embedding_pq", _emb.pq_encode(emb))
+    bench("similarity_pq_adc", pq_adc_topk(emb, [0, 1, 2, 3, 4], k=5, shortlist=200))
+
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
 
