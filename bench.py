@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "text_pii_redact",
     "text_repetition",
+    "text_novelty",
     "url_domain_stats",
     "embedding_quantize",
     "embedding_pq",

@@ -981,3 +981,88 @@ def bpe_pair_counts_oracle_sql(k: int = 50, table: str = "documents") -> str:
         FROM counts
     ) WHERE pair_rank <= {k}
     """
+
+
+def novelty_score(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY vs a reference corpus — contamination's
+    inverse: the fraction of a doc's DISTINCT n-grams never seen anywhere in
+    the reference (``dedup.word_ngrams`` shingles, so <n-word docs emit no
+    rows — they have no n-gram evidence either way). High-novelty documents
+    are what a curriculum upweights; near-zero novelty flags regurgitation
+    of the reference set. Output: (doc_id, n_grams, novel_grams,
+    novelty_bp) with novelty in integer basis points (floor), so the ratio
+    is exact in both engines.
+
+    Scale shape: the reference collapses ONCE to distinct 8-byte gram hashes
+    (vocabulary-sized at 100 TB — broadcast- or bucket-joinable; the oracle
+    joins on the gram string, so a hash collision would surface as a
+    mismatch); the probe side explodes each doc's distinct grams, marks them
+    against the broadcast index, and one grouped count per doc closes it.
+    Document text never shuffles — only hashes move."""
+    from kda_flink_demo_spark.functions import spread_for_compute
+    from kda_flink_demo_spark.operators.llm.dedup import word_ngrams
+
+    ref_idx = (
+        spread_for_compute(reference)
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_h"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    probe = spread_for_compute(df).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    ).select(id_col, F.xxhash64("_g").alias("_h"))
+    return (
+        probe.join(F.broadcast(ref_idx), "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias(
+                "novel_grams"
+            ),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "novel_grams",
+            F.floor(F.col("novel_grams") * 10000 / F.col("n_grams"))
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )
+
+
+def novelty_score_oracle_sql(
+    ref_pred: str, probe_pred: str, n: int = 3, table: str = "documents"
+) -> str:
+    """DuckDB twin joining on the gram STRING (hash-free — a Spark-side
+    xxhash64 collision would therefore show up as a mismatch)."""
+    gram = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    if n != 3:
+        raise ValueError("oracle builder fixed at n=3")
+    return f"""
+    WITH ref AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> {gram}))) AS g
+        FROM (SELECT string_split(text, ' ') AS w FROM {table} WHERE {ref_pred})
+    ),
+    probe AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> {gram}))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {table}
+              WHERE {probe_pred})
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           CAST(floor(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) * 10000
+                / count(*)) AS BIGINT) AS novelty_bp
+    FROM probe p LEFT JOIN ref r ON p.g = r.g
+    GROUP BY 1
+    """

@@ -179,10 +179,6 @@ def distribution_drift(
             F.lit(tag).alias("_t"),
         )
 
-    from pyspark.sql import Window
-
-    from kda_flink_demo_spark.functions import det_round
-
     counted = (
         rows(old, 0)
         .unionByName(rows(new, 1))
@@ -192,6 +188,20 @@ def distribution_drift(
             F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)).alias("new_cnt"),
         )
     )
+    return psi_report(counted, psi_micro_threshold)
+
+
+def psi_report(counted: DataFrame, psi_micro_threshold: int = 200_000) -> DataFrame:
+    """The PSI math over a pre-aggregated ``(dim, bucket, old_cnt, new_cnt)``
+    profile table — shared by the batch `distribution_drift` and the
+    streaming drift store (`streaming/standing_stores.py: drift_between`),
+    which computes the same report from retained per-batch profiles without
+    rescanning either corpus. Same determinism contract as the caller:
+    integer-count ratios, micro-unit floors, integer dimension sums."""
+    from pyspark.sql import Window
+
+    from kda_flink_demo_spark.functions import det_round
+
     w = Window.partitionBy("dim")
     totals = (
         counted.withColumn("_old_total", F.sum("old_cnt").over(w))

@@ -1272,3 +1272,22 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=300,
         index=_pq_index_cached(spark, sf_dir),
     )
+
+
+@register(
+    "text_novelty",
+    text.novelty_score_oracle_sql(
+        ref_pred="doc_id % 5 = 0", probe_pred="doc_id % 5 <> 0"
+    ),
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty vs a reference corpus (contamination's
+    inverse): fraction of a doc's distinct trigrams unseen in the reference,
+    in integer basis points. Reference = every 5th doc, probe = the rest.
+    The reference collapses once to broadcast gram hashes; the oracle joins
+    on the gram string, so a hash collision would fail the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.novelty_score(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )

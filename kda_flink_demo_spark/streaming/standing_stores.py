@@ -404,3 +404,77 @@ def cms_from_store(spark: SparkSession, store_path: str) -> DataFrame | None:
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Standing distribution-profile store (streaming twin of
+# operators/validation.py: distribution_drift)
+# ---------------------------------------------------------------------------
+
+
+def update_drift_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    dims: dict,
+) -> None:
+    """Fold one micro-batch's distribution PROFILE into a standing drift
+    store (call from ``foreachBatch``): the batch's per-(dim, bucket) counts
+    land as segment ``seg=<batch_id>`` — bucket-count-sized regardless of
+    batch size, overwrite-idempotent on replay like the CMS store (counts
+    add, so replay must rewrite, never re-add). The standing store then
+    answers PSI drift between ANY two fold ranges after the fact (this
+    week's ingest vs last month's) from the retained profiles alone — the
+    batch `distribution_drift` would need both corpora rescanned; this is
+    the snapshot-version-store move applied to distributions."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("dim"), expr.cast("string").alias("bucket"))
+            for name, expr in dims.items()
+        ]
+    )
+    counts = (
+        batch_df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.dim").alias("dim"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts.write.mode("overwrite").parquet(_seg_dir(store_path, batch_id))
+
+
+def drift_between(
+    spark: SparkSession,
+    store_path: str,
+    old_batches: Sequence[int],
+    new_batches: Sequence[int],
+    psi_micro_threshold: int = 200_000,
+) -> DataFrame | None:
+    """PSI drift report between two sets of folded batches, computed from
+    the stored profiles alone — EXACTLY equal to running the batch
+    `distribution_drift` over the concatenated snapshots (pinned by tests:
+    the profile aggregation is distributive, so summing per-batch counts ≡
+    counting the union). None if any requested batch isn't committed yet."""
+    from kda_flink_demo_spark.operators.validation import psi_report
+
+    segs = {
+        int(p.rsplit("=", 1)[1]): p
+        for p in _committed_seg_paths(spark, store_path)
+    }
+    need = [*old_batches, *new_batches]
+    if not need or any(b not in segs for b in need):
+        return None
+
+    def side(batches: Sequence[int], tag: int) -> DataFrame:
+        return spark.read.parquet(*[segs[b] for b in batches]).withColumn(
+            "_t", F.lit(tag)
+        )
+
+    counted = (
+        side(old_batches, 0)
+        .unionByName(side(new_batches, 1))
+        .groupBy("dim", "bucket")
+        .agg(
+            F.sum(F.when(F.col("_t") == 0, F.col("cnt")).otherwise(0)).alias("old_cnt"),
+            F.sum(F.when(F.col("_t") == 1, F.col("cnt")).otherwise(0)).alias("new_cnt"),
+        )
+    )
+    return psi_report(counted, psi_micro_threshold)

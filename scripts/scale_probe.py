@@ -286,6 +286,14 @@ def main() -> None:
     from kda_flink_demo_spark.operators.sketches import cms_heavy_hitters_report
     from kda_flink_demo_spark.operators.validation import distribution_drift
 
+    from kda_flink_demo_spark.operators.llm.text import novelty_score as _novelty
+
+    bench(
+        "text_novelty",
+        _novelty(
+            docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+        ),
+    )
     # cms report eagerly localCheckpoints its counts table at construction
     bench_lazy("cms_heavy_hitters", lambda: cms_heavy_hitters_report(docs))
     bench(

@@ -887,3 +887,161 @@ def test_pq_adc_topk_shape_and_determinism(spark):
     # under repartitioning
     base = _canon(out)
     assert _canon(pq_adc_topk(emb.repartition(13), [0, 1, 2], k=5, shortlist=50)) == base
+
+
+# ---------------------------------------------------------------------------
+# Standing drift-profile store (streaming twin of distribution_drift)
+# ---------------------------------------------------------------------------
+
+
+def _drift_dims():
+    return {"lang": F.col("lang"), "source": F.col("source")}
+
+
+def test_drift_store_equals_batch_operator(spark, tmp_path):
+    """drift_between over folded profiles must EXACTLY equal the batch
+    distribution_drift over the corresponding concatenated snapshots."""
+    from kda_flink_demo_spark.operators.validation import distribution_drift
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        drift_between,
+        update_drift_store,
+    )
+
+    docs = _docs(spark, n=180)
+    store = str(tmp_path / "drift")
+    batches = [docs.filter(F.col("doc_id") % 4 == r) for r in range(4)]
+    for bid, b in enumerate(batches):
+        update_drift_store(b, bid, store, _drift_dims())
+    got = drift_between(spark, store, [0, 1], [2, 3])
+    old = batches[0].unionByName(batches[1])
+    new = batches[2].unionByName(batches[3])
+    want = distribution_drift(old, new, _drift_dims())
+    assert _canon(got) == _canon(want)
+
+
+def test_drift_store_replay_rewrites_not_readds(spark, tmp_path):
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        drift_between,
+        update_drift_store,
+    )
+
+    docs = _docs(spark, n=180)
+    store = str(tmp_path / "drift")
+    for bid in range(3):
+        update_drift_store(docs.filter(F.col("doc_id") % 3 == bid), bid, store, _drift_dims())
+    before = _canon(drift_between(spark, store, [0], [1, 2]))
+    update_drift_store(docs.filter(F.col("doc_id") % 3 == 1), 1, store, _drift_dims())
+    assert _canon(drift_between(spark, store, [0], [1, 2])) == before
+
+
+def test_drift_store_missing_batch_returns_none(spark, tmp_path):
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        drift_between,
+        update_drift_store,
+    )
+
+    docs = _docs(spark, n=60)
+    store = str(tmp_path / "drift")
+    assert drift_between(spark, store, [0], [1]) is None
+    update_drift_store(docs, 0, store, _drift_dims())
+    assert drift_between(spark, store, [0], [1]) is None  # batch 1 not folded
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty vs reference corpus
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_score_matches_python_reference(spark):
+    from kda_flink_demo_spark.operators.llm.text import novelty_score
+
+    docs = _docs(spark, n=120)
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    probe = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {r.doc_id: (r.n_grams, r.novel_grams, r.novelty_bp)
+           for r in novelty_score(probe, ref).collect()}
+
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i+3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    ref_g = set()
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for did, txt in rows.items():
+        if did % 5 == 0:
+            ref_g |= grams(txt)
+    for did, txt in rows.items():
+        if did % 5 == 0:
+            assert did not in got
+            continue
+        g = grams(txt)
+        if not g:
+            assert did not in got
+            continue
+        novel = len(g - ref_g)
+        assert got[did] == (len(g), novel, novel * 10000 // len(g)), did
+
+
+def test_novelty_full_overlap_is_zero_and_disjoint_is_full(spark):
+    from kda_flink_demo_spark.operators.llm.text import novelty_score
+
+    probe = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    out = {r.doc_id: r for r in novelty_score(probe, ref).collect()}
+    assert out[1].novel_grams == 0 and out[1].novelty_bp == 0
+    assert out[2].novel_grams == out[2].n_grams and out[2].novelty_bp == 10000
+
+
+def test_novelty_partition_invariant(spark):
+    from kda_flink_demo_spark.operators.llm.text import novelty_score
+
+    docs = _docs(spark, n=120)
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    probe = docs.filter(F.col("doc_id") % 5 != 0)
+    base = _canon(novelty_score(probe, ref))
+    for parts in (1, 13):
+        assert _canon(novelty_score(probe.repartition(parts), ref.repartition(parts))) == base
+
+
+def test_cms_store_real_stream_matches_one_pass(spark, tmp_path):
+    """Drive the CMS frequency store through a REAL readStream + foreachBatch
+    + checkpoint: the standing sketch after availableNow-drain must be
+    bit-equal to one-pass cms_state over every replayed row."""
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.sketches import cms_state
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        cms_from_store,
+        update_cms_store,
+    )
+
+    docs = _docs(spark, n=150)
+    terms = _term_stream(docs).select("term")
+    replay = tmp_path / "replay"
+    for i in range(3):
+        _term_stream(docs.filter(F.col("doc_id") % 3 == i)).select(
+            "term"
+        ).coalesce(1).write.parquet(str(replay / f"chunk={i:02d}"))
+
+    schema = T.StructType([T.StructField("term", T.StringType())])
+    store = str(tmp_path / "cms")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay / "chunk=*"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: update_cms_store(df, bid, store, depth=3, width=64))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    assert _canon(cms_from_store(spark, store)) == _canon(
+        cms_state(terms, depth=3, width=64)
+    )
