@@ -148,6 +148,12 @@ def quantile_sketch_report(
     pcts = ", ".join(str(p) for p in ps.values())
     base = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),
+        # the rank targets must count the values the percentiles actually
+        # rank: percentile/percentile_approx and the _lt/_le passes all skip
+        # NULLs, so a count(*)-based target would push the booleans FALSE on
+        # any NULL-bearing key (review finding; `n` stays count(*) in the
+        # output — the oracle emits count(*) too)
+        F.count(F.col(value_col)).alias("_nn"),
         *[
             det_round(F.expr(f"percentile({value_col}, {p})"), 6).alias(
                 f"{name}_exact"
@@ -158,6 +164,10 @@ def quantile_sketch_report(
             "_ap"
         ),
     )
+    # base feeds BOTH the broadcast rank pass and the final join — without a
+    # materialization point the corpus-wide percentile aggregate runs twice
+    # (review finding; the cms_heavy_hitters_report convention)
+    base = base.localCheckpoint()
     v = F.col(value_col)
     rank_aggs = []
     for i, name in enumerate(ps):
@@ -176,8 +186,8 @@ def quantile_sketch_report(
     slack = 2.0 / accuracy
     cols = [F.col(key_col), F.col("n")]
     for name, p in ps.items():
-        target = F.lit(p) * F.col("n")
-        tol = F.lit(slack) * F.col("n") + F.lit(1.0)
+        target = F.lit(p) * F.col("_nn")
+        tol = F.lit(slack) * F.col("_nn") + F.lit(1.0)
         cols.append(F.col(f"{name}_exact"))
         cols.append(
             (
@@ -197,6 +207,25 @@ def _cms_bucket(item: F.Column, d: int, width: int) -> F.Column:
         F.substring(F.md5(F.concat(F.lit(f"{d}:"), item)), 1, 15), 16, 10
     ).cast("long")
     return (u % width).alias("bucket")
+
+
+def _with_cms_cells(df: DataFrame, item_col: str, depth: int, width: int) -> DataFrame:
+    """Expand each row into its ``depth`` (d, bucket) cell coordinates — the
+    ONE definition of the cell assignment that the sketch build, the report's
+    cell table, and the probe side all share (three hand-copies would let the
+    sketch and its probes silently disagree if the bucket idiom ever changed
+    — review finding)."""
+    return (
+        df.select(
+            "*",
+            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+            F.array(
+                *[_cms_bucket(F.col(item_col), d, width) for d in range(depth)]
+            ).alias("_bs"),
+        )
+        .withColumn("bucket", F.element_at("_bs", F.col("d") + 1))
+        .drop("_bs")
+    )
 
 
 def cms_state(
@@ -222,14 +251,7 @@ def cms_state(
         F.count(F.lit(1)).alias("_cnt")
     )
     return (
-        counts.select(
-            "_cnt",
-            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
-            F.array(
-                *[_cms_bucket(F.col("_item"), d, width) for d in range(depth)]
-            ).alias("_bs"),
-        )
-        .withColumn("bucket", F.element_at("_bs", F.col("d") + 1))
+        _with_cms_cells(counts, "_item", depth, width)
         .groupBy("d", "bucket")
         .agg(F.sum("_cnt").alias("cnt"))
     )
@@ -302,20 +324,7 @@ def cms_heavy_hitters_report(
     counts = counts.localCheckpoint()  # counts feeds N, cells, AND probes
     n_total = counts.agg(F.sum("exact_cnt").alias("_n"))
     cells = (
-        counts.select(
-            "exact_cnt",
-            F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
-            *[
-                _cms_bucket(F.col("term"), d, width).alias(f"_b{d}")
-                for d in range(depth)
-            ],
-        )
-        .withColumn(
-            "bucket",
-            F.element_at(
-                F.array(*[F.col(f"_b{d}") for d in range(depth)]), F.col("d") + 1
-            ),
-        )
+        _with_cms_cells(counts, "term", depth, width)
         .groupBy("d", "bucket")
         .agg(F.sum("exact_cnt").alias("cnt"))
     )
@@ -331,21 +340,7 @@ def cms_heavy_hitters_report(
             .cast("long"),
         )
     )
-    probed = probes.select(
-        "term",
-        "rank",
-        "exact_cnt",
-        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
-        *[
-            _cms_bucket(F.col("term"), d, width).alias(f"_b{d}")
-            for d in range(depth)
-        ],
-    ).withColumn(
-        "bucket",
-        F.element_at(
-            F.array(*[F.col(f"_b{d}") for d in range(depth)]), F.col("d") + 1
-        ),
-    )
+    probed = _with_cms_cells(probes, "term", depth, width)
     est = (
         probed.join(F.broadcast(cells), ["d", "bucket"])
         .groupBy("term", "rank", "exact_cnt")

@@ -134,6 +134,24 @@ def quarantine_split(
     return good, bad
 
 
+def dim_bucket_rows(df: DataFrame, dims: dict[str, Column]) -> DataFrame:
+    """One (dim, bucket) row per (corpus row, dimension), from a SINGLE
+    explode(array(struct)) projection — the one definition of the profile
+    shape that both the batch drift operator and the streaming profile store
+    (`streaming/standing_stores.py: update_drift_store`) consume; their
+    documented exact equality depends on this staying shared (review
+    finding)."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("dim"), expr.cast("string").alias("bucket"))
+            for name, expr in dims.items()
+        ]
+    )
+    return df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.dim").alias("dim"), F.col("p.bucket").alias("bucket")
+    )
+
+
 def distribution_drift(
     old: DataFrame,
     new: DataFrame,
@@ -163,25 +181,9 @@ def distribution_drift(
     (dim, bucket) with map-side combine (output rows = bucket count, a few
     dozen); window totals run over that tiny aggregate, never the corpus.
     """
-    def rows(df: DataFrame, tag: int) -> DataFrame:
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(name).alias("dim"),
-                    expr.cast("string").alias("bucket"),
-                )
-                for name, expr in dims.items()
-            ]
-        )
-        return df.select(F.explode(pairs).alias("p")).select(
-            F.col("p.dim").alias("dim"),
-            F.col("p.bucket").alias("bucket"),
-            F.lit(tag).alias("_t"),
-        )
-
     counted = (
-        rows(old, 0)
-        .unionByName(rows(new, 1))
+        dim_bucket_rows(old, dims).withColumn("_t", F.lit(0))
+        .unionByName(dim_bucket_rows(new, dims).withColumn("_t", F.lit(1)))
         .groupBy("dim", "bucket")
         .agg(
             F.sum(F.when(F.col("_t") == 0, 1).otherwise(0)).alias("old_cnt"),

@@ -109,6 +109,11 @@ def _latest_driver_round() -> dict[str, int]:
                 rows = _json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # a malformed CONTAINER (e.g. a truncated file parsing as a list)
+            # is no-history, not a crash — per-row malformation is already
+            # tolerated below, the top level must be too (review finding)
+            continue
         for n, row in rows.items():
             err = row.get("err") if isinstance(row, dict) else "malformed"
             passed = err is None or (

@@ -395,8 +395,9 @@ def update_cms_store(
 def cms_from_store(spark: SparkSession, store_path: str) -> DataFrame | None:
     """The standing sketch: committed segments summed cell-wise — equals the
     one-pass ``cms_state`` over every row ever folded (bit-exact, pinned by
-    tests). None before the first committed fold."""
-    segs = _committed_seg_paths(spark, store_path)
+    tests, INCLUDING mid-compaction states — see `compact_cms_store`). None
+    before the first committed fold."""
+    segs = _cms_segment_frames(spark, store_path)
     if not segs:
         return None
     return (
@@ -427,15 +428,11 @@ def update_drift_store(
     week's ingest vs last month's) from the retained profiles alone — the
     batch `distribution_drift` would need both corpora rescanned; this is
     the snapshot-version-store move applied to distributions."""
-    pairs = F.array(
-        *[
-            F.struct(F.lit(name).alias("dim"), expr.cast("string").alias("bucket"))
-            for name, expr in dims.items()
-        ]
-    )
+    from kda_flink_demo_spark.operators.validation import dim_bucket_rows
+
     counts = (
-        batch_df.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.dim").alias("dim"), F.col("p.bucket").alias("bucket"))
+        dim_bucket_rows(batch_df, dims)
+        .groupBy("dim", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     counts.write.mode("overwrite").parquet(_seg_dir(store_path, batch_id))
@@ -478,3 +475,105 @@ def drift_between(
         )
     )
     return psi_report(counted, psi_micro_threshold)
+
+
+def _cseg_dir(store_path: str, upto: int) -> str:
+    return f"{store_path.rstrip('/')}/cseg={int(upto)}"
+
+
+def compact_cms_store(spark: SparkSession, store_path: str, upto_batch: int) -> None:
+    """Merge every committed segment with id ≤ ``upto_batch`` into ONE
+    segment (cell-wise sum — the readout is bit-identical before and after,
+    test-pinned), bounding segment count for long-running streams.
+
+    ONLY call for batches beyond the streaming checkpoint's replay horizon:
+    a replay of a compacted batch would rewrite its ``seg=`` dir as a fresh
+    segment and its counts would then exist twice (once inside the compacted
+    segment, once fresh) — the same reason WAL compaction everywhere trails
+    the recovery point.
+
+    Crash-safe protocol (every window covered, fault-injection tested):
+    1. write the merged cells to ``cseg=<upto>`` (committed via _SUCCESS);
+    2. delete the covered ``seg=`` dirs;
+    3. rename ``cseg=<upto>`` → ``seg=<upto>``.
+    Readers (`cms_from_store`) treat a COMMITTED cseg as authoritative for
+    ids ≤ upto and ignore those seg dirs, so a crash after (1) or mid-(2)
+    never double-counts and never loses counts; the next compact or read
+    completes the swap. A half-written cseg (no _SUCCESS) is invisible."""
+    from kda_flink_demo_spark.streaming.store import _fs
+
+    store = store_path.rstrip("/")
+    fs, hpath = _fs(spark, store)
+    # FIRST finish any pending swap from an earlier compaction that crashed
+    # between delete and rename: its committed cseg holds counts whose seg
+    # dirs may already be gone — a NEW compaction that read only seg= dirs
+    # would silently drop them (fault-injection tested).
+    if fs.exists(hpath(store)):
+        for st in fs.listStatus(hpath(store)):
+            name = st.getPath().getName()
+            if not name.startswith("cseg="):
+                continue
+            u = int(name.split("=", 1)[1])
+            if u != upto_batch and is_complete(spark, f"{store}/{name}"):
+                for p in _committed_seg_paths(spark, store):
+                    if int(p.rsplit("=", 1)[1]) <= u:
+                        fs.delete(hpath(p), True)
+                fs.rename(hpath(f"{store}/{name}"), hpath(_seg_dir(store, u)))
+    # clamp the compacted segment's id to the NEWEST covered segment: naming
+    # it after a not-yet-folded upto_batch (e.g. a watermark-style id) would
+    # let that future batch's own overwrite destroy the compacted history
+    # (review finding)
+    covered = [
+        p
+        for p in _committed_seg_paths(spark, store)
+        if int(p.rsplit("=", 1)[1]) <= upto_batch
+    ]
+    if not covered:
+        # nothing to merge — but a crash after covered-segment deletion can
+        # leave a committed cseg=<upto> with NO remaining covered segs;
+        # finish its rename so the swap converges
+        orphan = _cseg_dir(store, upto_batch)
+        if is_complete(spark, orphan):
+            fs.rename(hpath(orphan), hpath(_seg_dir(store, upto_batch)))
+        return
+    upto_batch = max(int(p.rsplit("=", 1)[1]) for p in covered)
+    cseg = _cseg_dir(store, upto_batch)
+    if not is_complete(spark, cseg):
+        merged = (
+            spark.read.parquet(*covered)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        # clear any half-written previous attempt, then commit the compacted cells
+        if fs.exists(hpath(cseg)):
+            fs.delete(hpath(cseg), True)
+        merged.write.parquet(cseg)
+    # steps 2+3 (also the recovery path after a crash between them)
+    for p in _committed_seg_paths(spark, store):
+        if int(p.rsplit("=", 1)[1]) <= upto_batch:
+            fs.delete(hpath(p), True)
+    fs.rename(hpath(cseg), hpath(_seg_dir(store, upto_batch)))
+
+
+def _cms_segment_frames(spark: SparkSession, store_path: str) -> list[str]:
+    """Segment paths honoring the compaction protocol: a COMMITTED
+    ``cseg=<u>`` shadows every ``seg=`` with id ≤ u (mid-compaction reads
+    stay exact); half-written csegs are invisible."""
+    from kda_flink_demo_spark.streaming.store import _fs
+
+    store = store_path.rstrip("/")
+    fs, hpath = _fs(spark, store)
+    shadow = None
+    cseg_path = None
+    if fs.exists(hpath(store)):
+        for st in fs.listStatus(hpath(store)):
+            name = st.getPath().getName()
+            if name.startswith("cseg=") and is_complete(spark, f"{store}/{name}"):
+                u = int(name.split("=", 1)[1])
+                if shadow is None or u > shadow:
+                    shadow, cseg_path = u, f"{store}/{name}"
+    segs = _committed_seg_paths(spark, store)
+    if shadow is not None:
+        segs = [p for p in segs if int(p.rsplit("=", 1)[1]) > shadow]
+        segs.append(cseg_path)
+    return segs

@@ -42,9 +42,10 @@ def main() -> None:
                     compare_to_oracle(df, con, oracles[name])
                     lines.append(f"OK   {sf} {name}")
                 else:
-                    pdf = df.toPandas()
-                    pdf.sort_values(by=list(pdf.columns), inplace=True)
-                    lines.append(f"ROWS {sf} {name} rows={len(pdf)}")
+                    # no sort: array-typed result columns make sort_values
+                    # raise, misreporting a healthy rows-only query as FAIL —
+                    # and only the count is read anyway (review finding)
+                    lines.append(f"ROWS {sf} {name} rows={df.count()}")
             except Exception as e:  # noqa: BLE001
                 lines.append(f"FAIL {sf} {name}: {str(e)[:300]}")
     with open("/tmp/probe_query.txt", "w") as fh:

@@ -378,3 +378,82 @@ def test_span_probe_index_side_never_shuffles(spark):
         "Exchange hashpartitioning"
     )
     assert extra <= 3, f"index side added {extra} hash Exchanges:\n{plan}"
+
+
+def test_cms_report_probes_join_broadcast_cells(spark):
+    """The heavy-hitter probes must meet the depth×width cell table through a
+    BROADCAST join (a shuffle join would exchange the probe side for a
+    constant-size build side), and no Python UDF may appear anywhere."""
+    from kda_flink_demo_spark.operators.sketches import cms_heavy_hitters_report
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(cms_heavy_hitters_report(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_leakage_split_is_broadcast_join_no_corpus_shuffle(spark):
+    """The cluster table joins the corpus by broadcast; the only corpus-side
+    work is the map-side hash threshold — no Exchange on the corpus."""
+    from kda_flink_demo_spark.operators.llm.clustering import leakage_safe_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    clusters = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2)], "doc_id long, canonical_id long, cluster_size long"
+    )
+    plan = _plan(leakage_safe_split(docs, clusters))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # no shuffle at all: split assignment is map-only over the scan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_drift_report_aggregates_before_windows(spark):
+    """Dimension totals must run over the (dim, bucket) aggregate — the
+    window's input partitioning is the tiny profile, never corpus rows; the
+    corpus contributes exactly two scans (old + new snapshot)."""
+    from kda_flink_demo_spark.operators.validation import distribution_drift
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new = docs.filter(F.col("lang") != "zh")
+    plan = _plan(distribution_drift(docs, new, {"lang": F.col("lang")}))
+    assert plan.count("Scan parquet") == 2, plan
+    agg_i = plan.index("HashAggregate")
+    win_i = plan.index("Window")
+    # executedPlan prints top-down: the Window consumes the aggregate, so it
+    # appears ABOVE (before) the final HashAggregate in the dump
+    assert win_i < agg_i, plan
+
+
+def test_novelty_reference_index_is_broadcast(spark):
+    """The reference gram index reaches the probe stream by broadcast — the
+    probe (corpus) side must not shuffle for the membership mark."""
+    from kda_flink_demo_spark.operators.llm.text import novelty_score
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(
+        novelty_score(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0),
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_adc_lut_is_broadcast_onto_codes(spark):
+    """The query lookup table (Q·m·k rows) must broadcast onto the code
+    table; the codes side aggregates (query, vec) partial→final with no
+    sort-merge join anywhere in the ADC path."""
+    from kda_flink_demo_spark.operators.llm.similarity import (
+        build_pq_index,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = build_pq_index(emb)
+    plan = _plan(pq_adc_topk(emb, [0, 1, 2], k=5, shortlist=50, index=idx))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
