@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "text_repetition",
     "text_novelty",
+    "text_hashed_features",
     "url_domain_stats",
     "embedding_quantize",
     "embedding_pq",

@@ -126,12 +126,34 @@ def pca_project(
 
     base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     fit = _fit_pca(base, k)
-    if fit is None:  # empty corpus: nothing to fit, empty projection
+    return project_with_pca_model(
+        base, fit, k, id_col=id_col, round_digits=round_digits, scalar_cols=scalar_cols
+    )
+
+
+def project_with_pca_model(
+    base,
+    model,
+    k: int,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    scalar_cols: bool = False,
+):
+    """Apply a fitted ``(mu, components)`` model to a ``(_v array<double>)``
+    frame — the broadcast map-side matmul, shared by the one-shot
+    `pca_project` and the streaming stats store's reader (a model trained
+    incrementally projects any later batch)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from kda_flink_demo_spark.functions import det_round_np
+
+    if model is None:  # empty corpus: nothing to fit, empty projection
         empty = base.select(
             F.col(id_col), F.lit(None).cast("array<double>").alias("pca")
         ).limit(0)
         return _flatten_pca(empty, k, id_col) if scalar_cols else empty
-    mu_b, comp_b = fit
+    mu_b, comp_b = model
 
     @pandas_udf("array<double>")
     def _project(vecs_s: pd.Series) -> pd.Series:
@@ -143,18 +165,16 @@ def pca_project(
     return _flatten_pca(out, k, id_col) if scalar_cols else out
 
 
-def _fit_pca(base, k: int):
-    """Fit the top-``k`` principal components from one distributed pass over
-    ``base`` (a DataFrame with an ``_v`` array<double> column): returns
-    ``(mu, components)`` as numpy arrays with canonical signs, or None on an
-    empty corpus. The sufficient statistics (XᵀX upper triangle, column sums,
-    count) are dim²-bounded — the collect is model-sized, never data-sized."""
+def pca_stats_df(base) -> "DataFrame":
+    """The PCA sufficient statistics as a dim²-bounded DataFrame of
+    ``(i, j, v)`` cells (XᵀX upper triangle; ``j = -1`` rows carry column
+    sums; the ``(-1, -1)`` row carries the count) — ONE mapInPandas corpus
+    pass with per-partition BLAS outer products, then a grouped sum. The
+    cells are ADDITIVE, so slice stats merge by (i, j)-sum — the property
+    the streaming stats store (`streaming/standing_stores.py:
+    update_pca_stats_store`) folds on."""
     import numpy as np
 
-    # sufficient statistics (XtX upper triangle, column sums, count) as ONE
-    # mapInPandas pass — per-partition BLAS outer products, then a dim²-bounded
-    # grouped sum. NOT a per-row posexplode self-join (that would shuffle
-    # N·dim²/2 rows — the corpus times 2080 for dim=64).
     def _partials(batches):
         S = sm = None
         cnt = 0
@@ -177,13 +197,32 @@ def _fit_pca(base, k: int):
         out_v = np.concatenate([S[iu, ju], sm, [float(cnt)]])
         yield pd.DataFrame({"i": out_i.astype("int32"), "j": out_j.astype("int32"), "v": out_v})
 
-    stats = (
+    return (
         base.select("_v")
         .mapInPandas(_partials, "i int, j int, v double")
         .groupBy("i", "j")
         .agg(F.sum("v").alias("v"))
-        .collect()
-    )  # dim²/2 + dim + 1 rows — model-sized, not a data collect
+    )
+
+
+def _fit_pca(base, k: int):
+    """Fit the top-``k`` principal components from one distributed pass over
+    ``base`` (a DataFrame with an ``_v`` array<double> column): returns
+    ``(mu, components)`` as numpy arrays with canonical signs, or None on an
+    empty corpus. The sufficient statistics (XᵀX upper triangle, column sums,
+    count) are dim²-bounded — the collect is model-sized, never data-sized.
+    NOT a per-row posexplode self-join (that would shuffle N·dim²/2 rows —
+    the corpus times 2080 for dim=64)."""
+    # dim²/2 + dim + 1 rows — model-sized, not a data collect
+    return model_from_pca_stats(pca_stats_df(base).collect(), k)
+
+
+def model_from_pca_stats(stats, k: int):
+    """Build ``(mu, components)`` from collected ``(i, j, v)`` stat rows
+    (shared by the one-shot fit and the streaming stats store); None on
+    empty stats."""
+    import numpy as np
+
     if not stats:
         return None
     n = next(r["v"] for r in stats if r["i"] == -1 and r["j"] == -1)

@@ -1066,3 +1066,48 @@ def novelty_score_oracle_sql(
     FROM probe p LEFT JOIN ref r ON p.g = r.g
     GROUP BY 1
     """
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 16,
+) -> DataFrame:
+    """Hashing-trick featurizer (the HashingVectorizer shape): each document
+    maps to a fixed ``n_features``-dim term-count vector via the cross-engine
+    md5 bucket hash — the featurizer that needs NO vocabulary artifact, so
+    every slice of a 100 TB corpus featurizes identically with zero
+    coordination (the natural input to the distributed quality classifier
+    next to `classifier.logreg_quality_score`'s handcrafted features).
+
+    Output: one row per (doc, bucket) with cnt > 0 — sparse COO form (dense
+    fixed-width columns waste storage once n_features grows past a demo).
+
+    Scale shape: explode → ONE partial→final (doc, bucket) aggregate; bucket
+    cardinality is fixed, so map-side combine collapses each task to
+    ≤ docs×n_features rows before the shuffle. Fully oracle-checkable — the
+    md5 bucket is the same idiom as `sketches._cms_bucket`."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).filter(F.col("_t") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+        % n_features
+    )
+    return (
+        toks.select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hashed_features_oracle_sql(n_features: int = 16, table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % {n_features}
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table})
+    WHERE term <> '' GROUP BY 1, 2
+    """

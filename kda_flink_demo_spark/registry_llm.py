@@ -1291,3 +1291,12 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 != 0),
         docs.filter(F.col("doc_id") % 5 == 0),
     )
+
+
+@register("text_hashed_features", text.hashed_features_oracle_sql(n_features=16))
+def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document featurizer: fixed 16-bucket term-count vectors
+    in sparse COO form via the cross-engine md5 bucket — no vocabulary
+    artifact, so any corpus slice featurizes identically with zero
+    coordination. One partial→final (doc, bucket) aggregate."""
+    return text.hashed_features(load_table(spark, sf_dir, "documents"))

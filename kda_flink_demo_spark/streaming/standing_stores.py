@@ -577,3 +577,57 @@ def _cms_segment_frames(spark: SparkSession, store_path: str) -> list[str]:
         segs = [p for p in segs if int(p.rsplit("=", 1)[1]) > shadow]
         segs.append(cseg_path)
     return segs
+
+
+# ---------------------------------------------------------------------------
+# Standing PCA sufficient-statistics store (streaming twin of
+# operators/llm/embeddings.py: pca_project's fit)
+# ---------------------------------------------------------------------------
+
+
+def update_pca_stats_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold one micro-batch's PCA sufficient statistics into a standing
+    store (call from ``foreachBatch``): the batch's dim²-bounded ``(i, j,
+    v)`` cell table lands as ``seg=<batch_id>`` — model-sized regardless of
+    batch size, overwrite-idempotent on replay (stat cells are additive
+    DOUBLE sums, so like the CMS store a replay must rewrite, never
+    re-add). The model then refits FROM THE RETAINED STATS at read time —
+    embeddings stream in all day, the projection model refreshes whenever
+    wanted, and no historical vector is ever rescanned."""
+    from kda_flink_demo_spark.operators.llm.embeddings import pca_stats_df
+    from kda_flink_demo_spark.operators.llm.similarity import _as_double
+
+    base = batch_df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    pca_stats_df(base).write.mode("overwrite").parquet(
+        _seg_dir(store_path, batch_id)
+    )
+
+
+def pca_model_from_store(spark: SparkSession, store_path: str, k: int = 8):
+    """Fit ``(mu, components)`` from every committed stats segment — the
+    cell-wise (i, j)-sum of per-batch statistics. Double sums fold in a
+    different order than a one-pass fit, so the model matches the one-shot
+    fit to FP fold noise (~1e-15 relative; the det_round-ed projections are
+    equal in practice — tests pin allclose on the model and exact equality
+    on the rounded projections over the fixture). None before the first
+    committed fold."""
+    from kda_flink_demo_spark.operators.llm.embeddings import model_from_pca_stats
+
+    segs = _committed_seg_paths(spark, store_path)
+    if not segs:
+        return None
+    stats = (
+        spark.read.parquet(*segs)
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    return model_from_pca_stats(stats, k)

@@ -294,6 +294,7 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
         ),
     )
+    bench("text_hashed_features", _text.hashed_features(docs))
     # cms report eagerly localCheckpoints its counts table at construction
     bench_lazy("cms_heavy_hitters", lambda: cms_heavy_hitters_report(docs))
     bench(

@@ -1210,3 +1210,58 @@ def test_latest_driver_round_tolerates_non_dict_container(tmp_path, monkeypatch)
         assert isinstance(latest, dict)  # no crash, file treated as no-history
     finally:
         os.remove(bad)
+
+
+# ---------------------------------------------------------------------------
+# Standing PCA sufficient-statistics store
+# ---------------------------------------------------------------------------
+
+
+def test_pca_stats_store_model_matches_one_shot_fit(spark, tmp_path):
+    import numpy as np
+
+    from kda_flink_demo_spark.operators.llm.embeddings import (
+        _fit_pca,
+        pca_project,
+        project_with_pca_model,
+    )
+    from kda_flink_demo_spark.operators.llm.similarity import _as_double
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        pca_model_from_store,
+        update_pca_stats_store,
+    )
+
+    emb = _emb(spark)
+    store = str(tmp_path / "pca")
+    assert pca_model_from_store(spark, store) is None
+    for bid in range(3):
+        update_pca_stats_store(emb.filter(F.col("vec_id") % 3 == bid), bid, store)
+    got = pca_model_from_store(spark, store, k=4)
+    base = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("_v"))
+    want = _fit_pca(base, k=4)
+    assert np.allclose(got[0], want[0], atol=1e-9)
+    assert np.allclose(got[1], want[1], atol=1e-6)
+    # det-rounded projections through the incremental model equal the
+    # one-shot pca_project on the fixture
+    via_store = project_with_pca_model(base, got, k=4)
+    one_shot = pca_project(emb, k=4)
+    assert _canon(via_store) == _canon(one_shot)
+
+
+def test_pca_stats_store_replay_is_idempotent(spark, tmp_path):
+    import numpy as np
+
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        pca_model_from_store,
+        update_pca_stats_store,
+    )
+
+    emb = _emb(spark)
+    store = str(tmp_path / "pca")
+    for bid in range(3):
+        update_pca_stats_store(emb.filter(F.col("vec_id") % 3 == bid), bid, store)
+    before = pca_model_from_store(spark, store, k=4)
+    update_pca_stats_store(emb.filter(F.col("vec_id") % 3 == 1), 1, store)  # replay
+    after = pca_model_from_store(spark, store, k=4)
+    assert np.array_equal(before[0], after[0])
+    assert np.array_equal(before[1], after[1])
