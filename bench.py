@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
     "tpch_q20_promo_part_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_global_sales_opportunity",
     "asof_join_last_purchase",
     "asof_join_next_purchase",

@@ -8,13 +8,17 @@ engine gets from Catalyst, on the exact TPC-H access patterns that dominate
 
 Adaptation notes (testdata is TPC-H-*ish*, TESTDATA.md): there is no partsupp
 table and lineitem lacks commitdate/receiptdate/shipmode/shipinstruct, so
-- Q2 / Q11 / Q21 are not expressible and are intentionally absent;
+- Q2 / Q11 are not expressible (no partsupp) and are intentionally absent;
+- Q21 is adapted: the Q4 lateness proxy replaces receiptdate>commitdate, and
+  the correlated EXISTS/NOT-EXISTS pair is rewritten as one per-order
+  (n_supp, n_late_supp) aggregate — verified row-equal against the textbook
+  correlated form, which the oracle keeps;
 - Q4's commit<receipt predicate becomes "shipped >30 days after order date";
 - Q9 has no ps_supplycost term (profit = revenue);
 - Q12 groups by l_linestatus instead of l_shipmode;
 - Q16/Q17/Q19/Q20 substitute available part attributes for container/shipmode.
 Together with pricing_summary (Q1), tpch_q3/q6/q14/q18 in registry_extra and
-revenue_by_region (Q5-star shape) in registry, 19 of the 22 TPC-H query shapes
+revenue_by_region (Q5-star shape) in registry, 20 of the 22 TPC-H query shapes
 are covered.
 
 Physical-strategy policy (same as operators/relational.py): dimension tables
@@ -570,4 +574,90 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             det_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    """
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait FROM (
+        SELECT l1.l_suppkey
+        FROM lo l1
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+    ) w
+    JOIN supplier ON s_suppkey = w.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_0', 'NATION_5', 'NATION_10', 'NATION_15', 'NATION_20')
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the sole-late-
+    supplier-in-a-multi-supplier-order pattern, with the Q4 lateness proxy
+    (shipped >30 days after order date stands in for the absent
+    receiptdate>commitdate). The oracle keeps the textbook correlated
+    EXISTS / NOT EXISTS form; the Spark plan rewrites both correlations into
+    ONE per-order aggregate — ``n_supp >= 2 AND n_late_supp = 1`` over
+    (distinct suppliers, distinct LATE suppliers) is exactly "another
+    supplier exists, no OTHER supplier is late" for a late l1 — so the fact
+    table is scanned once and joined once instead of three self-joins (at
+    100 TB the two extra lineitem passes are the whole cost of the textbook
+    plan). Supplier/nation are broadcast dims; top-100 is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("late"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_0", "NATION_5", "NATION_10", "NATION_15", "NATION_20"
+        )
+    )
+    return (
+        waiting.join(
+            broadcast(
+                s.join(
+                    broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )
