@@ -118,10 +118,6 @@ def pca_project(
     columns ``pc1..pck`` instead of one ``array<double>`` column — the shape
     external row-comparators can sort/count (plain doubles, no nested
     arrays)."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    from kda_flink_demo_spark.functions import det_round_np
     from kda_flink_demo_spark.operators.llm.similarity import _as_double
 
     base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))

@@ -610,13 +610,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier-in-a-multi-supplier-order pattern, with the Q4 lateness proxy
     (shipped >30 days after order date stands in for the absent
     receiptdate>commitdate). The oracle keeps the textbook correlated
-    EXISTS / NOT EXISTS form; the Spark plan rewrites both correlations into
-    ONE per-order aggregate — ``n_supp >= 2 AND n_late_supp = 1`` over
-    (distinct suppliers, distinct LATE suppliers) is exactly "another
-    supplier exists, no OTHER supplier is late" for a late l1 — so the fact
-    table is scanned once and joined once instead of three self-joins (at
-    100 TB the two extra lineitem passes are the whole cost of the textbook
-    plan). Supplier/nation are broadcast dims; top-100 is TakeOrdered."""
+    EXISTS / NOT EXISTS form; the Spark plan rewrites both correlations so
+    the FACT SIDE IS SCANNED ONCE (plan-asserted): one per-(order, supplier)
+    aggregate collapses line items to supplier rows carrying (late line
+    count, any_late), then per-order counts ride a WINDOW over that
+    aggregate-sized table — ``n_supp >= 2 AND n_late_supp = 1`` is exactly
+    "another supplier exists, no OTHER supplier is late" for a late l1. The
+    textbook plan pays three lineitem passes; a dual countDistinct would
+    plan an Expand that doubles the fact shuffle (the approx_distinct
+    lesson) — both are avoided. Supplier/nation broadcast; top-100 is
+    TakeOrdered."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -630,16 +635,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
         ).alias("late"),
     )
-    stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_supplier = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("late").cast("long")).alias("n_late_lines"),
+        F.max(F.col("late").cast("int")).alias("_any_late"),
     )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        lo.filter(F.col("late"))
-        .join(stats, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        per_supplier.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("_any_late").over(w))
+        .filter(
+            (F.col("_any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
@@ -657,7 +665,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -589,23 +589,25 @@ def update_pca_stats_store(
     batch_df: DataFrame,
     batch_id: int,
     store_path: str,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Fold one micro-batch's PCA sufficient statistics into a standing
     store (call from ``foreachBatch``): the batch's dim²-bounded ``(i, j,
     v)`` cell table lands as ``seg=<batch_id>`` — model-sized regardless of
     batch size, overwrite-idempotent on replay (stat cells are additive
-    DOUBLE sums, so like the CMS store a replay must rewrite, never
-    re-add). The model then refits FROM THE RETAINED STATS at read time —
+    DOUBLE sums, so like the CMS store a replay must rewrite, never re-add;
+    unlike the integer CMS cells, a rewrite may differ in fold-noise low
+    bits — the replay guarantee is numerical, and the det-rounded
+    projections are unaffected). The model then refits FROM THE RETAINED
+    STATS at read time —
     embeddings stream in all day, the projection model refreshes whenever
     wanted, and no historical vector is ever rescanned."""
     from kda_flink_demo_spark.operators.llm.embeddings import pca_stats_df
     from kda_flink_demo_spark.operators.llm.similarity import _as_double
 
-    base = batch_df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    )
+    # only the vector column is read — requiring an id would crash streams
+    # whose rows carry embeddings alone (review finding)
+    base = batch_df.select(_as_double(F.col(vec_col)).alias("_v"))
     pca_stats_df(base).write.mode("overwrite").parquet(
         _seg_dir(store_path, batch_id)
     )

@@ -457,3 +457,17 @@ def test_pq_adc_lut_is_broadcast_onto_codes(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tpch_q21_single_fact_scan_no_expand(spark):
+    """Q21's correlation rewrite must scan lineitem/orders ONCE (the window
+    rollup rides the per-(order, supplier) aggregate, not a second fact
+    subtree) and must not plan an Expand (the dual-countDistinct trap the
+    approx_distinct report already removed)."""
+    from kda_flink_demo_spark.registry import queries
+
+    plan = _plan(queries()["tpch_q21_suppliers_kept_waiting"](spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    # lineitem + orders + supplier + nation — each exactly once
+    assert plan.count("Scan parquet") == 4, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

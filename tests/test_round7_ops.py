@@ -1263,5 +1263,8 @@ def test_pca_stats_store_replay_is_idempotent(spark, tmp_path):
     before = pca_model_from_store(spark, store, k=4)
     update_pca_stats_store(emb.filter(F.col("vec_id") % 3 == 1), 1, store)  # replay
     after = pca_model_from_store(spark, store, k=4)
-    assert np.array_equal(before[0], after[0])
-    assert np.array_equal(before[1], after[1])
+    # double sums: a replayed segment's bytes can differ in fold-noise low
+    # bits (shuffle-fetch order is not guaranteed), so the invariant is
+    # numerical equality, not bit equality — unlike the integer CMS cells
+    assert np.allclose(before[0], after[0], atol=1e-9)
+    assert np.allclose(before[1], after[1], atol=1e-6)
