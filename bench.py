@@ -227,7 +227,9 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — calibration must never kill the bench
         calib_sec = None
 
-    qs = registry.queries()
+    # helpers() = oracle-less library entries (embedding_pca, dedup_simhash)
+    # demoted from the driver's queries() surface but still benched
+    qs = {**registry.helpers(), **registry.queries()}
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
     for name in BENCH_QUERIES:

@@ -491,7 +491,28 @@ def pq_adc_topk(
             vec_col=vec_col,
             round_digits=round_digits,
         )
-    nv, codes, codebook = index
+        nv, codes, codebook = index
+    else:
+        # a caller-supplied index rules: derive m/subdim from ITS codebook
+        # (max sub + 1, centroid length) instead of trusting this call's
+        # parameters — an index built with a different geometry would
+        # otherwise silently misalign the (sub, code) join and return wrong
+        # ADC scores rather than failing (advice finding). The codebook is
+        # model-sized (m×k rows, localCheckpointed), so this probe is cheap.
+        nv, codes, codebook = index
+        geom = codebook.agg(
+            F.max("sub").alias("m_max"),
+            F.min(F.size("cvec")).alias("sd_min"),
+            F.max(F.size("cvec")).alias("sd_max"),
+        ).first()
+        if geom["m_max"] is None:
+            raise ValueError("pq_adc_topk: supplied index has an empty codebook")
+        if geom["sd_min"] != geom["sd_max"]:
+            raise ValueError(
+                "pq_adc_topk: supplied codebook has ragged centroid lengths "
+                f"({geom['sd_min']}..{geom['sd_max']})"
+            )
+        m, subdim = int(geom["m_max"]) + 1, int(geom["sd_min"])
     qsub = (
         nv.filter(F.col(id_col).isin(qset))
         .select(

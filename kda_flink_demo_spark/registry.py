@@ -30,8 +30,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name -> (query_fn, oracle_sql | None)
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+# Library entry points that feed a hash-checkable companion query but have no
+# oracle surface of their own (eigenvector sign / engine-specific hash
+# outputs). Kept out of queries()/oracle_sql() so the driver's CORRECTNESS
+# file carries zero permanent `no_oracle` rows (r07 verdict #3); still
+# benched / plan-dumped / scale-probed via helpers().
+_HELPERS: dict[str, tuple[QueryFn, str | None]] = {}
 
-def register(name: str, oracle: str | None):
+
+def register(name: str, oracle: str | None, helper: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_engine_conf(spark)  # UTC tz etc. — driver owns the session
@@ -39,7 +46,7 @@ def register(name: str, oracle: str | None):
 
         wrapped.__name__ = f"q_{name}"
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = (wrapped, oracle)
+        (_HELPERS if helper else _REGISTRY)[name] = (wrapped, oracle)
         return wrapped
 
     return deco
@@ -69,7 +76,6 @@ _DRIVER_PRIORITY: list[str] = [
     # the two ANN→recall-report conversions, the HLL→exact+boolean conversion.
     # Everything r06-green (sketch pack, TPC-H breadth, round-6 additions)
     # moved to the rotating tail.
-    "embedding_pca",
     "similarity_ann_lsh",
     "similarity_ivf_topk",
     "approx_distinct_users",
@@ -86,18 +92,21 @@ _DRIVER_PRIORITY: list[str] = [
 _DRIVER_WINDOW = 50
 
 
-def _latest_driver_round() -> dict[str, int]:
+def _latest_driver_round(root: str | None = None) -> dict[str, int]:
     """name -> latest round with a committed CORRECTNESS_r*.json row that
     actually PASSED (oracle rows: err null; rows-only rows: counted rows).
     A failed/errored row must NOT advance a query's recency — it needs
     re-verification soonest, not latest. Stable within a round (the driver
     commits round N's file after running round N's queries), advances between
-    rounds — no wall-clock dependence."""
+    rounds — no wall-clock dependence. `root` is injectable so tests can run
+    against synthesized fixture files instead of the live driver artifacts
+    (which the driver rewrites every round)."""
     import glob as _glob
     import json as _json
     import re as _re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"r(\d+)", os.path.basename(path))
@@ -150,6 +159,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: _REGISTRY[name][1] for name in _ordered() if _REGISTRY[name][1] is not None
     }
+
+
+def helpers() -> dict[str, QueryFn]:
+    """Oracle-less library entry points (see _HELPERS) for bench/plan/scale
+    harnesses — NOT part of the driver's queries() contract."""
+    _ensure_llm_registered()
+    return {name: fn for name, (fn, _) in _HELPERS.items()}
 
 
 def _events_as_railway(spark: SparkSession, sf_dir: str) -> DataFrame:

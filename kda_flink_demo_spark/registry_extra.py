@@ -1928,8 +1928,8 @@ _DRIFT_ORACLE = """
         FROM tot
     )
     SELECT dim, bucket, old_cnt, new_cnt, old_frac, new_frac, psi_micro,
-           sum(psi_micro) OVER (PARTITION BY dim) AS dim_psi_micro,
-           sum(psi_micro) OVER (PARTITION BY dim) >= 200000 AS drifted
+           CAST(sum(psi_micro) OVER (PARTITION BY dim) AS BIGINT) AS dim_psi_micro,
+           CAST(sum(psi_micro) OVER (PARTITION BY dim) AS BIGINT) >= 200000 AS drifted
     FROM per_bucket
 """
 

@@ -92,12 +92,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return standing_put(spark, ("lsh_pairs", sf_dir, 0.8), pairs)
 
 
-@register("dedup_simhash", None)
+@register("dedup_simhash", None, helper=True)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3, 16-bit-quarter blocking), all
     JVM-side. Token hash is Spark's xxhash64 (not available in DuckDB) → no SQL
     oracle; validated against ngram-Jaccard pairs in tests, and externally
-    evidenced by the hash-checkable dedup_simhash_report companion."""
+    evidenced by the hash-checkable dedup_simhash_report companion. Registered
+    as a HELPER (benched/plan-dumped, not a driver queries() row) per the r07
+    verdict: the companion is the external check surface."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -950,13 +952,15 @@ def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pca", None)
+@register("embedding_pca", None, helper=True)
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection to the top-8 principal components: one
     corpus scan of BLAS partial outer products → dim²-bounded sufficient
     statistics → driver-side eigh on the 64×64 matrix (model fitting, not a
     data collect) → broadcast map-side projection. Eigendecomposition is not
-    SQL-expressible → rows-only driver check; validated against a pure-numpy
+    SQL-expressible → registered as a HELPER (benched/plan-dumped, not a
+    driver queries() row; embedding_pca_check is the hash-green external
+    surface, per the r07 verdict); validated against a pure-numpy
     reference on a separated-spectrum fixture in tests. Output is flattened
     to det-rounded scalar columns ``pc1..pc8`` (not ``array<double>``) so
     external row-comparators can sort and count it."""

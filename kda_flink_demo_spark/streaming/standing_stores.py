@@ -456,7 +456,17 @@ def drift_between(
         int(p.rsplit("=", 1)[1]): p
         for p in _committed_seg_paths(spark, store_path)
     }
-    need = [*old_batches, *new_batches]
+    # a batch id repeated within a list would read the same parquet path
+    # twice and silently inflate that side's counts (advice finding); an id
+    # on BOTH sides makes the comparison meaningless — caller error
+    old_ids, new_ids = sorted(set(old_batches)), sorted(set(new_batches))
+    overlap = set(old_ids) & set(new_ids)
+    if overlap:
+        raise ValueError(
+            f"drift_between: batches {sorted(overlap)} appear in both "
+            "old_batches and new_batches"
+        )
+    need = [*old_ids, *new_ids]
     if not need or any(b not in segs for b in need):
         return None
 
@@ -466,8 +476,8 @@ def drift_between(
         )
 
     counted = (
-        side(old_batches, 0)
-        .unionByName(side(new_batches, 1))
+        side(old_ids, 0)
+        .unionByName(side(new_ids, 1))
         .groupBy("dim", "bucket")
         .agg(
             F.sum(F.when(F.col("_t") == 0, F.col("cnt")).otherwise(0)).alias("old_cnt"),
@@ -509,16 +519,28 @@ def compact_cms_store(spark: SparkSession, store_path: str, upto_batch: int) -> 
     # dirs may already be gone — a NEW compaction that read only seg= dirs
     # would silently drop them (fault-injection tested).
     if fs.exists(hpath(store)):
+        committed = []
         for st in fs.listStatus(hpath(store)):
             name = st.getPath().getName()
-            if not name.startswith("cseg="):
+            if name.startswith("cseg=") and is_complete(spark, f"{store}/{name}"):
+                committed.append(int(name.split("=", 1)[1]))
+        # Recover EVERY committed cseg, including one whose id equals this
+        # call's upto_batch — the old `u != upto_batch` guard meant a retry
+        # with the same upto after a mid-step-2 crash never finished the
+        # swap and instead built a second, subsumed cseg from the surviving
+        # seg dirs (advice finding). Two committed csegs can therefore
+        # coexist transiently: the HIGHER one is authoritative for all ids
+        # <= its own (it merged everything the lower one covers), so the
+        # lower is deleted outright — renaming it into a seg= dir would
+        # double-count its cells.
+        for u in sorted(committed, reverse=True):
+            if u < max(committed):
+                fs.delete(hpath(_cseg_dir(store, u)), True)
                 continue
-            u = int(name.split("=", 1)[1])
-            if u != upto_batch and is_complete(spark, f"{store}/{name}"):
-                for p in _committed_seg_paths(spark, store):
-                    if int(p.rsplit("=", 1)[1]) <= u:
-                        fs.delete(hpath(p), True)
-                fs.rename(hpath(f"{store}/{name}"), hpath(_seg_dir(store, u)))
+            for p in _committed_seg_paths(spark, store):
+                if int(p.rsplit("=", 1)[1]) <= u:
+                    fs.delete(hpath(p), True)
+            fs.rename(hpath(_cseg_dir(store, u)), hpath(_seg_dir(store, u)))
     # clamp the compacted segment's id to the NEWEST covered segment: naming
     # it after a not-yet-folded upto_batch (e.g. a watermark-style id) would
     # let that future batch's own overwrite destroy the compacted history
@@ -537,6 +559,11 @@ def compact_cms_store(spark: SparkSession, store_path: str, upto_batch: int) -> 
             fs.rename(hpath(orphan), hpath(_seg_dir(store, upto_batch)))
         return
     upto_batch = max(int(p.rsplit("=", 1)[1]) for p in covered)
+    if len(covered) == 1:
+        # a single committed segment is already its own compaction — in
+        # particular, right after the recovery above finishes a pending swap,
+        # rebuilding an identity merge of seg=<upto> would just churn the fs
+        return
     cseg = _cseg_dir(store, upto_batch)
     if not is_complete(spark, cseg):
         merged = (
