@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "tpch_q19_discounted_revenue",
     "tpch_q20_promo_part_suppliers",
     "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
     "tpch_q22_global_sales_opportunity",
     "asof_join_last_purchase",
     "asof_join_next_purchase",

@@ -1,0 +1,126 @@
+"""Perceptual image near-dup detection — the multimodal member of the dedup
+family (text: minhash/simhash/ngram; embeddings: cosine; images: THIS).
+
+Pipeline: decode payload → grayscale → 8×8 nearest resize → average hash
+(bit i = pixel i > mean) packed into one BIGINT — then the pair stage is the
+exact SimHash machinery: block on 16-bit quarters (two hashes within Hamming
+distance ≤ 3 of a 64-bit code share at least one exact quarter; wider radii
+still catch most real near-dups because perceptual perturbations cluster),
+equi-join within blocks, verify with a JVM popcount. Decode runs once per
+image in Arrow-batched mapInPandas (PIL when installed, else the pure
+PPM/PGM/BMP codec in ``imaging.py``); everything after the 8-byte hash is
+pure JVM.
+
+Scale shape: the corpus collapses to (id, 8-byte hash) in one scan — image
+bytes never enter a shuffle; the quarter-block join touches only hash rows
+and bounds candidate generation to per-block cross products (perceptually
+random images spread uniformly over 2^16 buckets per quarter). The verify is
+``bit_count(a XOR b)`` — no second decode. This is the standard production
+layout for billion-image dedup (aHash/pHash + banded exact-match blocking).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """(id, payload) → (doc_id, ahash): the 64-bit average hash of the decoded
+    image. Arrow-batched mapInPandas; unsupported formats raise the same
+    honest NotImplementedError as ``multimodal.decode_image_features``."""
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io as _io
+
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        try:  # pragma: no cover - PIL absent here; pure codec is the tested path
+            from PIL import Image
+
+            has_pil = True
+        except Exception:
+            has_pil = False
+
+        for pdf in batches:
+            hashes = []
+            for b in pdf[payload_col]:
+                if has_pil:  # pragma: no cover
+                    img = Image.open(_io.BytesIO(bytes(b))).convert("L").resize((8, 8))
+                    small = np.asarray(img, dtype=np.int64)
+                else:
+                    _w, _h, c, px = imaging.decode_image(bytes(b))
+                    px64 = px.astype(np.int64)
+                    gray = (
+                        px64[:, :, 0]
+                        if c == 1
+                        else (299 * px64[:, :, 0] + 587 * px64[:, :, 1] + 114 * px64[:, :, 2]) // 1000
+                    )
+                    small = imaging.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+                bits = (small > small.mean()).flatten()
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                # two's-complement into a signed 64-bit long for the JVM column
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate image pairs (id_a < id_b, hamming ≤ max_hamming) via
+    quarter blocking over the aHash table. Candidate recall: exact for
+    max_hamming ≤ 3 (pigeonhole over 4 quarters); above that, a pair is
+    missed only when all four quarters differ — rare for perceptual
+    perturbations, which concentrate flips in few bit positions.
+    Rows: (id_a, id_b, hamming)."""
+    hashes = image_ahash(df, id_col=id_col, payload_col=payload_col)
+    quartered = hashes.select(
+        F.col("doc_id"),
+        F.col("ahash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("ahash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "ahash", F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
+    a = quartered.select(
+        F.col("q"), F.col("qv"), F.col("doc_id").alias("id_a"), F.col("ahash").alias("h_a")
+    )
+    b = quartered.select(
+        F.col("q"), F.col("qv"), F.col("doc_id").alias("id_b"), F.col("ahash").alias("h_b")
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["q", "qv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,145 @@
+"""Pure-python/numpy media codecs for the multimodal real-decode path.
+
+This container has no PIL/librosa and installs are off-limits, so the
+``real_decode=True`` stages fall back to these minimal, dependency-free
+decoders: binary PPM/PGM (P6/P5) and uncompressed 24-bit BMP for images,
+stdlib ``wave`` (16-bit PCM) for audio. They exist so the REAL decode path —
+bytes → pixels/samples → features, through the exact mapInPandas contract the
+production stage uses — executes and is tested here, not just stubbed.
+Formats outside this set raise NotImplementedError naming the library that
+would handle them (PIL / librosa), keeping the gate honest.
+
+Scale note: these run inside Arrow-batched mapInPandas workers exactly like a
+PIL/librosa-backed decode would — partition-local, never on the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+
+import numpy as np
+
+
+def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse ``n_tokens`` whitespace/comment-separated ASCII integers after
+    the magic, returning (values, offset_of_binary_data)."""
+    vals: list[int] = []
+    i = 2  # past the 2-byte magic
+    while len(vals) < n_tokens:
+        if i >= len(b):
+            raise ValueError("truncated PPM/PGM header")
+        c = b[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < len(b) and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+    return vals, i + 1  # exactly one whitespace byte separates header and data
+
+
+def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """bytes → (width, height, channels, uint8 pixels shaped (h, w, c)).
+
+    Supports binary PPM (P6, RGB), binary PGM (P5, gray), and uncompressed
+    24-bit bottom-up BMP. Anything else needs PIL."""
+    if b[:2] == b"P6" or b[:2] == b"P5":
+        (w, h, maxval), off = _ppm_header_tokens(b, 3)
+        if maxval != 255:
+            raise ValueError(f"only maxval=255 PPM/PGM supported, got {maxval}")
+        c = 3 if b[:2] == b"P6" else 1
+        need = w * h * c
+        data = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+        return w, h, c, data.reshape(h, w, c)
+    if b[:2] == b"BM":
+        if len(b) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+        planes, bpp = struct.unpack_from("<HH", b, 26)
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if hdr_size < 40 or bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                "only uncompressed 24-bit BMP decodes without PIL"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        row_stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=row_stride * h, offset=data_off
+        ).reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return w, h, 3, rows[:, :, ::-1].copy()  # BGR → RGB
+    raise NotImplementedError(
+        "image format not decodable without PIL (pure-python path handles "
+        "P6/P5 PPM/PGM and uncompressed 24-bit BMP)"
+    )
+
+
+def grayscale_mean(pixels: np.ndarray) -> float:
+    """Mean luma over the image using PIL's convert('L') integer formula
+    (ITU-R 601-2, truncating): L = (299·R + 587·G + 114·B) // 1000 — so the
+    pure backend and a PIL backend agree bit-for-bit on RGB input."""
+    px = pixels.astype(np.int64)
+    if px.shape[2] == 1:
+        luma = px[:, :, 0]
+    else:
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    return float(luma.mean())
+
+
+def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (floor index mapping) — pure numpy take."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    yi = (np.arange(target_h) * h // target_h).astype(np.int64)
+    xi = (np.arange(target_w) * w // target_w).astype(np.int64)
+    return pixels[yi][:, xi]
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → binary P6 PPM bytes (the pure-path resize output
+    container; a PIL backend would emit PNG — checksums are backend-tagged)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    if pixels.shape[2] == 1:
+        pixels = np.repeat(pixels, 3, axis=2)
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """bytes → (sample_rate, n_frames, channels, float64 samples in [-1, 1)).
+
+    Stdlib ``wave`` handles PCM WAV without librosa; only 16-bit PCM is
+    accepted (the one production format a librosa-free reader can do
+    faithfully)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "non-WAV audio payload requires librosa/soundfile (pure-python "
+            "path reads 16-bit PCM WAV via the stdlib)"
+        )
+    with wave.open(io.BytesIO(b)) as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                "only 16-bit PCM WAV decodes without librosa/soundfile"
+            )
+        sr = wf.getframerate()
+        nf = wf.getnframes()
+        ch = wf.getnchannels()
+        raw = wf.readframes(nf)
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    return sr, nf, ch, samples
+
+
+def rms_of(samples: np.ndarray, round_digits: int = 4) -> float | None:
+    if samples.size == 0:
+        return None
+    scale = 10.0 ** round_digits
+    return math.floor(math.sqrt(float(np.mean(samples * samples))) * scale + 0.5) / scale

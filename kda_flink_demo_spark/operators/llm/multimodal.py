@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode step is STUBBED (this container has no image/audio libraries): a
-clearly-marked deterministic fake derives metadata from the raw bytes, and
-``real_decode=True`` raises NotImplementedError until PIL/librosa are present.
+Two decode tiers (this container has no PIL/librosa):
+- the default STUB: a clearly-marked deterministic fake derives metadata from
+  the raw bytes — oracle-hash-checkable, exercises the full Spark plumbing;
+- ``real_decode=True``: ACTUAL bytes→pixels/samples decoding — PIL/librosa
+  when installed, else the dependency-free codecs in ``imaging.py`` (binary
+  PPM/PGM, uncompressed 24-bit BMP, 16-bit PCM WAV via stdlib ``wave``).
+  Formats beyond that set raise NotImplementedError at decode time naming
+  the library that would handle them, keeping the gate honest.
 Everything Spark-side — schema contract, Arrow batch shape, partition-parallel
-execution, row-expanding frame sampling — is real and oracle-tested.
+execution, row-expanding frame sampling — is identical across tiers.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas keeps
 them off the driver entirely and processes partition-local Arrow batches, so
@@ -49,15 +54,11 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
     oracle's octet_length), height/brightness from the decoded string's
     CODEPOINTS (the oracle's ord(text[i]) indexes characters, not bytes, so the
     stub must too or any multi-byte UTF-8 document diverges). With
-    ``real_decode`` and PIL installed this is where Image.open(BytesIO(...))
-    goes — same schema, same batch shape.
+    ``real_decode``, actual pixels are decoded — PIL when installed, else the
+    pure PPM/PGM/BMP codec in ``imaging.py``; brightness is the mean of PIL's
+    integer ITU-R 601-2 luma on both backends, so they agree bit-for-bit on
+    the shared formats.
     """
-    if real_decode and not _HAS_PIL:
-        raise NotImplementedError(
-            "real image decode requires PIL, which is not installed in this "
-            "container; run with real_decode=False for the deterministic stub"
-        )
-
     if real_decode:
 
         def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -65,18 +66,25 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
             import math
 
             import pandas as pd
-            from PIL import Image
+
+            from kda_flink_demo_spark.operators.llm import imaging
 
             for pdf in batches:
                 widths, heights, chans, bright = [], [], [], []
                 for b in pdf["payload"]:
-                    img = Image.open(_io.BytesIO(bytes(b)))
-                    widths.append(img.width)
-                    heights.append(img.height)
-                    chans.append(len(img.getbands()))
-                    gray = img.convert("L")
-                    px = list(gray.getdata())
-                    mean = sum(px) / max(len(px), 1)
+                    if _HAS_PIL:
+                        from PIL import Image
+
+                        img = Image.open(_io.BytesIO(bytes(b)))
+                        w, h, c = img.width, img.height, len(img.getbands())
+                        px = list(img.convert("L").getdata())
+                        mean = sum(px) / max(len(px), 1)
+                    else:
+                        w, h, c, pixels = imaging.decode_image(bytes(b))
+                        mean = imaging.grayscale_mean(pixels)
+                    widths.append(w)
+                    heights.append(h)
+                    chans.append(c)
                     bright.append(math.floor(mean * 1e4 + 0.5) / 1e4)
                 yield pd.DataFrame(
                     {
@@ -138,13 +146,40 @@ def decode_audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame
     typed audio features via mapInPandas. STUB: deterministic fake — sample
     rate from the first CODEPOINT (matching the oracle's character-domain
     ord()), sample count from the BYTE length (octet_length), RMS from the
-    first 32 codepoints. Real decode (librosa/soundfile, absent here) slots
-    into the same schema."""
+    first 32 codepoints. ``real_decode``: 16-bit PCM WAV parsed by the stdlib
+    ``wave`` codec in ``imaging.py`` (librosa-free); compressed formats raise
+    NotImplementedError at decode time. Same schema either way; n_samples is
+    the FRAME count, rms over all channels' normalized [-1, 1) samples."""
     if real_decode:
-        raise NotImplementedError(
-            "real audio decode requires librosa/soundfile, not installed in this "
-            "container; run with real_decode=False for the deterministic stub"
-        )
+
+        def _decode_real(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import math
+
+            import pandas as pd
+
+            from kda_flink_demo_spark.operators.llm import imaging
+
+            for pdf in batches:
+                srs, ns, durs, rmss = [], [], [], []
+                for b in pdf["payload"]:
+                    sr, nf, _ch, samples = imaging.decode_wav(bytes(b))
+                    srs.append(sr)
+                    ns.append(nf)
+                    durs.append(
+                        math.floor(nf / sr * 1e4 + 0.5) / 1e4 if sr else None
+                    )
+                    rmss.append(imaging.rms_of(samples))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "sample_rate": pd.array(srs, dtype="Int32"),
+                        "n_samples": pd.Series(ns, dtype="int64"),
+                        "duration_sec": pd.array(durs, dtype="Float64"),
+                        "rms": pd.array(rmss, dtype="Float64"),
+                    }
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_decode_real, AUDIO_SCHEMA)
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math
@@ -305,18 +340,14 @@ def resize_images(
     ``keep_n = min(n, n·tw·th div (in_w·in_h))`` — integer division on both
     engines, so no float boundary can disagree. The output carries
     ``md5(prefix)`` instead of raw bytes (verifiable without hashing binary
-    columns in the comparator). With ``real_decode`` and PIL this is
-    ``Image.open → resize((tw,th)) → PNG bytes → md5`` via the same
-    mapInPandas shape as the decode stage.
+    columns in the comparator). With ``real_decode``, actual pixels are
+    resized: PIL when installed (``resize((tw,th))`` → PNG bytes), else the
+    pure codec (nearest-neighbor numpy resize → P6 PPM bytes) — the checksum
+    container is backend-specific by design, the geometry columns are not.
 
     Scale notes: the stub is a narrow all-JVM projection (no Python at all —
     resize planning/bookkeeping costs scan speed); the real path decodes
     partition-local Arrow batches exactly like ``decode_image_features``."""
-    if real_decode and not _HAS_PIL:
-        raise NotImplementedError(
-            "real image resize requires PIL, which is not installed in this "
-            "container; run with real_decode=False for the deterministic stub"
-        )
     if real_decode:
 
         def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -324,17 +355,28 @@ def resize_images(
             import io as _io
 
             import pandas as pd
-            from PIL import Image
+
+            from kda_flink_demo_spark.operators.llm import imaging
 
             for pdf in batches:
                 in_w, in_h, nout, md5s = [], [], [], []
                 for b in pdf["payload"]:
-                    img = Image.open(_io.BytesIO(bytes(b)))
-                    in_w.append(img.width)
-                    in_h.append(img.height)
-                    buf = _io.BytesIO()
-                    img.resize((target_w, target_h)).save(buf, format="PNG")
-                    out = buf.getvalue()
+                    if _HAS_PIL:
+                        from PIL import Image
+
+                        img = Image.open(_io.BytesIO(bytes(b)))
+                        in_w.append(img.width)
+                        in_h.append(img.height)
+                        buf = _io.BytesIO()
+                        img.resize((target_w, target_h)).save(buf, format="PNG")
+                        out = buf.getvalue()
+                    else:
+                        w, h, _c, pixels = imaging.decode_image(bytes(b))
+                        in_w.append(w)
+                        in_h.append(h)
+                        out = imaging.encode_ppm(
+                            imaging.resize_nearest(pixels, target_w, target_h)
+                        )
                     nout.append(len(out))
                     # same checksum form as the stub: md5 of the lowercase hex
                     md5s.append(hashlib.md5(out.hex().encode()).hexdigest())

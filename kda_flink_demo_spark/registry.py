@@ -125,8 +125,16 @@ def _latest_driver_round(root: str | None = None) -> dict[str, int]:
             continue
         for n, row in rows.items():
             err = row.get("err") if isinstance(row, dict) else "malformed"
-            passed = err is None or (
-                err == "no_oracle" and row.get("spark_rows") is not None
+            # an explicit hash/rows/schema mismatch is a FAILED check even
+            # with err null (r07: corpus_drift_report ran fine but hash-red —
+            # it must rotate back in soonest, not sort as freshly-verified)
+            mismatched = isinstance(row, dict) and any(
+                row.get(k) is False
+                for k in ("hash_match", "rows_match", "schema_match")
+            )
+            passed = not mismatched and (
+                err is None
+                or (err == "no_oracle" and row.get("spark_rows") is not None)
             )
             if passed:
                 latest[n] = max(latest.get(n, -1), rnd)

@@ -8,7 +8,12 @@ engine gets from Catalyst, on the exact TPC-H access patterns that dominate
 
 Adaptation notes (testdata is TPC-H-*ish*, TESTDATA.md): there is no partsupp
 table and lineitem lacks commitdate/receiptdate/shipmode/shipinstruct, so
-- Q2 / Q11 are not expressible (no partsupp) and are intentionally absent;
+- Q2 / Q11 run over a SYNTHESIZED partsupp proxy — the distinct (l_partkey,
+  l_suppkey) pairs observed in lineitem, with ps_supplycost := min unit price
+  (l_extendedprice / l_quantity) and ps_availqty := total quantity; Q2 keeps
+  its correlated-min-cost-supplier shape (region-filtered), Q11 its
+  HAVING-over-global-share shape (threshold = 2× the mean per-part value,
+  scale-free where the textbook's fixed 0.0001 fraction empties at higher SF);
 - Q21 is adapted: the Q4 lateness proxy replaces receiptdate>commitdate, and
   the correlated EXISTS/NOT-EXISTS pair is rewritten as one per-order
   (n_supp, n_late_supp) aggregate — verified row-equal against the textbook
@@ -18,8 +23,8 @@ table and lineitem lacks commitdate/receiptdate/shipmode/shipinstruct, so
 - Q12 groups by l_linestatus instead of l_shipmode;
 - Q16/Q17/Q19/Q20 substitute available part attributes for container/shipmode.
 Together with pricing_summary (Q1), tpch_q3/q6/q14/q18 in registry_extra and
-revenue_by_region (Q5-star shape) in registry, 20 of the 22 TPC-H query shapes
-are covered.
+revenue_by_region (Q5-star shape) in registry, all 22 TPC-H query shapes are
+covered.
 
 Physical-strategy policy (same as operators/relational.py): dimension tables
 (region/nation/supplier/part/customer) broadcast explicitly — at 100 TB the
@@ -668,4 +673,186 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 — the two shapes that need partsupp, run over a synthesized proxy:
+# distinct (part, supplier) pairs from lineitem with min-unit-price supplycost
+# and total-quantity availqty. One lineitem scan builds the proxy (partial→
+# final on the (partkey, suppkey) shuffle); everything downstream is
+# aggregate-sized. Reference shapes: classic TPC-H Q2 correlated-min, Q11
+# group-HAVING-over-global-share.
+# ---------------------------------------------------------------------------
+
+
+def _partsupp_proxy(spark: SparkSession, sf_dir: str, with_qty: bool = False) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    aggs = [F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")]
+    if with_qty:
+        # quantities are integral in the fixture; casting BEFORE the sum makes
+        # it an integer fold — summation order can never move a bit
+        aggs.append(F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"))
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(*aggs)
+
+
+def _region_suppliers(
+    spark: SparkSession, sf_dir: str, r_name: str, cols: list[str]
+) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                nation.join(
+                    broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(*cols)
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type,
+           floor(ps_supplycost * 100 + 0.5) / 100.0 AS supplycost
+    FROM part p
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN eu ON ps_suppkey = s_suppkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM ps ps2 JOIN eu eu2 ON ps2.ps_suppkey = eu2.s_suppkey
+          WHERE ps2.ps_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) over the partsupp proxy: for
+    STANDARD parts of size ≤ 15, the EUROPE supplier(s) whose supplycost hits
+    the per-part regional minimum. The oracle keeps the textbook correlated
+    scalar subquery; the Spark plan rewrites it as a per-part window MIN over
+    the region-filtered proxy — one proxy build, no second lineitem pass —
+    and the (broadcast) part filter lands BEFORE the window: the min is per
+    part over region suppliers, so pre-selecting parts shrinks the window
+    input without changing any min. The min comparison is on raw doubles
+    derived identically in both engines (one IEEE division, order-free min),
+    so equality cannot flap; only the EMITTED cost is det-rounded. Supplier/
+    nation/region and the filtered part list broadcast; top-100 is
+    TakeOrdered with a total-order tie-break."""
+    from pyspark.sql import Window
+
+    ps = _partsupp_proxy(spark, sf_dir)
+    eu = _region_suppliers(
+        spark, sf_dir, "EUROPE", ["s_suppkey", "s_name", "s_acctbal", "n_name"]
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand", "p_type")
+    cand = ps.join(
+        broadcast(parts), F.col("ps_partkey") == F.col("p_partkey")
+    ).join(broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type",
+            det_round(F.col("ps_supplycost"), 2).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    asup AS (
+        SELECT s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    grouped AS (
+        SELECT ps_partkey,
+               CAST(sum(CAST(floor(ps_supplycost * 1000000.0 + 0.5) AS BIGINT)
+                        * ps_availqty) AS BIGINT) AS value_micro
+        FROM ps JOIN asup ON ps_suppkey = s_suppkey
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(value_micro) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n
+        FROM grouped
+    )
+    SELECT ps_partkey, value_micro
+    FROM grouped, tot
+    WHERE value_micro > CAST(floor(2.0 * t / n) AS BIGINT)
+    ORDER BY value_micro DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock = parts whose ASIA-supplied value
+    exceeds a share of the GLOBAL total) over the partsupp proxy. Adaptation:
+    threshold = 2× the mean per-part value — scale-free, where the textbook's
+    fixed 0.0001 fraction selects everything at toy SF and nothing at big SF.
+    Determinism: value is an INTEGER (micro-unit supplycost × integer qty), so
+    the per-part and global sums are fold-order-exact in both engines; the
+    threshold divides via double (floor(2·t/n)) computed identically on both
+    sides. Plan: one lineitem scan builds the proxy; the ASIA filter is a
+    broadcast semi-join; the per-part aggregate is localCheckpointed
+    (aggregate-sized) so the global (total, count) — a 1-row broadcast join,
+    not a single-partition window, which would serialize a dim-sized table at
+    100 TB — doesn't recompute the scan."""
+    ps = _partsupp_proxy(spark, sf_dir, with_qty=True)
+    asup = _region_suppliers(spark, sf_dir, "ASIA", ["s_suppkey"])
+    v = (
+        F.floor(F.col("ps_supplycost") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        * F.col("ps_availqty")
+    )
+    grouped = (
+        ps.join(broadcast(asup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", v.alias("_v"))
+        .groupBy("ps_partkey")
+        .agg(F.sum("_v").cast("long").alias("value_micro"))
+        .localCheckpoint()
+    )
+    tot = grouped.agg(
+        F.sum("value_micro").cast("long").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    return (
+        grouped.crossJoin(broadcast(tot))
+        .filter(
+            F.col("value_micro")
+            > F.floor(F.lit(2.0) * F.col("_t") / F.col("_n")).cast("long")
+        )
+        .select("ps_partkey", "value_micro")
+        .orderBy(F.col("value_micro").desc(), "ps_partkey")
     )

@@ -144,9 +144,11 @@ def sliding_range_count_tws(
     stateful API (typed ListState, timers, TTL). Kept alongside the
     applyInPandasWithState version to cover both API generations; results are
     asserted identical in tests. REQUIRES the RocksDB state-store provider
-    (jobs.use_rocksdb_state) and the ``protobuf`` package (the TWS state-server
-    protocol) — absent in this container, so the test auto-skips locally; the
-    applyInPandasWithState twin above is the locally-verified path.
+    (jobs.use_rocksdb_state) and a ``google.protobuf`` runtime (the TWS
+    state-server protocol) — this container has none installed, but
+    ``protobuf_compat`` shims one from the google-cloud-sdk's bundled
+    pure-python copy (see ``pb_shim/sitecustomize.py``), so the parity test
+    RUNS here; on hosts with no shimmable protobuf it env-gates to a skip.
 
     State design: one ListState of int64 micros per key, replaced wholesale each
     batch after watermark pruning (the list is bounded by rate × interval)."""

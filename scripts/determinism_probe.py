@@ -26,7 +26,10 @@ def main() -> None:
 
     spark = get_spark("determinism-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = registry.queries()
+    # helpers() = the oracle-less library entries (embedding_pca,
+    # dedup_simhash) — this probe is their only external value check, so they
+    # must stay covered after their demotion from queries()
+    qs = {**registry.helpers(), **registry.queries()}
     bad, errs = [], []
     t_start = time.time()
     def canon(df):

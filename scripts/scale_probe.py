@@ -321,6 +321,80 @@ def main() -> None:
     bench("embedding_pq", _emb.pq_encode(emb))
     bench("similarity_pq_adc", pq_adc_topk(emb, [0, 1, 2, 3, 4], k=5, shortlist=200))
 
+    # TPC-H Q2/Q11 over the partsupp proxy at 8×: same plan as
+    # registry_tpch (one lineitem scan → (partkey, suppkey) partial→final;
+    # broadcast dims; Q11's global total as a 1-row broadcast)
+    from pyspark.sql import Window as _W
+
+    from pyspark.sql.functions import broadcast as _bc
+
+    supplier = load_table(spark, SF_DIR, "supplier")
+    part = load_table(spark, SF_DIR, "part")
+    ps8 = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+    )
+    eu8 = supplier.join(
+        _bc(
+            nation.join(
+                _bc(region.filter(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    parts8 = part.filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand", "p_type")
+    q2_cand = ps8.join(_bc(parts8), F.col("ps_partkey") == F.col("p_partkey")).join(
+        _bc(eu8), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    bench(
+        "tpch_q2_min_cost_supplier",
+        q2_cand.withColumn("_min", F.min("ps_supplycost").over(_W.partitionBy("p_partkey")))
+        .filter(F.col("ps_supplycost") == F.col("_min"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100),
+    )
+    asup8 = supplier.join(
+        _bc(
+            nation.join(
+                _bc(region.filter(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+
+    def _q11():
+        v = (
+            F.floor(F.col("ps_supplycost") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+            * F.col("ps_availqty")
+        )
+        grouped = (
+            ps8.join(_bc(asup8), F.col("ps_suppkey") == F.col("s_suppkey"))
+            .select("ps_partkey", v.alias("_v"))
+            .groupBy("ps_partkey")
+            .agg(F.sum("_v").cast("long").alias("value_micro"))
+            .localCheckpoint()
+        )
+        tot = grouped.agg(
+            F.sum("value_micro").cast("long").alias("_t"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        return (
+            grouped.crossJoin(_bc(tot))
+            .filter(
+                F.col("value_micro")
+                > F.floor(F.lit(2.0) * F.col("_t") / F.col("_n")).cast("long")
+            )
+            .orderBy(F.col("value_micro").desc(), "ps_partkey")
+        )
+
+    bench_lazy("tpch_q11_important_stock", _q11)
+
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
 

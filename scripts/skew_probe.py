@@ -90,6 +90,66 @@ def main() -> None:
 
     t_rank_prefix = bench(grouped_rank(docs, "source", ["doc_id"], out_col="r"))
 
+    # HOT-TERM corpus for the round-7 text ops: one stopword ("the") is ~50%
+    # of all term occurrences — the worst-case posting list / heavy-hitter
+    # key. inverted_index must stay bounded (rank-filter BEFORE collect_list
+    # caps the hot term's state at postings_cap) and cms_heavy_hitters is
+    # constant-state by construction (partial→final sketch cells); the naive
+    # baseline collects the hot term's FULL posting list into one reducer row.
+    from kda_flink_demo_spark.functions import spread_for_compute
+    from kda_flink_demo_spark.operators.llm.text import inverted_index
+    from kda_flink_demo_spark.operators.sketches import cms_heavy_hitters_report
+
+    docs0 = spread_for_compute(load_table(spark, SF_DIR, "documents"))
+    dparts = [
+        docs0.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(max(replicas // 2, 1))
+    ]
+    docs_rep = dparts[0]
+    for p in dparts[1:]:
+        docs_rep = docs_rep.unionByName(p)
+    # prefix ~40 copies of the hot term: fixture docs average ~40 tokens, so
+    # the hot term lands near 50% of term rows
+    hot_docs = docs_rep.withColumn(
+        "text", F.concat(F.expr("repeat('the ', 40)"), F.col("text"))
+    ).localCheckpoint()
+    n_docs = hot_docs.count()
+    term_rows = hot_docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    hot_share = (
+        term_rows.agg(
+            F.avg((F.col("term") == "the").cast("double")).alias("s")
+        ).first()["s"]
+    )
+
+    t_inverted_hot = bench(inverted_index(hot_docs, postings_cap=20, min_df=2))
+    # sanity: the hot term's STATE is bounded at cap while its doc_freq still
+    # counts every document
+    hot_row = (
+        inverted_index(hot_docs, postings_cap=20, min_df=2)
+        .filter(F.col("term") == "the")
+        .select(
+            F.size(F.split("postings", ",")).alias("p"),  # CSV posting list
+            "doc_freq",
+        )
+        .first()
+    )
+    assert hot_row["p"] == 20 and hot_row["doc_freq"] == n_docs
+
+    naive_index = (
+        hot_docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.collect_list("doc_id").alias("postings"),  # UNBOUNDED hot state
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+    t_inverted_naive = bench(naive_index)
+
+    t_cms_hot = bench(cms_heavy_hitters_report(hot_docs, k=10))
+
     n = ev.count()
     print(
         json.dumps(
@@ -101,6 +161,11 @@ def main() -> None:
                 "topk_twophase_sec": t_cap_twophase,
                 "rank_naive_sec": t_rank_naive,
                 "rank_prefix_sec": t_rank_prefix,
+                "hot_term_docs": n_docs,
+                "hot_term_share": round(hot_share, 3),
+                "inverted_index_hot_sec": t_inverted_hot,
+                "inverted_naive_hot_sec": t_inverted_naive,
+                "cms_hot_sec": t_cms_hot,
             }
         )
     )

@@ -128,9 +128,12 @@ def test_multimodal_frames_match_oracle_on_unicode(unicode_docs):
 
 
 def test_real_decode_requires_pil_or_runs(spark, unicode_docs):
-    """real_decode=True is an honest gate: without PIL it raises
-    NotImplementedError; with PIL present it decodes real image bytes through
-    the same mapInPandas contract (same schema, same batch shape)."""
+    """real_decode=True is an honest gate: payloads the pure PPM/PGM/BMP
+    codec can't parse raise NotImplementedError naming PIL at DECODE time
+    (round 8 moved the gate from construction — the pure codecs make the
+    real path runnable on supported formats; tests/test_round8_ops.py covers
+    those); with PIL present any format decodes through the same mapInPandas
+    contract."""
     df, _, _ = unicode_docs
     payloads = multimodal.attach_binary_payload(df)
     try:
@@ -143,10 +146,14 @@ def test_real_decode_requires_pil_or_runs(spark, unicode_docs):
     if not has_pil:
         import pytest as _pytest
 
-        with _pytest.raises(NotImplementedError, match="PIL"):
-            multimodal.decode_image_features(payloads, real_decode=True)
-        with _pytest.raises(NotImplementedError, match="PIL"):
-            multimodal.resize_images(payloads, real_decode=True)
+        # text bytes are not a decodable image format → the honest gate fires
+        # inside the executor (Spark wraps the worker's NotImplementedError)
+        with _pytest.raises(Exception, match="PIL"):
+            multimodal.decode_image_features(payloads, real_decode=True).collect()
+        with _pytest.raises(Exception, match="PIL"):
+            multimodal.resize_images(payloads, real_decode=True).collect()
+        with _pytest.raises(Exception, match="librosa"):
+            multimodal.decode_audio_features(payloads, real_decode=True).collect()
         return
 
     # PIL present (not in this container, but the path must work where it is):

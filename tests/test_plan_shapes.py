@@ -471,3 +471,30 @@ def test_tpch_q21_single_fact_scan_no_expand(spark):
     # lineitem + orders + supplier + nation — each exactly once
     assert plan.count("Scan parquet") == 4, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_tpch_q2_single_lineitem_scan_broadcast_dims(spark):
+    """Q2's proxy build must scan lineitem ONCE (the correlated-min rewrite
+    rides a per-part window, not a second pass), every dim side must
+    broadcast, and the top-100 must be TakeOrdered."""
+    from kda_flink_demo_spark import registry
+
+    plan = _plan(registry.queries()["tpch_q2_min_cost_supplier"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 5, plan  # lineitem + 4 dims, once each
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q11_global_total_is_one_row_broadcast(spark):
+    """Q11's global (total, count) must reach the per-part table as a 1-row
+    broadcast cross join over the localCheckpointed aggregate — no second
+    lineitem scan (no parquet scan at all downstream of the checkpoint) and
+    no single-partition window over the dim-sized table."""
+    from kda_flink_demo_spark import registry
+
+    plan = _plan(registry.queries()["tpch_q11_important_stock"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan  # checkpoint cut the scan lineage
+    assert plan.count("Scan ExistingRDD") == 2, plan  # grouped reused twice
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
+    assert "Window" not in plan, plan  # never a global single-partition window

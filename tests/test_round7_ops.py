@@ -489,12 +489,15 @@ def test_latest_driver_round_ignores_failed_rows(tmp_path):
                       "hash_match": None, "spark_rows": 500,
                       "oracle_rows": None, "err": "no_oracle"}
     rows_only_crashed = dict(rows_only_done, spark_rows=None)
+    hash_red = dict(green, hash_match=False)
 
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(
-        {"q_green": green, "q_crash": green, "q_rowsonly": rows_only_done}))
+        {"q_green": green, "q_crash": green, "q_rowsonly": rows_only_done,
+         "q_hashred": green}))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
         {"q_green": green, "q_crash": crashed,
-         "q_rowsonly": rows_only_crashed, "q_new_crash": crashed}))
+         "q_rowsonly": rows_only_crashed, "q_new_crash": crashed,
+         "q_hashred": hash_red}))
     # malformed container + malformed row must be tolerated, not crash
     (tmp_path / "CORRECTNESS_r03.json").write_text("[1, 2]")
     (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps(
@@ -506,6 +509,8 @@ def test_latest_driver_round_ignores_failed_rows(tmp_path):
     assert latest.get("q_rowsonly") == 1       # completed rows-only counts;
     #                                            r02's null-rows crash doesn't
     assert "q_new_crash" not in latest         # only-ever-failed → no recency
+    assert latest.get("q_hashred") == 1        # err-null but hash_match False
+    #                                            is a FAILED check (r07 drift)
 
 
 def test_approx_distinct_report_ignores_null_values(spark):

@@ -207,8 +207,173 @@ def test_pq_adc_topk_rejects_empty_codebook(spark):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal REAL decode (r07 verdict #6): the pure PPM/BMP/WAV codecs make
+# real_decode=True actually execute in this container — one green test per
+# modality, with the honest NotImplementedError gate still covered in
+# test_edge_parity.py::test_real_decode_requires_pil_or_runs.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(w, h, pixels):
+    """pixels: list of (r, g, b) rows-major."""
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(v for px in pixels for v in px)
+
+
+def _bmp24_bytes(w, h, pixels):
+    """Uncompressed bottom-up 24-bit BMP; pixels rows-major top-down RGB."""
+    import struct
+
+    row_stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixels[y * w + x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_stride - len(row))
+        data += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return bytes(header + info + data)
+
+
+def _wav_bytes(rate, frames, amplitude):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{frames}h", *([amplitude] * frames)))
+    return buf.getvalue()
+
+
+def test_real_image_decode_ppm_and_bmp(spark):
+    from kda_flink_demo_spark.operators.llm import multimodal
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+          (255, 255, 255), (0, 0, 0), (128, 128, 128)]
+    ppm = _ppm_bytes(3, 2, px)
+    bmp = _bmp24_bytes(3, 2, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in
+           multimodal.decode_image_features(df, real_decode=True).collect()}
+    # integer ITU-R 601-2 luma: (299R+587G+114B)//1000 per pixel, then mean
+    lumas = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in px]
+    import math
+    want_bright = math.floor(sum(lumas) / len(lumas) * 1e4 + 0.5) / 1e4
+    for doc_id, nb in ((1, len(ppm)), (2, len(bmp))):
+        r = out[doc_id]
+        assert (r.width, r.height, r.channels) == (3, 2, 3)
+        assert r.brightness == want_bright  # both containers, same pixels
+        assert r.n_bytes == nb
+
+
+def test_real_audio_decode_wav(spark):
+    from kda_flink_demo_spark.operators.llm import multimodal
+
+    wav = _wav_bytes(8000, 4000, 16384)  # constant 0.5 amplitude
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, payload binary")
+    r = multimodal.decode_audio_features(df, real_decode=True).collect()[0]
+    assert r.sample_rate == 8000
+    assert r.n_samples == 4000
+    assert r.duration_sec == 0.5
+    assert r.rms == 0.5  # 16384/32768 exactly
+
+
+def test_real_resize_nearest_known_pixels(spark):
+    import hashlib
+
+    from kda_flink_demo_spark.operators.llm import multimodal
+
+    # 4x4 quadrant image: nearest floor mapping to 2x2 picks rows/cols 0 and 2
+    # — the top-left pixel of each 2x2 quadrant
+    quad = {(0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+            (1, 0): (0, 0, 255), (1, 1): (255, 255, 0)}
+    px = [quad[(y // 2, x // 2)] for y in range(4) for x in range(4)]
+    src = _ppm_bytes(4, 4, px)
+    want_out = _ppm_bytes(2, 2, [quad[(0, 0)], quad[(0, 1)],
+                                 quad[(1, 0)], quad[(1, 1)]])
+    df = spark.createDataFrame([(3, bytearray(src))], "doc_id long, payload binary")
+    r = multimodal.resize_images(df, target_w=2, target_h=2, real_decode=True).collect()[0]
+    assert (r.in_w, r.in_h, r.out_w, r.out_h) == (4, 4, 2, 2)
+    assert r.n_bytes_out == len(want_out)
+    assert r.out_md5 == hashlib.md5(want_out.hex().encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
 # Registry hygiene: helpers out of the driver surface (r07 verdict #3)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (aHash + quarter blocking over REAL decoded pixels)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_img(w, h, seed, flips=0):
+    """Deterministic pseudo-image with high-contrast structure; `flips`
+    inverts that many pixels — a small perceptual perturbation."""
+    px = []
+    for y in range(h):
+        for x in range(w):
+            v = 255 if ((x * 7 + y * 13 + seed * 31) % 97) > 48 else 0
+            px.append((v, v, v))
+    for i in range(flips):
+        j = (i * 53 + seed) % len(px)
+        v = 255 - px[j][0]
+        px[j] = (v, v, v)
+    return _ppm_bytes(w, h, px)
+
+
+def test_image_ahash_is_deterministic_and_structural(spark):
+    from kda_flink_demo_spark.operators.llm.image_dedup import image_ahash
+
+    imgs = [(i, bytearray(_gradient_img(16, 16, seed=i))) for i in range(4)]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    h1 = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    h2 = {r.doc_id: r.ahash for r in image_ahash(df.repartition(3)).collect()}
+    assert h1 == h2  # partitioning-invariant
+    assert len(set(h1.values())) == 4  # distinct structures → distinct hashes
+
+
+def test_image_near_dup_pairs_finds_perturbed_copies_only(spark):
+    from kda_flink_demo_spark.operators.llm.image_dedup import image_near_dup_pairs
+
+    rows = []
+    # three distinct base images, each with one lightly-perturbed copy
+    for i in range(3):
+        rows.append((i * 10, bytearray(_gradient_img(16, 16, seed=i))))
+        rows.append((i * 10 + 1, bytearray(_gradient_img(16, 16, seed=i, flips=2))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.id_a, r.id_b) for r in image_near_dup_pairs(df, max_hamming=5).collect()}
+    assert {(0, 1), (10, 11), (20, 21)} <= pairs  # every copy found
+    # no cross-base pair survives the hamming verify
+    assert all(a // 10 == b // 10 for a, b in pairs)
+
+
+def test_protobuf_compat_shims_tws_protocol():
+    """The shim makes the transformWithStateInPandas protocol importable in
+    this interpreter (idempotently); where it reports available, pyspark's
+    protobuf-6 gencode must actually build messages on the shimmed runtime.
+    The end-to-end streaming parity lives in
+    tests/test_streaming.py::test_transform_with_state_matches_batch."""
+    from kda_flink_demo_spark.streaming import protobuf_compat
+
+    assert os.path.isdir(protobuf_compat.shim_dir())
+    ok1 = protobuf_compat.install_in_process()
+    ok2 = protobuf_compat.install_in_process()
+    assert ok1 == ok2  # idempotent
+    if ok1:
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+        req = sm.StateRequest(version=3)
+        assert sm.StateRequest.FromString(req.SerializeToString()).version == 3
 
 
 def test_registry_has_no_oracle_less_queries():

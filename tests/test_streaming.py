@@ -421,13 +421,14 @@ def test_rocksdb_state_store_provider(spark, replay_dir, tmp_path):
 def test_transform_with_state_matches_batch(spark, replay_dir, tmp_path):
     """The transformWithStateInPandas twin of the sliding operator (Spark 4's
     successor stateful API) produces identical results to the batch oracle.
-    Skipped where google.protobuf is unavailable (the TWS state-server protocol
-    needs it; this container lacks it — applyInPandasWithState is the tested
-    local path)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("transformWithStateInPandas requires google.protobuf (not installed here)")
+    Runs through the protobuf shim (protobuf_compat / pb_shim: SDK-bundled
+    pure-python runtime + runtime_version back-fill, exported to workers via
+    PYTHONPATH in conftest); skips only where no usable protobuf exists at
+    all."""
+    from kda_flink_demo_spark.streaming import protobuf_compat
+
+    if not protobuf_compat.tws_available():
+        pytest.skip("transformWithStateInPandas requires google.protobuf (none shimmable here)")
     from kda_flink_demo_spark.streaming.jobs import use_rocksdb_state
     from kda_flink_demo_spark.streaming.sliding_state import sliding_range_count_tws
 
@@ -979,6 +980,90 @@ def test_streaming_count_windows_match_batch(spark, tmp_path):
         "railway_class VARCHAR, window_id BIGINT, railway_class_count BIGINT, sum_value DOUBLE",
     )
     _run(spark, result, sink, str(tmp_path / "ckpt_cw"))
+
+    cols, got = sink.read_all()
+    got_map = {
+        (r[cols.index("railway_class")], r[cols.index("window_id")]): (
+            r[cols.index("railway_class_count")],
+            r[cols.index("sum_value")],
+        )
+        for r in got
+    }
+    from kda_flink_demo_spark.registry import queries
+
+    batch = queries()["count_windows_100"](spark, SF_DIR)
+    expected = {
+        (r.railway_class, r.window_id): (r.railway_class_count, r.sum_value)
+        for r in batch.collect()
+        if r.railway_class_count == 100  # full windows only
+    }
+    assert got_map, "stream should close at least one window"
+    assert got_map == expected
+
+
+def test_count_windows_tws_matches_batch(spark, tmp_path):
+    """The transformWithStateInPandas twin of the count-window operator
+    (typed ValueState — the sliding TWS twin covers ListState) must emit
+    exactly the batch query's full windows on an in-order replay. Runs
+    through the protobuf shim; skips only with no shimmable protobuf."""
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.streaming import protobuf_compat
+    from kda_flink_demo_spark.streaming.count_windows import count_windows_tws
+    from kda_flink_demo_spark.streaming.jobs import use_rocksdb_state
+
+    if not protobuf_compat.tws_available():
+        pytest.skip("transformWithStateInPandas requires google.protobuf (none shimmable here)")
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.col("event_type").alias("railway_class"),
+            F.col("ts").alias("rowtime"),
+            "value",
+        )
+        .orderBy("rowtime", "event_id")
+    )
+    rows = ev.collect()
+    replay = str(tmp_path / "replay_tws_cw")
+    chunk = (len(rows) + 4) // 5
+    for i in range(5):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                f"{replay}/chunk={i:02d}"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(replay + "/chunk=*")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)  # transformWithStateInPandas requires RocksDB
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "sink_tws_cw.duckdb"),
+        "count_windows",
+        ["railway_class", "window_id"],
+        "railway_class VARCHAR, window_id BIGINT, railway_class_count BIGINT, sum_value DOUBLE",
+    )
+    try:
+        result = count_windows_tws(stream, size=100)
+        _run(spark, result, sink, str(tmp_path / "ckpt_tws_cw"))
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     cols, got = sink.read_all()
     got_map = {
