@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 AHASH_SCHEMA = "doc_id long, ahash long"
 
@@ -82,6 +83,77 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
     return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
 
 
+def _quartered(hashes: DataFrame, prefix: str) -> DataFrame:
+    """(doc_id, ahash) → one row per 16-bit quarter: (q, qv, <prefix>id,
+    <prefix>h) — map-side explode, no shuffle."""
+    return hashes.select(
+        F.col("doc_id").alias(f"{prefix}id"),
+        F.col("ahash").alias(f"{prefix}h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("ahash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select(f"{prefix}id", f"{prefix}h", F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
+
+
+def image_dedup_probe(
+    incoming: DataFrame,
+    index: DataFrame | None,
+    max_hamming: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Incremental-ingest image dedup: drop incoming images that perceptually
+    near-dup (aHash hamming ≤ max_hamming) an image in the standing
+    ``(doc_id, ahash)`` index OR an earlier (smaller-id) image within the
+    same batch — the fuzzy-ingest/span-gate shape applied to the multimodal
+    column. Returns the surviving incoming rows, all columns intact.
+
+    Scale shape: the BATCH side is hashed once (localCheckpointed — its
+    quarters feed two joins) and BROADCAST into the quartered index scan, so
+    the corpus-sized index never shuffles and the per-batch cost is
+    O(index scan + batch²-within-blocks); images themselves never leave
+    their scan (the probe works on 8-byte hashes)."""
+    bh = image_ahash(incoming, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    bq = _quartered(bh, "b_")
+    ham_hits = None
+    if index is not None:
+        iq = _quartered(index, "i_")
+        idx_matched = (
+            iq.join(broadcast(bq), ["q", "qv"])
+            .filter(F.bit_count(F.col("i_h").bitwiseXOR(F.col("b_h"))) <= max_hamming)
+            .select(F.col("b_id").alias("_drop_id"))
+            .distinct()
+        )
+        ham_hits = idx_matched
+    within = (
+        bq.join(
+            bq.select(
+                F.col("q"), F.col("qv"),
+                F.col("b_id").alias("a_id"), F.col("b_h").alias("a_h"),
+            ),
+            ["q", "qv"],
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))) <= max_hamming)
+        )
+        .select(F.col("b_id").alias("_drop_id"))
+        .distinct()
+    )
+    drops = within if ham_hits is None else ham_hits.unionByName(within).distinct()
+    return incoming.join(
+        broadcast(drops), F.col(id_col) == F.col("_drop_id"), "left_anti"
+    )
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 5,
@@ -94,7 +166,11 @@ def image_near_dup_pairs(
     missed only when all four quarters differ — rare for perceptual
     perturbations, which concentrate flips in few bit positions.
     Rows: (id_a, id_b, hamming)."""
-    hashes = image_ahash(df, id_col=id_col, payload_col=payload_col)
+    # localCheckpoint the (id, 8-byte hash) table — it's tiny, and without it
+    # the CPU-heavy per-image decode mapInPandas feeds BOTH sides of the
+    # self-join and can run twice (the simhash_pairs lesson; r08 review
+    # finding). Eager construction cost, measured like every standing build.
+    hashes = image_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
     quartered = hashes.select(
         F.col("doc_id"),
         F.col("ahash"),

@@ -43,7 +43,13 @@ def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
                 j += 1
             vals.append(int(b[i:j]))
             i = j
-    return vals, i + 1  # exactly one whitespace byte separates header and data
+    # a single whitespace byte separates header and raster — except CRLF
+    # writers (Windows netpbm tools), whose "\r\n" must count as ONE
+    # separator or every pixel shifts a byte and decodes silently wrong
+    # (r08 review finding)
+    if b[i : i + 2] == b"\r\n":
+        return vals, i + 2
+    return vals, i + 1
 
 
 def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:

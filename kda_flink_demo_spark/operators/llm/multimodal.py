@@ -26,12 +26,19 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
+def _worker_has_pil() -> bool:
+    """Probe PIL in the CURRENT interpreter. Must be called INSIDE the
+    mapInPandas function, not at module import: a module-level flag is the
+    DRIVER's probe cloudpickled into the executor closure, and on a cluster
+    where driver and executors disagree about PIL the worker would either
+    crash importing it or silently use the wrong backend (r08 review
+    finding)."""
+    try:
+        from PIL import Image  # noqa: F401
 
-    _HAS_PIL = True
-except Exception:  # pragma: no cover
-    _HAS_PIL = False
+        return True
+    except Exception:
+        return False
 
 DECODE_SCHEMA = (
     "doc_id long, width int, height int, channels int, brightness double, n_bytes long"
@@ -68,11 +75,13 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
             import pandas as pd
 
             from kda_flink_demo_spark.operators.llm import imaging
+            from kda_flink_demo_spark.operators.llm.multimodal import _worker_has_pil
 
+            has_pil = _worker_has_pil()
             for pdf in batches:
                 widths, heights, chans, bright = [], [], [], []
                 for b in pdf["payload"]:
-                    if _HAS_PIL:
+                    if has_pil:
                         from PIL import Image
 
                         img = Image.open(_io.BytesIO(bytes(b)))
@@ -357,11 +366,13 @@ def resize_images(
             import pandas as pd
 
             from kda_flink_demo_spark.operators.llm import imaging
+            from kda_flink_demo_spark.operators.llm.multimodal import _worker_has_pil
 
+            has_pil = _worker_has_pil()
             for pdf in batches:
                 in_w, in_h, nout, md5s = [], [], [], []
                 for b in pdf["payload"]:
-                    if _HAS_PIL:
+                    if has_pil:
                         from PIL import Image
 
                         img = Image.open(_io.BytesIO(bytes(b)))

@@ -30,6 +30,33 @@ import os
 import sys
 import types
 
+
+def _chain_shadowed_sitecustomize() -> None:
+    """Python imports exactly ONE `sitecustomize` — the first on sys.path.
+    Being prepended to PYTHONPATH, this file shadows any host-level
+    sitecustomize (virtualenv/.pth/coverage hooks commonly live there), so
+    chain-load the next one down the path to preserve its side effects
+    (r08 review finding)."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sys.path:
+        base = os.path.abspath(p) if p else os.path.abspath(".")
+        if base == here:
+            continue
+        cand = os.path.join(base, "sitecustomize.py")
+        if os.path.isfile(cand):
+            try:
+                spec = importlib.util.spec_from_file_location(
+                    "_pb_shim_chained_sitecustomize", cand
+                )
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+            except Exception:  # noqa: BLE001 — the host hook must not kill startup
+                pass
+            return
+
+
 _SDK_ROOTS = [
     "/usr/lib/google-cloud-sdk/lib/third_party",
     "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk",
@@ -79,3 +106,8 @@ def install() -> bool:
 
 
 install()
+if __name__ == "sitecustomize":
+    # only when imported AS the interpreter-startup hook — when re-exec'd by
+    # protobuf_compat.install_in_process (runpy) the host sitecustomize
+    # already ran at startup and must not run twice
+    _chain_shadowed_sitecustomize()

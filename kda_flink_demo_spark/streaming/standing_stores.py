@@ -533,14 +533,23 @@ def compact_cms_store(spark: SparkSession, store_path: str, upto_batch: int) -> 
         # <= its own (it merged everything the lower one covers), so the
         # lower is deleted outright — renaming it into a seg= dir would
         # double-count its cells.
-        for u in sorted(committed, reverse=True):
-            if u < max(committed):
+        #
+        # ORDER MATTERS (r08 review finding): delete ALL subsumed lower
+        # csegs BEFORE performing the highest one's swap. The reverse order
+        # has a crash window — highest cseg renamed into seg=, lower cseg
+        # still present — where the lower cseg becomes the read shadow and
+        # the renamed seg (which contains its batches) survives the
+        # id-filter, double-counting them; a later recovery would then bake
+        # that in by renaming the leftover too.
+        top = max(committed) if committed else None
+        for u in committed:
+            if u < top:
                 fs.delete(hpath(_cseg_dir(store, u)), True)
-                continue
+        if top is not None:
             for p in _committed_seg_paths(spark, store):
-                if int(p.rsplit("=", 1)[1]) <= u:
+                if int(p.rsplit("=", 1)[1]) <= top:
                     fs.delete(hpath(p), True)
-            fs.rename(hpath(_cseg_dir(store, u)), hpath(_seg_dir(store, u)))
+            fs.rename(hpath(_cseg_dir(store, top)), hpath(_seg_dir(store, top)))
     # clamp the compacted segment's id to the NEWEST covered segment: naming
     # it after a not-yet-folded upto_batch (e.g. a watermark-style id) would
     # let that future batch's own overwrite destroy the compacted history
@@ -660,3 +669,62 @@ def pca_model_from_store(spark: SparkSession, store_path: str, k: int = 8):
         .collect()
     )
     return model_from_pca_stats(stats, k)
+
+
+# ---------------------------------------------------------------------------
+# Standing perceptual-image-hash index (streaming twin of
+# operators/llm/image_dedup.py: image_dedup_probe — the span-gate pattern
+# applied to the multimodal column)
+# ---------------------------------------------------------------------------
+
+
+def read_ahash_index(
+    spark: SparkSession, store_path: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Union of all COMMITTED ``(doc_id, ahash)`` index segments; None before
+    the first fold. Same visibility rules as the span index: half-written
+    segments are invisible, ``exclude_batch`` drops a replaying batch's own
+    segment so an image never probes its own hash."""
+    segs = _committed_seg_paths(spark, store_path, exclude_batch=exclude_batch)
+    if not segs:
+        return None
+    return spark.read.parquet(*segs).select("doc_id", "ahash")
+
+
+def update_ahash_index_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    sink_path: str,
+    max_hamming: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> None:
+    """Fold one micro-batch of images through the standing perceptual-dedup
+    gate (call from ``foreachBatch``): clean the batch against the standing
+    aHash index + earlier within-batch images (``image_dedup_probe``), land
+    survivors under ``sink_path/batch=<id>``, then commit the batch's OWN
+    hashes as index segment ``seg=<id>`` — including dropped images' hashes,
+    so a later re-crawl of a dropped near-dup still gates (the index records
+    everything seen, the sink records what survived).
+
+    Append-only per-batch segments: O(batch) fold cost, never an index
+    rewrite; replay overwrites both the ``batch=`` sink partition and the
+    ``seg=`` segment with identical bytes (hashes are deterministic), and
+    the index visible to batch N is exactly segments < N either way."""
+    from kda_flink_demo_spark.operators.llm.image_dedup import (
+        image_ahash,
+        image_dedup_probe,
+    )
+
+    spark = batch_df.sparkSession
+    idx = read_ahash_index(spark, store_path, exclude_batch=batch_id)
+    cleaned = image_dedup_probe(
+        batch_df, idx, max_hamming=max_hamming, id_col=id_col, payload_col=payload_col
+    )
+    cleaned.write.mode("overwrite").parquet(
+        f"{sink_path.rstrip('/')}/batch={int(batch_id)}"
+    )
+    image_ahash(batch_df, id_col=id_col, payload_col=payload_col).write.mode(
+        "overwrite"
+    ).parquet(_seg_dir(store_path, batch_id))

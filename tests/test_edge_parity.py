@@ -127,15 +127,13 @@ def test_multimodal_frames_match_oracle_on_unicode(unicode_docs):
     compare_to_oracle(frames, con, multimodal.FRAME_ORACLE_SQL)
 
 
-def test_real_decode_requires_pil_or_runs(spark, unicode_docs):
+def test_real_decode_requires_pil_or_runs(spark):
     """real_decode=True is an honest gate: payloads the pure PPM/PGM/BMP
     codec can't parse raise NotImplementedError naming PIL at DECODE time
     (round 8 moved the gate from construction — the pure codecs make the
     real path runnable on supported formats; tests/test_round8_ops.py covers
     those); with PIL present any format decodes through the same mapInPandas
     contract."""
-    df, _, _ = unicode_docs
-    payloads = multimodal.attach_binary_payload(df)
     try:
         import PIL  # noqa: F401
 
@@ -146,14 +144,20 @@ def test_real_decode_requires_pil_or_runs(spark, unicode_docs):
     if not has_pil:
         import pytest as _pytest
 
-        # text bytes are not a decodable image format → the honest gate fires
-        # inside the executor (Spark wraps the worker's NotImplementedError)
+        # an explicitly non-image, non-magic payload — NOT the fixture text,
+        # whose first two bytes could accidentally spell a codec magic
+        # ("BM"/"P6") and route into a different error (r08 review finding);
+        # the honest gate fires inside the executor (Spark wraps the
+        # worker's NotImplementedError)
+        blob = spark.createDataFrame(
+            [(1, bytearray(b"definitely not an image"))], "doc_id long, payload binary"
+        )
         with _pytest.raises(Exception, match="PIL"):
-            multimodal.decode_image_features(payloads, real_decode=True).collect()
+            multimodal.decode_image_features(blob, real_decode=True).collect()
         with _pytest.raises(Exception, match="PIL"):
-            multimodal.resize_images(payloads, real_decode=True).collect()
+            multimodal.resize_images(blob, real_decode=True).collect()
         with _pytest.raises(Exception, match="librosa"):
-            multimodal.decode_audio_features(payloads, real_decode=True).collect()
+            multimodal.decode_audio_features(blob, real_decode=True).collect()
         return
 
     # PIL present (not in this container, but the path must work where it is):

@@ -133,6 +133,33 @@ def test_cms_compaction_two_committed_csegs_never_double_count(spark, tmp_path):
                for n in os.listdir(store) if not n.startswith("_"))
 
 
+def test_cms_compaction_recovery_crash_windows_stay_exact(spark, tmp_path):
+    """The FIXED recovery order (delete subsumed csegs, THEN swap the
+    highest) must leave a read-exact store at its one intermediate crash
+    point — {highest cseg, trailing segs} — and converge on rerun. The
+    reverse order's intermediate (highest already renamed into seg=, lower
+    cseg surviving as the shadow) double-counts the lower cseg's batches and
+    is unrecoverable, which is why the order is pinned here (r08 review)."""
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        _cseg_dir,
+        cms_from_store,
+        compact_cms_store,
+    )
+
+    store, before = _cms_store(spark, tmp_path)
+    _hand_cseg(spark, store, 1)
+    _hand_cseg(spark, store, 2)
+    for s in ("seg=0", "seg=1", "seg=2"):
+        shutil.rmtree(os.path.join(store, s))
+    # crash window A: subsumed cseg=1 deleted, swap of cseg=2 not yet done
+    shutil.rmtree(_cseg_dir(store, 1))
+    assert _canon(cms_from_store(spark, store)) == before
+    # rerun converges from window A
+    compact_cms_store(spark, store, upto_batch=3)
+    assert _canon(cms_from_store(spark, store)) == before
+    assert not any(d.startswith("cseg=") for d in os.listdir(store))
+
+
 # ---------------------------------------------------------------------------
 # drift_between: duplicate / overlapping batch lists (r07 advice, low)
 # ---------------------------------------------------------------------------
@@ -274,6 +301,24 @@ def test_real_image_decode_ppm_and_bmp(spark):
         assert r.n_bytes == nb
 
 
+def test_ppm_crlf_header_decodes_identically():
+    """A CRLF separator after maxval (Windows netpbm writers) must count as
+    ONE separator — the naive 'one whitespace byte' rule shifts the raster a
+    byte and silently corrupts every pixel (r08 review finding)."""
+    import numpy as np
+
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    px = [(9, 8, 7), (6, 5, 4), (3, 2, 1), (255, 0, 128), (1, 2, 3), (4, 5, 6)]
+    raster = bytes(v for p in px for v in p)
+    unix = b"P6\n3 2\n255\n" + raster
+    crlf = b"P6\r\n3 2\r\n255\r\n" + raster
+    w1, h1, c1, a1 = imaging.decode_image(unix)
+    w2, h2, c2, a2 = imaging.decode_image(crlf)
+    assert (w1, h1, c1) == (w2, h2, c2) == (3, 2, 3)
+    assert np.array_equal(a1, a2)
+
+
 def test_real_audio_decode_wav(spark):
     from kda_flink_demo_spark.operators.llm import multimodal
 
@@ -355,6 +400,49 @@ def test_image_near_dup_pairs_finds_perturbed_copies_only(spark):
     assert {(0, 1), (10, 11), (20, 21)} <= pairs  # every copy found
     # no cross-base pair survives the hamming verify
     assert all(a // 10 == b // 10 for a, b in pairs)
+
+
+def test_image_dedup_probe_and_standing_index(spark, tmp_path):
+    """The incremental-ingest image gate: batch 1's near-dup of a batch-0
+    image is dropped against the standing index, its within-batch dup pair
+    keeps only the first, genuinely new images survive — and a checkpoint
+    REPLAY of batch 1 rewrites identical survivors (idempotent)."""
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        read_ahash_index,
+        update_ahash_index_store,
+    )
+
+    store = str(tmp_path / "ahash_idx")
+    sink = str(tmp_path / "clean")
+
+    def img_df(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows], "doc_id long, payload binary"
+        )
+
+    batch0 = img_df([(0, _gradient_img(16, 16, seed=0)),
+                     (1, _gradient_img(16, 16, seed=1))])
+    update_ahash_index_store(batch0, 0, store, sink)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=0").collect()} == {0, 1}
+
+    batch1 = img_df([
+        (10, _gradient_img(16, 16, seed=0, flips=2)),   # near-dup of doc 0 → drop
+        (11, _gradient_img(16, 16, seed=7)),            # new → keep
+        (12, _gradient_img(16, 16, seed=7, flips=2)),   # near-dup of 11 IN-batch → drop
+    ])
+    update_ahash_index_store(batch1, 1, store, sink)
+    survivors = {r.doc_id for r in spark.read.parquet(f"{sink}/batch=1").collect()}
+    assert survivors == {11}
+    # the index records EVERYTHING seen (dropped near-dups still gate later)
+    assert {r.doc_id for r in read_ahash_index(spark, store).collect()} == {0, 1, 10, 11, 12}
+
+    # checkpoint replay of batch 1: same survivors, same index
+    update_ahash_index_store(batch1, 1, store, sink)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=1").collect()} == {11}
+    # a later re-crawl of the DROPPED near-dup still gates (hash 12 is indexed)
+    batch2 = img_df([(20, _gradient_img(16, 16, seed=7, flips=2))])
+    update_ahash_index_store(batch2, 2, store, sink)
+    assert spark.read.parquet(f"{sink}/batch=2").count() == 0
 
 
 def test_protobuf_compat_shims_tws_protocol():
