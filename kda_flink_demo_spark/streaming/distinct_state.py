@@ -1,0 +1,107 @@
+"""Streaming exact distinct-count via ``transformWithStateInPandas``
+MapState — the fourth TWS operator, completing the state-type matrix the
+engine exercises on Spark 4's successor API: ListState (sliding range),
+ValueState (count windows), event-time timers (session finalize), and HERE
+typed MapState (per-key sub-keyed state with point lookups).
+
+Semantics: per grouping key, maintain the exact set of distinct users seen
+(MapState user → event count: point ``containsKey``/``updateValue`` per
+incoming user, never an iteration of the whole map) plus a ValueState
+running distinct total; each micro-batch emits the key's updated
+``(distinct_users, total_events)``, so an idempotent PK-upsert sink
+converges to the batch ``COUNT(DISTINCT user_id)`` — the parity the tests
+pin against the ``distinct_users_per_type`` registry query.
+
+Scale notes: this is the EXACT-distinct path — state is O(distinct users per
+key), stored in RocksDB and touched only by point lookups (per-batch cost is
+O(batch), not O(state), which is what MapState buys over a ValueState
+holding the whole set: no serialize/deserialize of the full map per batch).
+The constant-memory alternative at 100 TB is the HLL/Theta sketch store
+(`operators/sketches.py` + `update_sketch_store`); this operator is for the
+regimes that need exactness (billing, dedup-by-id) where Flink users reach
+for keyed MapState the same way.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _output_schema(key_field: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_field, T.StringType()),
+            T.StructField("distinct_users", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+        ]
+    )
+
+
+def distinct_users_tws(
+    events: DataFrame,
+    key: str = "railway_class",
+    user_col: str = "user_id",
+    ts: str = "rowtime",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctUsersProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState("seen", "u BIGINT", "c BIGINT")
+            self._totals = handle.getValueState(
+                "totals", "n_distinct BIGINT, n_events BIGINT"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            parts = [p for p in rows if len(p)]
+            if not parts:
+                return iter([])
+            pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+            n_distinct, n_events = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            # collapse the batch per user FIRST — one point lookup/update per
+            # distinct user in the batch, not per row
+            per_user = pdf.groupby(user_col).size()
+            for u, cnt in per_user.items():
+                uk = (int(u),)
+                if self._seen.containsKey(uk):
+                    self._seen.updateValue(uk, (int(self._seen.getValue(uk)[0] + cnt),))
+                else:
+                    self._seen.updateValue(uk, (int(cnt),))
+                    n_distinct += 1
+            n_events += int(len(pdf))
+            self._totals.update((int(n_distinct), int(n_events)))
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            key: [key_tuple[0]],
+                            "distinct_users": pd.Series([n_distinct], dtype="int64"),
+                            "total_events": pd.Series([n_events], dtype="int64"),
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    renamed = events.select(
+        F.col(key).cast("string").alias(key),
+        F.col(user_col).cast("long").alias(user_col),
+        F.col(ts).alias("rowtime"),
+    ).withWatermark("rowtime", watermark_delay)
+    return renamed.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=DistinctUsersProcessor(),
+        outputStructType=_output_schema(key),
+        outputMode="Update",
+        timeMode="EventTime",
+    )

@@ -1085,6 +1085,189 @@ def test_count_windows_tws_matches_batch(spark, tmp_path):
     assert got_map == expected
 
 
+def test_session_finalize_tws_timers_match_batch(spark, tmp_path):
+    """The event-time TIMER path of transformWithStateInPandas (third TWS
+    operator; handleExpiredTimer + registerTimer/deleteTimer): gap sessions
+    must equal the batch session_window values exactly — in-batch splits
+    close deterministically in handleInputRows, idle tails flush when the
+    watermark fires their timer. At most one session per key (a tail the
+    final watermark never passes) may be unflushed."""
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.windows import session_counts
+    from kda_flink_demo_spark.streaming import protobuf_compat
+    from kda_flink_demo_spark.streaming.jobs import use_rocksdb_state
+    from kda_flink_demo_spark.streaming.session_timer import session_finalize_tws
+
+    if not protobuf_compat.tws_available():
+        pytest.skip("transformWithStateInPandas requires google.protobuf (none shimmable here)")
+
+    gap = 120
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            F.col("event_type").alias("railway_class"),
+            F.col("ts").alias("rowtime"),
+        )
+        .orderBy("rowtime", "event_id")
+    )
+    rows = ev.collect()
+    replay = str(tmp_path / "replay_sess")
+    chunk = (len(rows) + 4) // 5
+    for i in range(5):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                f"{replay}/chunk={i:02d}"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(replay + "/chunk=*")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    out_dir = str(tmp_path / "sess_out")
+    try:
+        q = (
+            session_finalize_tws(stream, gap_seconds=gap)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        (r.railway_class, r.window_start): (r.window_end, r.railway_class_count)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = session_counts(
+        ev.select("railway_class", "rowtime"), gap=f"{gap} seconds"
+    )
+    expected = {
+        (r.railway_class, r.window_start): (r.window_end, r.railway_class_count)
+        for r in batch.collect()
+    }
+    n_keys = ev.select("railway_class").distinct().count()
+    # every emitted session is EXACTLY a batch session
+    mismatches = {k: (v, expected.get(k)) for k, v in got.items() if expected.get(k) != v}
+    assert not mismatches, f"{len(mismatches)} wrong, e.g. {list(mismatches.items())[:3]}"
+    # completeness: only per-key unflushed tails may be missing — and the
+    # timer path must have flushed at least one idle tail (not just
+    # handleInputRows splits), else the timer machinery silently never ran
+    missing = set(expected) - set(got)
+    assert len(missing) <= n_keys, f"{len(missing)} missing > {n_keys} keys"
+    ends_by_key = {}
+    for (k, _s), (e, _c) in expected.items():
+        ends_by_key.setdefault(k, []).append(e)
+    finals = {(k, s) for (k, s), (e, _c) in expected.items() if e == max(ends_by_key[k])}
+    assert any(f in got for f in finals), "no per-key final session flushed — timers never fired"
+
+
+def test_distinct_users_tws_mapstate_matches_batch(spark, replay_dir, tmp_path):
+    """The MapState member of the TWS family (point containsKey/updateValue
+    per user — never an iteration of the whole map): per-key exact distinct
+    users upserted each micro-batch must converge to the batch
+    COUNT(DISTINCT user_id) per type, and total_events to COUNT(*)."""
+    from kda_flink_demo_spark.streaming import protobuf_compat
+    from kda_flink_demo_spark.streaming.distinct_state import distinct_users_tws
+    from kda_flink_demo_spark.streaming.jobs import use_rocksdb_state
+
+    if not protobuf_compat.tws_available():
+        pytest.skip("transformWithStateInPandas requires google.protobuf (none shimmable here)")
+
+    ev = load_table(spark, SF_DIR, "events")
+    # replay_dir carries (event_id, railway_class, rowtime); this op also
+    # needs user_id — build its own 5-chunk in-order replay
+    src = ev.select(
+        F.col("event_type").alias("railway_class"),
+        F.col("user_id"),
+        F.col("ts").alias("rowtime"),
+    ).orderBy("rowtime")
+    rows = src.collect()
+    replay = str(tmp_path / "replay_users")
+    chunk = (len(rows) + 4) // 5
+    for i in range(5):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, src.schema).coalesce(1).write.parquet(
+                f"{replay}/chunk={i:02d}"
+            )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("rowtime", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(replay + "/chunk=*")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    sink = DuckDBUpsertSink(
+        str(tmp_path / "sink_du.duckdb"),
+        "distinct_users",
+        ["railway_class"],
+        "railway_class VARCHAR, distinct_users BIGINT, total_events BIGINT",
+    )
+    try:
+        q = (
+            distinct_users_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_du"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    cols, got = sink.read_all()
+    got_map = {
+        r[cols.index("railway_class")]: (
+            r[cols.index("distinct_users")],
+            r[cols.index("total_events")],
+        )
+        for r in got
+    }
+    expected = {
+        r.event_type: (r.du, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("du"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_map == expected
+
+
 def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
     """Stream-static anti join (incremental-ingest exact dedup): replaying the
     incoming batch as a file stream against the static corpus index must emit
