@@ -109,6 +109,7 @@ def image_dedup_probe(
     max_hamming: int = 5,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    batch_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest image dedup: drop incoming images that perceptually
     near-dup (aHash hamming ≤ max_hamming) an image in the standing
@@ -120,8 +121,16 @@ def image_dedup_probe(
     quarters feed two joins) and BROADCAST into the quartered index scan, so
     the corpus-sized index never shuffles and the per-batch cost is
     O(index scan + batch²-within-blocks); images themselves never leave
-    their scan (the probe works on 8-byte hashes)."""
-    bh = image_ahash(incoming, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    their scan (the probe works on 8-byte hashes). Pass ``batch_hashes``
+    (an already-materialized ``image_ahash`` table for ``incoming``) when
+    the caller needs the hashes too — ``update_ahash_index_store`` writes
+    them as the index segment, and recomputing would decode every image a
+    second time (r08 second-review finding)."""
+    bh = (
+        batch_hashes
+        if batch_hashes is not None
+        else image_ahash(incoming, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    )
     bq = _quartered(bh, "b_")
     ham_hits = None
     if index is not None:
@@ -171,27 +180,8 @@ def image_near_dup_pairs(
     # self-join and can run twice (the simhash_pairs lesson; r08 review
     # finding). Eager construction cost, measured like every standing build.
     hashes = image_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
-    quartered = hashes.select(
-        F.col("doc_id"),
-        F.col("ahash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright("ahash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("blk"),
-    ).select("doc_id", "ahash", F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
-    a = quartered.select(
-        F.col("q"), F.col("qv"), F.col("doc_id").alias("id_a"), F.col("ahash").alias("h_a")
-    )
-    b = quartered.select(
-        F.col("q"), F.col("qv"), F.col("doc_id").alias("id_b"), F.col("ahash").alias("h_b")
-    )
+    a = _quartered(hashes, "a_").withColumnsRenamed({"a_id": "id_a", "a_h": "h_a"})
+    b = _quartered(hashes, "b_").withColumnsRenamed({"b_id": "id_b", "b_h": "h_b"})
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         a.join(b, ["q", "qv"])

@@ -25,7 +25,8 @@ import numpy as np
 
 def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
     """Parse ``n_tokens`` whitespace/comment-separated ASCII integers after
-    the magic, returning (values, offset_of_binary_data)."""
+    the magic, returning (values, index_of_the_separator_byte_after_them) —
+    the raster offset is then chosen by ``_ppm_data_offset``."""
     vals: list[int] = []
     i = 2  # past the 2-byte magic
     while len(vals) < n_tokens:
@@ -43,13 +44,19 @@ def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
                 j += 1
             vals.append(int(b[i:j]))
             i = j
-    # a single whitespace byte separates header and raster — except CRLF
-    # writers (Windows netpbm tools), whose "\r\n" must count as ONE
-    # separator or every pixel shifts a byte and decodes silently wrong
-    # (r08 review finding)
-    if b[i : i + 2] == b"\r\n":
-        return vals, i + 2
-    return vals, i + 1
+    return vals, i  # i = index of the separator byte after the last token
+
+
+def _ppm_data_offset(b: bytes, sep_idx: int, need: int) -> int:
+    """Offset of the raster after the single separator byte at ``sep_idx`` —
+    except CRLF writers (Windows netpbm tools), whose "\\r\\n" counts as ONE
+    separator. A lone-CR file whose first pixel byte is 0x0A looks identical
+    at the boundary, so the raster LENGTH disambiguates: prefer the offset
+    that leaves exactly ``need`` bytes (r08 review findings, both rounds)."""
+    one, two = sep_idx + 1, sep_idx + 2
+    if b[sep_idx : two] == b"\r\n" and len(b) - one != need and len(b) - two >= need:
+        return two
+    return one
 
 
 def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -58,11 +65,12 @@ def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
     Supports binary PPM (P6, RGB), binary PGM (P5, gray), and uncompressed
     24-bit bottom-up BMP. Anything else needs PIL."""
     if b[:2] == b"P6" or b[:2] == b"P5":
-        (w, h, maxval), off = _ppm_header_tokens(b, 3)
+        (w, h, maxval), sep_idx = _ppm_header_tokens(b, 3)
         if maxval != 255:
             raise ValueError(f"only maxval=255 PPM/PGM supported, got {maxval}")
         c = 3 if b[:2] == b"P6" else 1
         need = w * h * c
+        off = _ppm_data_offset(b, sep_idx, need)
         data = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
         return w, h, c, data.reshape(h, w, c)
     if b[:2] == b"BM":

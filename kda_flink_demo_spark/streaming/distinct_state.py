@@ -54,7 +54,11 @@ def distinct_users_tws(
 
     class DistinctUsersProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._seen = handle.getMapState("seen", "u BIGINT", "c BIGINT")
+            # STRING map key: force-casting user ids to long would silently
+            # NULL non-numeric ids ('u_42'), pandas groupby would drop them,
+            # and distinct_users would undercount forever with no error (r08
+            # second-review finding) — string round-trips every id type
+            self._seen = handle.getMapState("seen", "u STRING", "c BIGINT")
             self._totals = handle.getValueState(
                 "totals", "n_distinct BIGINT, n_events BIGINT"
             )
@@ -71,7 +75,7 @@ def distinct_users_tws(
             # distinct user in the batch, not per row
             per_user = pdf.groupby(user_col).size()
             for u, cnt in per_user.items():
-                uk = (int(u),)
+                uk = (str(u),)
                 if self._seen.containsKey(uk):
                     self._seen.updateValue(uk, (int(self._seen.getValue(uk)[0] + cnt),))
                 else:
@@ -96,7 +100,7 @@ def distinct_users_tws(
 
     renamed = events.select(
         F.col(key).cast("string").alias(key),
-        F.col(user_col).cast("long").alias(user_col),
+        F.col(user_col).cast("string").alias(user_col),
         F.col(ts).alias("rowtime"),
     ).withWatermark("rowtime", watermark_delay)
     return renamed.groupBy(key).transformWithStateInPandas(

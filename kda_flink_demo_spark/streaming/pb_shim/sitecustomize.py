@@ -39,10 +39,13 @@ def _chain_shadowed_sitecustomize() -> None:
     (r08 review finding)."""
     import importlib.util
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.realpath(os.path.dirname(os.path.abspath(__file__)))
     for p in sys.path:
         base = os.path.abspath(p) if p else os.path.abspath(".")
-        if base == here:
+        # realpath, not abspath: a symlinked spelling of THIS dir must not
+        # pass as the "next" hook or we exec ourselves and never chain the
+        # real host sitecustomize (r08 second-review finding)
+        if os.path.realpath(base) == here:
             continue
         cand = os.path.join(base, "sitecustomize.py")
         if os.path.isfile(cand):

@@ -85,26 +85,42 @@ def session_finalize_tws(
                 (pdf["rowtime"].astype("int64").to_numpy() // 1000).astype(np.int64)
             )
             out = []
+            base_us = None  # the standing session's last time, when continuing
             if self._sess.exists():
                 cnt, start_us, last_us = self._sess.get()
                 self._handle.deleteTimer((last_us + gap_us) // 1000)
                 if int(t_us[0]) - last_us > gap_us:
+                    # every batch event (min included) is beyond the gap —
+                    # the standing session closes before anything merges
                     out.append(_emit(key_tuple[0], cnt, start_us, last_us))
-                    cnt, start_us, last_us = 0, int(t_us[0]), int(t_us[0])
+                    cnt, start_us = 0, int(t_us[0])
+                else:
+                    base_us = last_us
             else:
-                cnt, start_us, last_us = 0, int(t_us[0]), int(t_us[0])
-            # split the sorted batch on in-batch gaps: every session but the
-            # trailing one closes NOW (deterministically, no timer involved)
-            breaks = np.nonzero(np.diff(t_us) > gap_us)[0]
+                cnt, start_us = 0, int(t_us[0])
+            # split the sorted batch on gaps of the MERGED timeline: with a
+            # nonzero watermark delay a batch can carry events OLDER than the
+            # standing session's last time, so the predecessor of t[i] is
+            # max(state last, t[i-1]) — a session end must never move
+            # backwards (r08 second-review finding: plain np.diff(t_us) let a
+            # late event regress last_us and manufacture a false split)
+            prev = t_us[:-1]
+            if base_us is not None:
+                prev = np.maximum(prev, base_us)
+            breaks = np.nonzero((t_us[1:] - prev) > gap_us)[0]
             seg_start = 0
             for b in breaks:
                 seg = t_us[seg_start : b + 1]
+                seg_last = int(seg[-1])
+                if base_us is not None and seg_start == 0:
+                    seg_last = max(seg_last, base_us)  # only the first
+                    # segment can contain the standing session
                 out.append(
                     _emit(
                         key_tuple[0],
                         cnt + len(seg),
                         min(start_us, int(seg[0])),
-                        int(seg[-1]),
+                        seg_last,
                     )
                 )
                 cnt, seg_start = 0, b + 1
@@ -113,6 +129,8 @@ def session_finalize_tws(
             cnt += len(tail)
             start_us = min(start_us, int(tail[0]))
             last_us = int(tail[-1])
+            if base_us is not None and seg_start == 0:
+                last_us = max(last_us, base_us)
             self._sess.update((int(cnt), int(start_us), int(last_us)))
             self._handle.registerTimer((last_us + gap_us) // 1000)
             return iter(out)

@@ -719,12 +719,19 @@ def update_ahash_index_store(
 
     spark = batch_df.sparkSession
     idx = read_ahash_index(spark, store_path, exclude_batch=batch_id)
+    # hash the batch ONCE: the checkpointed table feeds both the probe's two
+    # joins and the index segment write — recomputing would run the
+    # per-image decode mapInPandas twice per fold (r08 second-review finding)
+    bh = image_ahash(batch_df, id_col=id_col, payload_col=payload_col).localCheckpoint()
     cleaned = image_dedup_probe(
-        batch_df, idx, max_hamming=max_hamming, id_col=id_col, payload_col=payload_col
+        batch_df,
+        idx,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        payload_col=payload_col,
+        batch_hashes=bh,
     )
     cleaned.write.mode("overwrite").parquet(
         f"{sink_path.rstrip('/')}/batch={int(batch_id)}"
     )
-    image_ahash(batch_df, id_col=id_col, payload_col=payload_col).write.mode(
-        "overwrite"
-    ).parquet(_seg_dir(store_path, batch_id))
+    bh.write.mode("overwrite").parquet(_seg_dir(store_path, batch_id))

@@ -319,6 +319,25 @@ def test_ppm_crlf_header_decodes_identically():
     assert np.array_equal(a1, a2)
 
 
+def test_ppm_lone_cr_with_0x0a_first_pixel_disambiguated_by_length():
+    """The nastier cousin of the CRLF case: a lone-CR separator whose FIRST
+    raster byte is 0x0A spells b'\\r\\n' at the boundary too — the raster
+    LENGTH must disambiguate (r08 second-review finding)."""
+    import numpy as np
+
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    px = [(10, 8, 7), (6, 5, 4), (3, 2, 1), (255, 0, 128), (1, 2, 3), (4, 5, 6)]
+    raster = bytes(v for p in px for v in p)
+    assert raster[0] == 10  # the ambiguous byte
+    lone_cr = b"P6\r3 2\r255\r" + raster          # exact length → 1-byte sep
+    crlf = b"P6\r\n3 2\r\n255\r\n" + raster        # exact length → 2-byte sep
+    for blob in (lone_cr, crlf):
+        w, h, c, a = imaging.decode_image(blob)
+        assert (w, h, c) == (3, 2, 3)
+        assert np.array_equal(a.reshape(-1, 3), np.array(px, dtype=np.uint8))
+
+
 def test_real_audio_decode_wav(spark):
     from kda_flink_demo_spark.operators.llm import multimodal
 

@@ -44,6 +44,20 @@ def replay_dir(spark, tmp_path_factory):
     return out
 
 
+def _build_replay(spark, df, path, n_chunks=5):
+    """Chunk an (already ordered) DataFrame into n time-ordered parquet files
+    for maxFilesPerTrigger replay — the shared builder behind replay_dir and
+    the per-test replays that need extra columns."""
+    rows = df.collect()
+    chunk = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, df.schema).coalesce(1).write.parquet(
+                f"{path}/chunk={i:02d}"
+            )
+
+
 def _stream(spark, replay_dir):
     from kda_flink_demo_spark.schemas import EVENTS_SCHEMA
     from pyspark.sql import types as T
@@ -1025,15 +1039,8 @@ def test_count_windows_tws_matches_batch(spark, tmp_path):
         )
         .orderBy("rowtime", "event_id")
     )
-    rows = ev.collect()
     replay = str(tmp_path / "replay_tws_cw")
-    chunk = (len(rows) + 4) // 5
-    for i in range(5):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if part:
-            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
-                f"{replay}/chunk={i:02d}"
-            )
+    _build_replay(spark, ev, replay)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1112,15 +1119,8 @@ def test_session_finalize_tws_timers_match_batch(spark, tmp_path):
         )
         .orderBy("rowtime", "event_id")
     )
-    rows = ev.collect()
     replay = str(tmp_path / "replay_sess")
-    chunk = (len(rows) + 4) // 5
-    for i in range(5):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if part:
-            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
-                f"{replay}/chunk={i:02d}"
-            )
+    _build_replay(spark, ev, replay)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1182,6 +1182,85 @@ def test_session_finalize_tws_timers_match_batch(spark, tmp_path):
     assert any(f in got for f in finals), "no per-key final session flushed — timers never fired"
 
 
+def test_session_finalize_tws_never_regresses_session_end_on_late_events(spark, tmp_path):
+    """With a nonzero watermark delay a later batch can carry an event OLDER
+    than the standing session's last time. The session end must never move
+    backwards: (a) a late event must not manufacture a false split when the
+    next on-time event is still within the gap of the TRUE last time, and
+    (b) a legit split after a late event must emit the merged session with
+    the true end (r08 second-review finding)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.streaming import protobuf_compat
+    from kda_flink_demo_spark.streaming.jobs import use_rocksdb_state
+    from kda_flink_demo_spark.streaming.session_timer import session_finalize_tws
+
+    if not protobuf_compat.tws_available():
+        pytest.skip("transformWithStateInPandas requires google.protobuf (none shimmable here)")
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    schema = T.StructType(
+        [
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+        ]
+    )
+
+    def run(name, chunks):
+        replay = str(tmp_path / f"replay_{name}")
+        for i, secs in enumerate(chunks):
+            spark.createDataFrame(
+                [("k", ts(s)) for s in secs], schema
+            ).coalesce(1).write.parquet(f"{replay}/chunk={i:02d}")
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(replay + "/chunk=*")
+        )
+        out_dir = str(tmp_path / f"out_{name}")
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        use_rocksdb_state(spark)
+        try:
+            q = (
+                session_finalize_tws(
+                    stream, gap_seconds=300, watermark_delay="10 minutes"
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            if prev:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        return spark.read.parquet(out_dir).collect()
+
+    # (a) late 900s between 1000s and 1250s: 1250 - TRUE last (1000) = 250s
+    # < gap — one merged session, still open at stream end → NO emission
+    # (the pre-fix code regressed last to 900 and emitted a false split)
+    assert run("false_split", [[1000], [900], [1250]]) == []
+
+    # (b) late 900s then a 2000s event: legit split — the closed session is
+    # the MERGED one (start 900, end = true last 1000 + gap, count 2)
+    got = run("legit_split", [[1000], [900, 2000]])
+    assert len(got) == 1
+    r = got[0]
+    assert r.railway_class == "k"
+    assert r.railway_class_count == 2
+    assert r.window_start == ts(900)
+    assert r.window_end == ts(1300)
+
+
 def test_distinct_users_tws_mapstate_matches_batch(spark, replay_dir, tmp_path):
     """The MapState member of the TWS family (point containsKey/updateValue
     per user — never an iteration of the whole map): per-key exact distinct
@@ -1202,15 +1281,8 @@ def test_distinct_users_tws_mapstate_matches_batch(spark, replay_dir, tmp_path):
         F.col("user_id"),
         F.col("ts").alias("rowtime"),
     ).orderBy("rowtime")
-    rows = src.collect()
     replay = str(tmp_path / "replay_users")
-    chunk = (len(rows) + 4) // 5
-    for i in range(5):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if part:
-            spark.createDataFrame(part, src.schema).coalesce(1).write.parquet(
-                f"{replay}/chunk={i:02d}"
-            )
+    _build_replay(spark, src, replay)
     from pyspark.sql import types as T
 
     schema = T.StructType(

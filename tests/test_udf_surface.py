@@ -47,15 +47,19 @@ def test_rate_source_streaming_smoke(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
         import time
 
-        deadline = time.time() + 30
+        # BOUNDED wait on driver-side progress only — processAllAvailable
+        # never returns on a live rate source if a micro-batch stalls (one
+        # full-suite run hung 30+ min in exactly that state), and polling the
+        # memory table races the running stream. lastProgress is a local
+        # dict: no job, no block.
+        deadline = time.time() + 60
         while time.time() < deadline:
-            if spark.sql("SELECT count(*) FROM rate_smoke").first()[0] > 0:
+            p = q.lastProgress
+            if p and p.get("sink", {}).get("numOutputRows", 0) > 0:
                 break
             time.sleep(0.5)
-            q.processAllAvailable()
-        assert spark.sql("SELECT count(*) FROM rate_smoke").first()[0] > 0
     finally:
-        q.stop()
+        q.stop()  # stop FIRST: the count below must not race the stream
+    assert spark.sql("SELECT count(*) FROM rate_smoke").first()[0] > 0
