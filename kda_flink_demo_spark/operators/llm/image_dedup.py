@@ -180,6 +180,13 @@ def image_near_dup_pairs(
     # self-join and can run twice (the simhash_pairs lesson; r08 review
     # finding). Eager construction cost, measured like every standing build.
     hashes = image_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    return hash_near_dup_pairs(hashes, max_hamming=max_hamming)
+
+
+def hash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Quarter-blocked near-dup pairs over ANY (doc_id, ahash BIGINT) table —
+    the shared back half of the perceptual dedup family (images via
+    image_ahash, audio via audio_ahash). Rows: (id_a, id_b, hamming)."""
     a = _quartered(hashes, "a_").withColumnsRenamed({"a_id": "id_a", "a_h": "h_a"})
     b = _quartered(hashes, "b_").withColumnsRenamed({"b_id": "id_b", "b_h": "h_b"})
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
@@ -190,3 +197,62 @@ def image_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_windows: int = 64,
+) -> DataFrame:
+    """(id, WAV payload) → (doc_id, ahash): a 64-bit energy-envelope
+    fingerprint — the audio sibling of ``image_ahash``. The decoded samples
+    split into ``n_windows`` equal windows; bit i = window i's mean energy >
+    the MEDIAN window energy, so the fingerprint is invariant to volume
+    scaling (every energy scales by the same factor) and robust to small
+    noise, while different temporal envelopes flip many bits. Arrow-batched
+    mapInPandas over the stdlib WAV codec; compressed formats raise the same
+    honest NotImplementedError as ``decode_audio_features``."""
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            hashes = []
+            for b in pdf[payload_col]:
+                _sr, _nf, _ch, samples = imaging.decode_wav(bytes(b))
+                if samples.size < n_windows:
+                    samples = np.pad(samples, (0, n_windows - samples.size))
+                usable = (samples.size // n_windows) * n_windows
+                energy = (samples[:usable] ** 2).reshape(n_windows, -1).mean(axis=1)
+                bits = energy > np.median(energy)
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate audio pairs via the shared quarter-blocked machinery
+    over the energy-envelope fingerprint (volume-scaled or lightly-noised
+    re-encodes of the same clip collide; different envelopes don't)."""
+    hashes = audio_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    return hash_near_dup_pairs(hashes, max_hamming=max_hamming)

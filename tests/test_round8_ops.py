@@ -370,6 +370,58 @@ def test_real_resize_nearest_known_pixels(spark):
     assert r.out_md5 == hashlib.md5(want_out.hex().encode()).hexdigest()
 
 
+def _wav_envelope(seed, scale=1.0, jitter=0):
+    """6400-frame 16-bit WAV whose loud/quiet 100-frame windows follow a
+    seed-derived bit pattern — a deterministic 'clip' with a distinctive
+    energy envelope. `scale` rescales volume; `jitter` perturbs that many
+    window amplitudes slightly."""
+    import io
+    import struct
+    import wave
+
+    amps = []
+    for w in range(64):
+        loud = ((w * 37 + seed * 11) % 97) > 48
+        a = 12000 if loud else 800
+        if jitter and w % (64 // jitter) == 0:
+            a = int(a * 1.15)
+        amps.append(int(a * scale))
+    frames = []
+    for a in amps:
+        frames.extend([a, -a] * 50)  # 100 frames per window
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(frames)}h", *frames))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative(spark):
+    from kda_flink_demo_spark.operators.llm.image_dedup import (
+        audio_ahash,
+        audio_near_dup_pairs,
+    )
+
+    rows = [
+        (0, bytearray(_wav_envelope(seed=1))),
+        (1, bytearray(_wav_envelope(seed=1, scale=0.5))),   # re-encode, -6 dB
+        (2, bytearray(_wav_envelope(seed=1, jitter=4))),    # light noise
+        (10, bytearray(_wav_envelope(seed=2))),             # different clip
+        (11, bytearray(_wav_envelope(seed=3))),             # different clip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r.doc_id: r.ahash for r in audio_ahash(df).collect()}
+    assert h[0] == h[1]  # energy ratios survive volume scaling exactly
+    pairs = {(r.id_a, r.id_b) for r in audio_near_dup_pairs(df, max_hamming=5).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs  # the clip family collides
+    assert all((a < 10) == (b < 10) for a, b in pairs)  # no cross-clip pair
+    # partitioning-invariant
+    h2 = {r.doc_id: r.ahash for r in audio_ahash(df.repartition(3)).collect()}
+    assert h2 == h
+
+
 # ---------------------------------------------------------------------------
 # Registry hygiene: helpers out of the driver surface (r07 verdict #3)
 # ---------------------------------------------------------------------------
