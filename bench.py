@@ -183,6 +183,14 @@ BENCH_QUERIES = [
     "multimodal_audio_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # perceptual-hash dedup family (round 9: first-class — synth corpus →
+    # real decode → hash → quarter-blocked pair join / ingest gate)
+    "image_ahash_table",
+    "image_dedup_report",
+    "audio_dedup_report",
+    "image_ingest_gate",
+    "audio_ingest_gate",
+    "video_frame_scores",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must
@@ -253,6 +261,44 @@ def main() -> None:
             times[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — record and keep benching
             errs[name] = f"{type(e).__name__}: {e}"[:300]
+
+    # Outlier re-runs (r08 verdict #2): BENCH_r08 shipped two transient host-
+    # contention spikes (11.5×/4.5× on unchanged trivial queries) as engine
+    # numbers because both bad samples were adjacent in bench order and
+    # survived min-of-2. Against the PREVIOUS committed bench_full.json (same
+    # host, calib within 15%), any query now >3× its prior time gets ONE
+    # later re-run recorded separately in `outlier_rerun` — the headline
+    # min-of-2 methodology is unchanged, but no >3× jump ships unexplained.
+    outlier_rerun: dict[str, dict[str, float]] = {}
+    prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f)
+        prior_times = prior.get("queries", {})
+        prior_calib = prior.get("calib_sec")
+        calib_comparable = (
+            calib_sec is not None
+            and prior_calib
+            and abs(calib_sec - prior_calib) / prior_calib <= 0.15
+        )
+    except (OSError, ValueError):
+        prior_times, calib_comparable = {}, False
+    if calib_comparable:
+        for name, t in times.items():
+            pt = prior_times.get(name)
+            if pt and t > 3.0 * pt:
+                try:
+                    t0 = time.time()
+                    df = qs[name](spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    outlier_rerun[name] = {
+                        "prior": pt,
+                        "min_of_2": t,
+                        "rerun": round(time.time() - t0, 3),
+                    }
+                except Exception:  # noqa: BLE001 — the original row stands
+                    pass
+
     total = round(sum(times.values()), 3)
 
     # flagship throughput: events rows/sec through the tumbling windowed count
@@ -281,6 +327,7 @@ def main() -> None:
                 "n_errors": len(errs),
                 "runs_per_query": 2,
                 "calib_sec": calib_sec,
+                "outlier_rerun": outlier_rerun,
             },
             f,
             indent=1,
@@ -302,6 +349,7 @@ def main() -> None:
                 "calib_sec": calib_sec,
                 "flagship_rows_per_sec": flagship_rps,
                 "slowest": slowest,
+                "outlier_rerun": dict(list(outlier_rerun.items())[:4]),
                 "full": full_path,
             },
             separators=(",", ":"),

@@ -7,9 +7,10 @@ exact SimHash machinery: block on 16-bit quarters (two hashes within Hamming
 distance ≤ 3 of a 64-bit code share at least one exact quarter; wider radii
 still catch most real near-dups because perceptual perturbations cluster),
 equi-join within blocks, verify with a JVM popcount. Decode runs once per
-image in Arrow-batched mapInPandas (PIL when installed, else the pure
-PPM/PGM/BMP codec in ``imaging.py``); everything after the 8-byte hash is
-pure JVM.
+image in Arrow-batched mapInPandas; the hash MATH (integer luma, floor-nearest
+resize, mean threshold, MSB-first packbits) is always the pure path so hashes
+are backend-invariant — PIL, when installed, only decodes byte formats the
+pure PPM/PGM/BMP codec can't. Everything after the 8-byte hash is pure JVM.
 
 Scale shape: the corpus collapses to (id, 8-byte hash) in one scan — image
 bytes never enter a shuffle; the quarter-block join touches only hash rows
@@ -36,43 +37,23 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
     honest NotImplementedError as ``multimodal.decode_image_features``."""
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io as _io
-
         import numpy as np
         import pandas as pd
 
-        from kda_flink_demo_spark.operators.llm import imaging
-
-        try:  # pragma: no cover - PIL absent here; pure codec is the tested path
-            from PIL import Image
-
-            has_pil = True
-        except Exception:
-            has_pil = False
-
         for pdf in batches:
-            hashes = []
-            for b in pdf[payload_col]:
-                if has_pil:  # pragma: no cover
-                    img = Image.open(_io.BytesIO(bytes(b))).convert("L").resize((8, 8))
-                    small = np.asarray(img, dtype=np.int64)
-                else:
-                    _w, _h, c, px = imaging.decode_image(bytes(b))
-                    px64 = px.astype(np.int64)
-                    gray = (
-                        px64[:, :, 0]
-                        if c == 1
-                        else (299 * px64[:, :, 0] + 587 * px64[:, :, 1] + 114 * px64[:, :, 2]) // 1000
-                    )
-                    small = imaging.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
-                bits = (small > small.mean()).flatten()
-                h = 0
-                for bit in bits:
-                    h = (h << 1) | int(bit)
-                # two's-complement into a signed 64-bit long for the JVM column
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                hashes.append(h)
+            n = len(pdf)
+            bitmat = np.zeros((n, 64), dtype=np.uint8)
+            for i, b in enumerate(pdf[payload_col]):
+                small = _canonical_8x8_gray(bytes(b))
+                bitmat[i] = (small > small.mean()).flatten()
+            # one vectorized pack for the whole Arrow batch: MSB-first bytes
+            # viewed as big-endian int64 == the (h << 1 | bit) fold, two's
+            # complement included — no per-image Python bit loop (r08 advice)
+            hashes = (
+                np.packbits(bitmat, axis=1).view(">i8").reshape(-1).astype(np.int64)
+                if n
+                else np.empty(0, dtype=np.int64)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -83,24 +64,83 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
     return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
 
 
-def _quartered(hashes: DataFrame, prefix: str) -> DataFrame:
-    """(doc_id, ahash) → one row per 16-bit quarter: (q, qv, <prefix>id,
-    <prefix>h) — map-side explode, no shuffle."""
-    return hashes.select(
-        F.col("doc_id").alias(f"{prefix}id"),
-        F.col("ahash").alias(f"{prefix}h"),
+def _canonical_8x8_gray(b: bytes) -> "np.ndarray":
+    """Decode image bytes → the canonical 8×8 int64 grayscale used for aHash.
+
+    The hash math (integer ITU-R 601-2 luma, floor-nearest resize, mean
+    threshold) is ALWAYS the pure path, so the hash is identical on every
+    backend; PIL — when installed — is used ONLY to decode byte formats the
+    pure codec can't (PNG/JPEG/...). Without this, a cluster with mixed PIL
+    availability would silently mix incomparable hashes into the standing
+    aHash index (PIL's resize defaults to bicubic) and the ingest gate would
+    stop catching real near-dups — the r08 advice's medium finding."""
+    import io as _io
+
+    import numpy as np
+
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    try:
+        _w, _h, c, px = imaging.decode_image(b)
+    except NotImplementedError as gate:
+        try:
+            from PIL import Image
+        except Exception:
+            raise gate  # no PIL either: the honest format gate stands
+        px = np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"), dtype=np.uint8)
+        c = 3
+    px64 = px.astype(np.int64)
+    gray = (
+        px64[:, :, 0]
+        if c == 1
+        else (299 * px64[:, :, 0] + 587 * px64[:, :, 1] + 114 * px64[:, :, 2]) // 1000
+    )
+    return imaging.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+
+
+def _quartered(df: DataFrame, hash_col: str, keep: list[str]) -> DataFrame:
+    """One row per 16-bit quarter of ``hash_col``: (*keep, q, qv) —
+    map-side explode, no shuffle."""
+    return df.select(
+        *keep,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright("ahash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                        F.shiftright(hash_col, q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
                     )
                     for q in range(4)
                 ]
             )
         ).alias("blk"),
-    ).select(f"{prefix}id", f"{prefix}h", F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
+    ).select(*keep, F.col("blk.q").alias("q"), F.col("blk.qv").alias("qv"))
+
+
+def _distinct_hash_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """Unordered pairs of DISTINCT hash values within ``max_hamming``:
+    (h_a < h_b, hamming ≥ 1), via the quarter-blocked self-join.
+
+    Collapsing to hash VALUES before the blocked join is the monoculture
+    defense (r09 skew probe): a corpus of near-identical items (screenshot
+    farms, re-encoded uploads) concentrates one quarter bucket, and a
+    doc-level self-join would pay O(n²) candidate pairs inside that block —
+    AQE can split the straggler task but cannot shrink the quadratic work.
+    Distinct hash values are bounded by the CONTENT diversity (monoculture ⇒
+    few), so the block cross-product collapses to O(distinct²) and exact
+    duplicates only reappear at output-expansion time, which is output-sized
+    by definition."""
+    d = hashes.select("ahash").distinct()
+    qa = _quartered(d.select(F.col("ahash").alias("h_a")), "h_a", ["h_a"])
+    qb = _quartered(d.select(F.col("ahash").alias("h_b")), "h_b", ["h_b"])
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        qa.join(qb, ["q", "qv"])
+        .filter(F.col("h_a") < F.col("h_b"))
+        .select("h_a", "h_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def image_dedup_probe(
@@ -131,35 +171,55 @@ def image_dedup_probe(
         if batch_hashes is not None
         else image_ahash(incoming, id_col=id_col, payload_col=payload_col).localCheckpoint()
     )
-    bq = _quartered(bh, "b_")
-    ham_hits = None
+    # collapse the batch to distinct hash values + the per-value minimal id —
+    # the monoculture defense (see _distinct_hash_pairs): every join below
+    # touches hash VALUES, never one row per duplicate image
+    per_hash = bh.groupBy("ahash").agg(F.min("doc_id").alias("_min_id"))
+    # (1) non-minimal ids of a repeated hash always drop (their min is an
+    #     earlier exact-dup) — a hash-equality join, no blocking needed
+    same_hash_drops = (
+        bh.join(broadcast(per_hash), "ahash")
+        .filter(F.col("doc_id") > F.col("_min_id"))
+        .select(F.col("doc_id").alias("_drop_id"))
+    )
+    # (2) hash values that near-dup the standing index drop ALL their ids:
+    #     distinct batch quarters broadcast into the quartered index scan, so
+    #     the corpus-sized index never shuffles
+    dropped_hashes = None
     if index is not None:
-        iq = _quartered(index, "i_")
-        idx_matched = (
+        bq = _quartered(
+            per_hash.select(F.col("ahash").alias("b_h")), "b_h", ["b_h"]
+        )
+        iq = _quartered(
+            index.select(F.col("ahash").alias("i_h")).distinct(), "i_h", ["i_h"]
+        )
+        dropped_hashes = (
             iq.join(broadcast(bq), ["q", "qv"])
             .filter(F.bit_count(F.col("i_h").bitwiseXOR(F.col("b_h"))) <= max_hamming)
-            .select(F.col("b_id").alias("_drop_id"))
+            .select(F.col("b_h").alias("ahash"))
             .distinct()
         )
-        ham_hits = idx_matched
-    within = (
-        bq.join(
-            bq.select(
-                F.col("q"), F.col("qv"),
-                F.col("b_id").alias("a_id"), F.col("b_h").alias("a_h"),
-            ),
-            ["q", "qv"],
+    # (3) across distinct batch hash values within max_hamming, the LATER
+    #     minimal id drops (an earlier in-batch near-dup exists)
+    vpairs = _distinct_hash_pairs(bh, max_hamming)
+    mins_a = per_hash.select(F.col("ahash").alias("h_a"), F.col("_min_id").alias("_min_a"))
+    mins_b = per_hash.select(F.col("ahash").alias("h_b"), F.col("_min_id").alias("_min_b"))
+    cross_min_drops = (
+        vpairs.join(mins_a, "h_a")
+        .join(mins_b, "h_b")
+        .select(
+            F.greatest("_min_a", "_min_b").alias("_drop_id"),
         )
-        .filter(
-            (F.col("a_id") < F.col("b_id"))
-            & (F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))) <= max_hamming)
-        )
-        .select(F.col("b_id").alias("_drop_id"))
-        .distinct()
     )
-    drops = within if ham_hits is None else ham_hits.unionByName(within).distinct()
+    drops = same_hash_drops.unionByName(cross_min_drops)
+    if dropped_hashes is not None:
+        drops = drops.unionByName(
+            bh.join(broadcast(dropped_hashes), "ahash").select(
+                F.col("doc_id").alias("_drop_id")
+            )
+        )
     return incoming.join(
-        broadcast(drops), F.col(id_col) == F.col("_drop_id"), "left_anti"
+        broadcast(drops.distinct()), F.col(id_col) == F.col("_drop_id"), "left_anti"
     )
 
 
@@ -186,17 +246,33 @@ def image_near_dup_pairs(
 def hash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 5) -> DataFrame:
     """Quarter-blocked near-dup pairs over ANY (doc_id, ahash BIGINT) table —
     the shared back half of the perceptual dedup family (images via
-    image_ahash, audio via audio_ahash). Rows: (id_a, id_b, hamming)."""
-    a = _quartered(hashes, "a_").withColumnsRenamed({"a_id": "id_a", "a_h": "h_a"})
-    b = _quartered(hashes, "b_").withColumnsRenamed({"b_id": "id_b", "b_h": "h_b"})
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        a.join(b, ["q", "qv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    image_ahash, audio via audio_ahash). Rows: (id_a, id_b, hamming).
+
+    The blocked self-join runs on DISTINCT hash values (see
+    _distinct_hash_pairs — the monoculture defense); doc-level rows reappear
+    only in the expansion joins, whose cost is the true pair count (the
+    output itself). Exact-duplicate pairs (hamming 0) come from a plain
+    hash-equality self-join — no blocking machinery needed for equality."""
+    vpairs = _distinct_hash_pairs(hashes, max_hamming)
+    ia = hashes.select(F.col("doc_id").alias("_id_x"), F.col("ahash").alias("h_a"))
+    ib = hashes.select(F.col("doc_id").alias("_id_y"), F.col("ahash").alias("h_b"))
+    cross = (
+        vpairs.join(ia, "h_a")
+        .join(ib, "h_b")
+        .select(
+            F.least("_id_x", "_id_y").alias("id_a"),
+            F.greatest("_id_x", "_id_y").alias("id_b"),
+            "hamming",
+        )
     )
+    x = hashes.select("ahash", F.col("doc_id").alias("id_a"))
+    y = hashes.select("ahash", F.col("doc_id").alias("id_b"))
+    same = (
+        x.join(y, "ahash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(same)
 
 
 def audio_ahash(
@@ -213,6 +289,8 @@ def audio_ahash(
     noise, while different temporal envelopes flip many bits. Arrow-batched
     mapInPandas over the stdlib WAV codec; compressed formats raise the same
     honest NotImplementedError as ``decode_audio_features``."""
+    if n_windows != 64:
+        raise ValueError("the fingerprint is one BIGINT — n_windows must be 64")
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -221,20 +299,20 @@ def audio_ahash(
         from kda_flink_demo_spark.operators.llm import imaging
 
         for pdf in batches:
-            hashes = []
-            for b in pdf[payload_col]:
+            n = len(pdf)
+            bitmat = np.zeros((n, n_windows), dtype=np.uint8)
+            for i, b in enumerate(pdf[payload_col]):
                 _sr, _nf, _ch, samples = imaging.decode_wav(bytes(b))
                 if samples.size < n_windows:
                     samples = np.pad(samples, (0, n_windows - samples.size))
                 usable = (samples.size // n_windows) * n_windows
                 energy = (samples[:usable] ** 2).reshape(n_windows, -1).mean(axis=1)
-                bits = energy > np.median(energy)
-                h = 0
-                for bit in bits:
-                    h = (h << 1) | int(bit)
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                hashes.append(h)
+                bitmat[i] = energy > np.median(energy)
+            hashes = (
+                np.packbits(bitmat, axis=1).view(">i8").reshape(-1).astype(np.int64)
+                if n
+                else np.empty(0, dtype=np.int64)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

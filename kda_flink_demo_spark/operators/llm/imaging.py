@@ -157,3 +157,106 @@ def rms_of(samples: np.ndarray, round_digits: int = 4) -> float | None:
         return None
     scale = 10.0 ** round_digits
     return math.floor(math.sqrt(float(np.mean(samples * samples))) * scale + 0.5) / scale
+
+
+def _bgr_rows_to_rgb(data: bytes, w: int, h: int, bottom_up: bool = True) -> np.ndarray:
+    """Raw DIB raster (BGR rows padded to 4 bytes) → uint8 (h, w, 3) RGB —
+    the shared back half of the BMP and AVI '00db' frame decoders."""
+    row_stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_stride * h).reshape(h, row_stride)[
+        :, : w * 3
+    ].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
+    """bytes → (width, height, fps, [uint8 (h, w, 3) RGB frames]).
+
+    Minimal RIFF/AVI reader for UNCOMPRESSED 24-bit DIB video ('00db'/'00dc'
+    chunks with BI_RGB data) — the one container a pyav/ffmpeg-free reader can
+    do faithfully, completing the modality set next to PPM/PGM/BMP (images)
+    and PCM WAV (audio). Compressed codecs raise NotImplementedError naming
+    the library that would handle them, keeping the gate honest."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "non-AVI video payload requires pyav/ffmpeg (pure-python path "
+            "reads uncompressed 24-bit DIB RIFF AVI)"
+        )
+    width = height = None
+    usec_per_frame = 0
+    bpp = compression = None
+    frames: list[np.ndarray] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal width, height, usec_per_frame, bpp, compression
+        while off + 8 <= end:
+            cid = b[off : off + 4]
+            size = struct.unpack_from("<I", b, off + 4)[0]
+            body, body_end = off + 8, off + 8 + size
+            if cid == b"LIST":
+                walk(body + 4, body_end)  # skip the 4-byte list type
+            elif cid == b"avih":
+                usec_per_frame = struct.unpack_from("<I", b, body)[0]
+                width, height = struct.unpack_from("<II", b, body + 32)
+            elif cid == b"strf" and bpp is None:  # first (video) stream format
+                _sz, _w, _h, _planes, bpp_v = struct.unpack_from("<IiiHH", b, body)
+                compression = struct.unpack_from("<I", b, body + 16)[0]
+                bpp = bpp_v
+            elif cid[2:4] in (b"db", b"dc"):
+                if bpp != 24 or compression != 0:
+                    raise NotImplementedError(
+                        "compressed AVI streams require pyav/ffmpeg (pure "
+                        "path reads uncompressed 24-bit DIB frames only)"
+                    )
+                frames.append(_bgr_rows_to_rgb(b[body:body_end], width, height))
+            off = body_end + (size & 1)  # RIFF chunks pad to even offsets
+
+    walk(12, len(b))
+    if width is None:
+        raise ValueError("AVI missing avih main header")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return width, height, fps, frames
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """[uint8 (h, w, 3) RGB] → minimal uncompressed 24-bit DIB RIFF AVI bytes
+    (the decode_avi inverse; deterministic, used by tests and the synthetic
+    media corpus)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    row_stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - w * 3)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, row_stride * h * fps, 0, 0x10, len(frames), 0, 1,
+        row_stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        row_stride * h, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_stride * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(
+        chunk(
+            b"00db",
+            b"".join(bytes(f[y, :, ::-1].tobytes()) + pad for y in range(h - 1, -1, -1)),
+        )
+        for f in frames
+    )
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -248,11 +248,43 @@ AUDIO_ORACLE_SQL = """
 """
 
 
-def sample_video_frames(df: DataFrame, stride: int = 5) -> DataFrame:
+def sample_video_frames(df: DataFrame, stride: int = 5, real_decode: bool = False) -> DataFrame:
     """Frame-sampling stage (row-expanding mapInPandas): each payload fake-decodes
     to ``n_frames = len % 30 + 1`` frames; every ``stride``-th frame is emitted
-    with a deterministic per-frame score. Real video decode (pyav/ffmpeg) would
-    slot into the same contract."""
+    with a deterministic per-frame score. With ``real_decode``, ACTUAL frames
+    are decoded by the pure RIFF/AVI reader in ``imaging.py`` (uncompressed
+    24-bit DIB — the same honest-gate approach as PPM/BMP images and PCM WAV
+    audio; compressed codecs raise NotImplementedError naming pyav/ffmpeg) and
+    the score is the frame's rounded mean integer luma / 255."""
+    if real_decode:
+
+        def _real_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import math
+
+            import pandas as pd
+
+            from kda_flink_demo_spark.operators.llm import imaging
+
+            for pdf in batches:
+                ids, idxs, scores = [], [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    _w, _h, _fps, frames = imaging.decode_avi(bytes(payload))
+                    for i in range(0, len(frames), stride):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        scores.append(
+                            math.floor(
+                                imaging.grayscale_mean(frames[i]) / 255.0 * 1e4 + 0.5
+                            )
+                            / 1e4
+                        )
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(ids, dtype="int64"),
+                     "frame_idx": pd.Series(idxs, dtype="int32"),
+                     "frame_score": pd.array(scores, dtype="Float64")}
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_real_frames, FRAME_SCHEMA)
 
     def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math

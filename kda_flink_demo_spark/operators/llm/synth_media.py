@@ -1,0 +1,211 @@
+"""Deterministic synthetic media corpus for driver-checkable perceptual dedup.
+
+The fixtures carry no real image/audio payloads, so the perceptual-hash dedup
+family (``image_dedup.py``) was pytest-only through round 8 — invisible to the
+driver's DuckDB-oracle gate. This module closes that gap: it synthesizes a
+media payload per ``documents`` row as a PURE FUNCTION of ``doc_id``, designed
+so the true near-dup pair structure is known in closed form and therefore
+expressible as ANSI SQL over the same parquet table:
+
+- group ``g = doc_id % 20`` picks one of 20 hardcoded 64-bit codewords with
+  pairwise Hamming distance ≥ 24 (seeded-search constants, never drift);
+- variant ``v = least(doc_id // 20, 3)`` applies ``v`` deterministic bit
+  flips, so two same-group docs sit at a Hamming distance that is an exact
+  function of ``(v_a, v_b)`` and any cross-group pair stays far outside the
+  dedup radius;
+- a per-doc brightness offset (images) / volume factor (audio) varies the raw
+  bytes WITHOUT moving the hash — aHash thresholds against the image mean and
+  the audio fingerprint against the median window energy, so uniform additive
+  brightness and multiplicative volume cancel exactly. The payloads are not
+  byte-identical; the pipeline must prove those invariances to match the
+  oracle.
+
+Images (``IMAGE_CODEWORDS``, popcount 25–36): variant v flips the first v of
+the prefix positions ``(g*7 + j) % 64`` → same-group hamming EXACTLY
+``|v_a − v_b| ≤ 3`` (exact quarter-blocking recall by pigeonhole), cross-group
+≥ 24 − 3 − 3 = 18.
+
+Audio (``AUDIO_CODEWORDS``, popcount EXACTLY 32): the energy fingerprint
+thresholds at the MEDIAN window energy, which pins exactly 32 set bits — so
+variant step j flips a (set, clear) PAIR inside quarter j (popcount preserved,
+median stays strictly between the two energy levels) → same-group hamming
+EXACTLY ``2·|v_a − v_b| ≤ 6``, and since steps touch distinct quarters, two
+variants differ in ≤ 3 quarters — still ≥ 1 identical quarter, exact recall
+at max_hamming = 6. Cross-group ≥ 24 − 6 − 6 = 12 > 6.
+
+Those closed forms ARE the DuckDB oracles in ``registry_llm.py``.
+
+Scale note: synthesis is an Arrow-batched mapInPandas projection (one numpy
+pattern per row, vectorized byte assembly) — it stands in for the production
+"read media bytes from the lake" scan and costs O(rows), no shuffle.
+Everything downstream is the real, unmodified dedup pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from kda_flink_demo_spark.functions import spread_for_compute
+
+# Pairwise Hamming ≥ 24, popcount ∈ [25, 36] (image mean-threshold stays
+# strictly between the two gray levels even after 3 flips). Seed 20260815.
+IMAGE_CODEWORDS: tuple[int, ...] = (
+    0x076BF32C166E97E2, 0xB7CEB41BC078BE25, 0x8D1B778385E87961, 0x490B639F703332B6,
+    0x115FC02EE46208DC, 0xAF2B79B77C417984, 0xCD99D42BBD2C94F1, 0x43AAD3DBA30926EE,
+    0x0B003FFFDB736C2E, 0xBBBB9251F264CC1C, 0x8BDFE114AA0EE7F3, 0x1420C70BF8CCB6FD,
+    0x6A3C4AD5D9AD0596, 0x27D2FAD30EDE4B84, 0x88B87C5E8369109C, 0xA431D686C906C46E,
+    0x0BA99E3006993B7F, 0xC432AC4B568E8194, 0xE6E0145789844B20, 0x9C6786CD447A273D,
+)
+
+# Pairwise Hamming ≥ 24, popcount EXACTLY 32, every 16-bit quarter holding
+# 3–13 set bits (room for the per-variant (set, clear) flip pair). Seed 99173.
+AUDIO_CODEWORDS: tuple[int, ...] = (
+    0x48C33F405F6C4B2F, 0xD2D6D49917BC4670, 0x15451BE8AF16EE0E, 0xDC21A5FBD31C7031,
+    0xA7F2C62C0B861B8F, 0x4131AD5CACEDAC8E, 0xB148DE48FFC92683, 0x4D53534F488AE3BA,
+    0xAB9834FF556A060D, 0xE242CA16427C36FF, 0x4C5B7BF4E2D4022D, 0x93672A413768BE9C,
+    0xC487E3CB1EA55781, 0xE44A976732E143AD, 0x1A585F7C4B985B98, 0x9B82E63D51872D63,
+    0xA774E438F62532AA, 0xF3D4AB8A67016D62, 0x5AC2A3B5074F58D3, 0x0815C79FBA9D5CE0,
+)
+
+N_GROUPS = 20
+MAX_VARIANT = 3  # flip steps are capped so same-group pairs stay in-radius
+
+
+def _group_variant(doc_id: int) -> tuple[int, int]:
+    return doc_id % N_GROUPS, min(doc_id // N_GROUPS, MAX_VARIANT)
+
+
+def image_pattern(doc_id: int) -> int:
+    """The 64-bit image pattern: group codeword with the first ``v`` prefix
+    positions ``(g*7 + j) % 64`` flipped."""
+    g, v = _group_variant(doc_id)
+    w = IMAGE_CODEWORDS[g]
+    for j in range(v):
+        w ^= 1 << ((g * 7 + j) % 64)
+    return w
+
+
+def audio_pattern(doc_id: int) -> int:
+    """The 64-bit audio pattern: group codeword with, per variant step j, the
+    lowest set bit AND lowest clear bit of quarter j both flipped — popcount
+    stays 32 and step j touches only quarter j."""
+    g, v = _group_variant(doc_id)
+    w = AUDIO_CODEWORDS[g]
+    for j in range(v):
+        q = (w >> (16 * j)) & 0xFFFF
+        set_pos = (q & -q).bit_length() - 1
+        inv = ~q & 0xFFFF
+        clear_pos = (inv & -inv).bit_length() - 1
+        w ^= (1 << (16 * j + set_pos)) | (1 << (16 * j + clear_pos))
+    return w
+
+
+def _bits_msb(word: int) -> "np.ndarray":
+    """uint8[64], index k = value bit (63 − k) — the MSB-first layout the
+    aHash packbits fold reads."""
+    import numpy as np
+
+    return np.array([(word >> (63 - k)) & 1 for k in range(64)], dtype=np.uint8)
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): a 16×16 binary-PPM image whose
+    canonical 8×8 aHash equals ``image_pattern(doc_id)``. Pixels: gray level
+    200+off where the pattern bit is set, 40+off where not, with brightness
+    off = (doc_id//20 % 8) * 5 the hash must ignore. Each 8×8 pattern pixel
+    repeats 2×2 so the floor-nearest 16→8 resize recovers it exactly (and the
+    resize path is genuinely exercised)."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                off = (d // N_GROUPS % 8) * 5
+                lvl = np.where(_bits_msb(image_pattern(d)).reshape(8, 8) == 1, 200 + off, 40 + off)
+                big = np.repeat(np.repeat(lvl, 2, axis=0), 2, axis=1).astype(np.uint8)
+                payloads.append(imaging.encode_ppm(big[:, :, None]))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    # the fixtures are single-file scans (1 partition) — spread the id column
+    # (8 bytes/row) so the synth+decode kernels use every core; a production
+    # media table arrives already split and skips the repartition
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
+def synth_wavs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): a 16-bit PCM WAV (64 windows × 32
+    samples, 8 kHz mono) whose energy-envelope fingerprint equals
+    ``audio_pattern(doc_id)``. Window k: constant amplitude (3000 if bit k
+    else 300) × s with volume factor s = 1 + (doc_id//20 % 4) the fingerprint
+    must ignore (all window energies scale by s², the median with them)."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                s = 1 + (d // N_GROUPS % 4)
+                amp = np.where(_bits_msb(audio_pattern(d)) == 1, 3000 * s, 300 * s)
+                samples = np.repeat(amp.astype("<i2"), 32)  # 64 windows × 32 samples
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
+def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): an uncompressed 24-bit DIB RIFF
+    AVI with ``doc_id % 12 + 1`` constant-color frames; frame i's RGB is
+    ``((d·31+i·17) % 256, (d·13+i·7) % 256, (d·29+i·3) % 256)`` so its integer
+    ITU-R 601-2 luma — and therefore the frame score the real decoder emits —
+    is closed-form SQL. Distinct per-channel values make the BGR↔RGB row
+    order load-bearing (a channel-swap bug flips the luma), and the 6-pixel
+    width forces non-trivial 4-byte row padding through the DIB raster path."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                frames = []
+                for i in range(d % 12 + 1):
+                    f = np.empty((4, 6, 3), dtype=np.uint8)
+                    f[:, :, 0] = (d * 31 + i * 17) % 256
+                    f[:, :, 1] = (d * 13 + i * 7) % 256
+                    f[:, :, 2] = (d * 29 + i * 3) % 256
+                    frames.append(f)
+                payloads.append(imaging.encode_avi(frames, fps=10))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )

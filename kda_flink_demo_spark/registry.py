@@ -71,22 +71,11 @@ _DRIVER_PRIORITY: list[str] = [
     "projection_json_cast",
     "ts_parse_fallback",
     "filter_predicates",
-    # Round-7 re-pin (r06 VERDICT directives 1–3): the rows whose SHAPE
-    # changed this round and need fresh hash exposure — the fixed PCA output,
-    # the two ANN→recall-report conversions, the HLL→exact+boolean conversion.
-    # Everything r06-green (sketch pack, TPC-H breadth, round-6 additions)
-    # moved to the rotating tail.
-    "similarity_ann_lsh",
-    "similarity_ivf_topk",
-    "approx_distinct_users",
-    # round-7 additions: first driver exposure
-    "quarantine_gate",
-    "bpe_encode_stored",
-    "dedup_simhash_report",
-    "embedding_pca_check",
-    "interval_join_views_purchases",
-    "inverted_index",
-    "quantile_sketch_report",
+    # Round-9 curation (r08 VERDICT directive 3): every round-7/8 re-pin went
+    # r08-green, so they all moved to the rotating tail. Only the flagship
+    # parity core above stays permanently pinned — the never-checked round-9
+    # perceptual-dedup rows sort first automatically and the 43 rotating
+    # slots then drain ALL 30 r05-stale rows plus the oldest r06 rows.
 ]
 
 _DRIVER_WINDOW = 50

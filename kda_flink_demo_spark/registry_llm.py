@@ -11,6 +11,8 @@ from kda_flink_demo_spark.io.sources import load_table
 from kda_flink_demo_spark.operators.llm import (
     classifier,
     dedup,
+    image_dedup,
+    synth_media,
     packing as packing_mod,
     embeddings,
     kmeans,
@@ -1304,3 +1306,148 @@ def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact, so any corpus slice featurizes identically with zero
     coordination. One partial→final (doc, bucket) aggregate."""
     return text.hashed_features(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image/audio dedup — driver-checkable surface (round 9).
+# The corpus is synthesized per documents row as a pure function of doc_id
+# (see synth_media.py): group g = doc_id % 20 picks a far-apart codeword,
+# variant v = least(doc_id // 20, 3) applies v designed flips, and brightness/
+# volume perturbations vary the bytes without moving the hash. The true pair
+# structure is therefore closed-form SQL — the full decode→hash→quarter-block
+# →verify pipeline must reproduce it EXACTLY to hash-match.
+# ---------------------------------------------------------------------------
+
+_MEDIA_GV = """
+    SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v FROM documents
+"""
+
+_IMAGE_PAIRS_ORACLE = (
+    "WITH d AS (" + _MEDIA_GV + "), "
+    "p AS (SELECT abs(a.v - b.v) AS ham FROM d a JOIN d b "
+    "      ON a.g = b.g AND a.doc_id < b.doc_id) "
+    "SELECT CAST(ham AS INT) AS hamming, count(*) AS n_pairs FROM p GROUP BY 1"
+)
+
+
+@register("image_dedup_report", _IMAGE_PAIRS_ORACLE)
+def q_image_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (aHash + 16-bit-quarter blocking +
+    JVM popcount verify) over the synthesized PPM corpus, reported as the
+    Hamming-distance histogram of the pair graph. The oracle recomputes the
+    histogram from the corpus design in closed form: same-group pairs sit at
+    EXACTLY |v_a − v_b| ≤ 3 (inside the pigeonhole-exact blocking radius),
+    cross-group pairs at ≥ 18 (outside max_hamming=5) — so precision and
+    recall are both provably exact and any pipeline defect (decode, luma,
+    resize, threshold, packing, blocking, verify) flips the hash."""
+    imgs = synth_media.synth_images(load_table(spark, sf_dir, "documents"))
+    pairs = image_dedup.image_near_dup_pairs(imgs, max_hamming=5)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_AUDIO_PAIRS_ORACLE = (
+    "WITH d AS (" + _MEDIA_GV + "), "
+    "p AS (SELECT 2 * abs(a.v - b.v) AS ham FROM d a JOIN d b "
+    "      ON a.g = b.g AND a.doc_id < b.doc_id) "
+    "SELECT CAST(ham AS INT) AS hamming, count(*) AS n_pairs FROM p GROUP BY 1"
+)
+
+
+@register("audio_dedup_report", _AUDIO_PAIRS_ORACLE)
+def q_audio_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (energy-envelope fingerprint over decoded WAV
+    samples + the shared quarter-block machinery) over the synthesized WAV
+    corpus. Audio variants flip popcount-preserving (set, clear) PAIRS — the
+    median-energy threshold pins exactly 32 bits — so same-group hamming is
+    EXACTLY 2·|v_a − v_b| ≤ 6, each step confined to one quarter (≥ 1 quarter
+    always identical → exact recall at max_hamming=6), cross-group ≥ 12."""
+    wavs = synth_media.synth_wavs(load_table(spark, sf_dir, "documents"))
+    pairs = image_dedup.audio_near_dup_pairs(wavs, max_hamming=6)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_GATE_ORACLE = """
+    SELECT min(doc_id) AS doc_id, doc_id % 20 AS group_id
+    FROM documents WHERE doc_id % 3 = 1 AND doc_id % 20 >= 10
+    GROUP BY 2
+"""
+
+
+@register("image_ingest_gate", _GATE_ORACLE)
+def q_image_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest image gate (image_dedup_probe) made
+    driver-checkable: the standing index holds groups 0–9 (docs ≡ 0 mod 3),
+    the incoming batch is docs ≡ 1 mod 3. Every batch image from an indexed
+    group near-dups the index (hamming ≤ 3 ≤ 5) and is dropped; in the ten
+    un-indexed groups the within-batch stage keeps only the smallest doc_id
+    (all same-group images near-dup each other) — both code paths land in
+    the closed-form survivor set the oracle computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = synth_media.synth_images(docs.filter(F.col("doc_id") % 3 == 1))
+    index = image_dedup.image_ahash(
+        synth_media.synth_images(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        )
+    )
+    survivors = image_dedup.image_dedup_probe(incoming, index, max_hamming=5)
+    return survivors.select("doc_id", (F.col("doc_id") % 20).alias("group_id"))
+
+
+@register("audio_ingest_gate", _GATE_ORACLE)
+def q_audio_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of image_ingest_gate: same survivor closed form, driven
+    through audio_ahash fingerprints (batch hashes passed explicitly — the
+    probe machinery is hash-agnostic once given the (doc_id, ahash) tables)."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = synth_media.synth_wavs(docs.filter(F.col("doc_id") % 3 == 1))
+    index = image_dedup.audio_ahash(
+        synth_media.synth_wavs(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        )
+    )
+    survivors = image_dedup.image_dedup_probe(
+        incoming,
+        index,
+        max_hamming=6,
+        batch_hashes=image_dedup.audio_ahash(incoming).localCheckpoint(),
+    )
+    return survivors.select("doc_id", (F.col("doc_id") % 20).alias("group_id"))
+
+
+@register("image_ahash_table", None, helper=True)
+def q_image_ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELPER (benched, plan-dumped — not a driver row): the raw hash stage
+    alone — synthesized corpus → (doc_id, ahash) — isolating the decode+hash
+    scan cost from the pair join the report queries add. The hash VALUES are
+    externally evidenced through image_dedup_report's exact histogram."""
+    return image_dedup.image_ahash(
+        synth_media.synth_images(load_table(spark, sf_dir, "documents"))
+    )
+
+
+_VIDEO_FRAMES_ORACLE = """
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, doc_id % 12 + 1, 5)) AS frame_idx FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           floor((299 * ((doc_id * 31 + frame_idx * 17) % 256)
+                + 587 * ((doc_id * 13 + frame_idx * 7) % 256)
+                + 114 * ((doc_id * 29 + frame_idx * 3) % 256)) // 1000
+                 / 255.0 * 10000.0 + 0.5) / 10000.0 AS frame_score
+    FROM f
+"""
+
+
+@register("video_frame_scores", _VIDEO_FRAMES_ORACLE)
+def q_video_frame_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, driver-checkable (round 9 — completes the modality
+    set next to the image/audio perceptual queries): synthesized RIFF/AVI
+    payloads (synth_media.synth_videos) through the pure uncompressed-DIB
+    frame reader, stride-5 sampling, per-frame integer-luma scores. The
+    oracle recomputes every sampled frame's score from the corpus design in
+    closed form — a decode defect anywhere (RIFF walk, header parse, row
+    padding, bottom-up flip, BGR→RGB, luma) moves some score and fails the
+    hash. Compressed codecs stay behind the honest NotImplementedError gate
+    naming pyav/ffmpeg."""
+    vids = synth_media.synth_videos(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_video_frames(vids, stride=5, real_decode=True)

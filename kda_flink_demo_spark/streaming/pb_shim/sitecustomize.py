@@ -80,7 +80,17 @@ def install() -> bool:
     jar-namespace modules), then back-fill runtime_version if absent.
     Returns availability."""
     if not _usable():
-        for m in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+        # purge ONLY the phantom namespace entries the jar resources create:
+        # the bare "google"/"google.protobuf" packages and protobuf submodules.
+        # Unrelated, functional google.* packages (google.auth, google.cloud,
+        # ...) that the driver may already have imported must keep their
+        # sys.modules entries — deleting them would hand later importers
+        # stale/duplicate module state (r08 advice finding).
+        for m in [
+            m
+            for m in sys.modules
+            if m in ("google", "google.protobuf") or m.startswith("google.protobuf.")
+        ]:
             del sys.modules[m]
         for p in _SDK_ROOTS:
             if os.path.isdir(p) and p not in sys.path:

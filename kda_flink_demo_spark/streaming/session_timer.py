@@ -19,9 +19,22 @@ last + gap, count) when either
 State per key: one (count, start_us, last_us) triple + exactly one
 registered timer (the previous timer is deleted on every update), so state
 is O(keys) and timers O(keys) at any scale. Batch-as-oracle parity is
-pinned in tests: every emitted session equals the batch session exactly,
-and at most one session per key (the still-open tail) may be unflushed at
-stream end.
+pinned in tests FOR IN-ORDER / zero-delay replays: every emitted session
+then equals the batch session exactly, and at most one session per key (the
+still-open tail) may be unflushed at stream end.
+
+Out-of-order caveat (r08 advice): with a nonzero ``watermark_delay``, an
+admitted late event OLDER than the standing session is MERGED into it — the
+split predicate clamps each event's predecessor to the standing session's
+last time (``max(prev, base_us)``) so a session end never moves backwards.
+That is the classic streaming-session merge behavior (Flink merges late
+events into any overlapping-or-adjacent window too), but it means a late
+event more than ``gap`` older than the standing session extends that session
+backwards instead of forming its own — a batch recompute over the full
+timeline WOULD split them. Exact batch parity under disorder needs
+watermark-delayed buffering (sort-and-hold until the watermark passes);
+this operator deliberately trades that extra per-key buffer state for the
+O(1)-per-key triple, and the tests pin parity only where it is claimed.
 """
 
 from __future__ import annotations

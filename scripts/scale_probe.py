@@ -395,6 +395,39 @@ def main() -> None:
 
     bench_lazy("tpch_q11_important_stock", _q11)
 
+    # round-9: perceptual-hash dedup family at 8×. The synth corpus reuses the
+    # fixed 20 pattern groups, so the REPLICATED corpus is maximally dup-heavy
+    # (every replica of a doc near-dups every other — group sizes 8× the sf0.1
+    # ones). That makes all-pairs output quadratic BY CONSTRUCTION (not a plan
+    # defect), so the 8×-probed members are the linear-output stages a real
+    # pipeline runs at scale: the decode+hash scan and the ingest GATE, whose
+    # distinct-hash collapse keeps the blocked joins O(distinct²) — constant
+    # here — no matter how many duplicates the corpus piles into one bucket.
+    from kda_flink_demo_spark.operators.llm import image_dedup as _imgd
+    from kda_flink_demo_spark.operators.llm import multimodal as _mm
+    from kda_flink_demo_spark.operators.llm import synth_media as _synth
+
+    media_docs = docs.select("doc_id")
+    bench("image_ahash", _imgd.image_ahash(_synth.synth_images(media_docs)))
+    bench("audio_ahash", _imgd.audio_ahash(_synth.synth_wavs(media_docs)))
+    bench(
+        "video_frame_scores_real",
+        _mm.sample_video_frames(_synth.synth_videos(media_docs), stride=5, real_decode=True),
+    )
+    _img_idx = _imgd.image_ahash(
+        _synth.synth_images(
+            media_docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        )
+    ).localCheckpoint()
+    bench_lazy(
+        "image_ingest_gate",
+        lambda: _imgd.image_dedup_probe(
+            _synth.synth_images(media_docs.filter(F.col("doc_id") % 3 == 1)),
+            _img_idx,
+            max_hamming=5,
+        ),
+    )
+
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
 

@@ -150,6 +150,77 @@ def main() -> None:
 
     t_cms_hot = bench(cms_heavy_hitters_report(hot_docs, k=10))
 
+    # MONOCULTURE perceptual-hash corpus (r08 verdict directive 7): 90% of a
+    # screenshot-farm corpus hashes to a handful of near-identical aHash
+    # values, so ALL its quarter blocks collapse onto the same (q, qv) keys.
+    # A doc-level blocked self-join pays O(hot²)·4 candidate pairs inside
+    # that block — AQE can split the straggler task but cannot shrink the
+    # quadratic work. The shipped gate (image_dedup_probe) collapses to
+    # DISTINCT hash values first, so the blocked join is O(distinct²) and
+    # doc-level rows only reappear in output-sized expansions.
+    from kda_flink_demo_spark.operators.llm.image_dedup import (
+        _quartered,
+        image_dedup_probe,
+    )
+    from kda_flink_demo_spark.operators.llm.synth_media import image_pattern
+
+    n_mono = 8_000  # naive is O(hot²) — 7.2k hot docs ≈ 2·10⁸ candidates
+    sat = [image_pattern(g * 20 + 60) for g in range(4)]  # 4 saturated patterns
+
+    def _signed(w):
+        return w - (1 << 64) if w >= 1 << 63 else w
+
+    ids = spark.range(n_mono).withColumnRenamed("id", "doc_id")
+    mono = ids.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 9,  # 90%: one of 4 near-identical hashes
+            F.element_at(
+                F.array(*[F.lit(_signed(s)) for s in sat]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        )
+        .otherwise(F.xxhash64(F.col("doc_id")))  # 10%: diverse
+        .alias("ahash"),
+    ).localCheckpoint()
+    incoming = mono.withColumn("payload", F.lit(b""))  # probe works on hashes
+
+    t_gate_collapsed = bench(
+        image_dedup_probe(incoming, None, max_hamming=5, batch_hashes=mono)
+    )
+    survivors_collapsed = image_dedup_probe(
+        incoming, None, max_hamming=5, batch_hashes=mono
+    ).count()
+
+    # naive doc-level baseline: the pre-r09 within-batch join shape
+    bq = _quartered(
+        mono.select(F.col("doc_id").alias("b_id"), F.col("ahash").alias("b_h")),
+        "b_h",
+        ["b_id", "b_h"],
+    )
+    naive_drops = (
+        bq.join(
+            bq.select(
+                "q", "qv", F.col("b_id").alias("a_id"), F.col("b_h").alias("a_h")
+            ),
+            ["q", "qv"],
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))) <= 5)
+        )
+        .select(F.col("b_id").alias("_drop_id"))
+        .distinct()
+    )
+    naive_gate = incoming.join(
+        naive_drops, F.col("doc_id") == F.col("_drop_id"), "left_anti"
+    )
+    t_gate_naive = bench(naive_gate)
+    survivors_naive = naive_gate.count()
+    assert survivors_naive == survivors_collapsed, (
+        f"gate parity broke: {survivors_naive} vs {survivors_collapsed}"
+    )
+
     n = ev.count()
     print(
         json.dumps(
@@ -166,6 +237,10 @@ def main() -> None:
                 "inverted_index_hot_sec": t_inverted_hot,
                 "inverted_naive_hot_sec": t_inverted_naive,
                 "cms_hot_sec": t_cms_hot,
+                "mono_docs": n_mono,
+                "mono_survivors": survivors_collapsed,
+                "ahash_gate_collapsed_sec": t_gate_collapsed,
+                "ahash_gate_doc_level_sec": t_gate_naive,
             }
         )
     )

@@ -1,0 +1,223 @@
+"""Round-9 additions: the driver-checkable perceptual dedup corpus
+(synth_media design invariants, hash == designed pattern, backend-invariant
+hashing incl. the fake-PIL branch), the pure RIFF/AVI video decoder, and the
+vectorized packbits hash stage."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from kda_flink_demo_spark.operators.llm import imaging, synth_media
+from kda_flink_demo_spark.operators.llm.image_dedup import (
+    _canonical_8x8_gray,
+    audio_ahash,
+    image_ahash,
+)
+
+
+def _signed(w: int) -> int:
+    return w - (1 << 64) if w >= 1 << 63 else w
+
+
+# ---------------------------------------------------------------------------
+# Corpus design invariants (pure python — these are the oracle's premises)
+# ---------------------------------------------------------------------------
+
+
+def test_codeword_separation():
+    for words in (synth_media.IMAGE_CODEWORDS, synth_media.AUDIO_CODEWORDS):
+        assert len(words) == 20
+        for i, a in enumerate(words):
+            for b in words[i + 1 :]:
+                assert bin(a ^ b).count("1") >= 24
+
+
+def test_image_pattern_hamming_is_exactly_variant_distance():
+    # same group: |v_a - v_b|; doc 60+ saturates at v=3
+    for g in range(20):
+        ids = [g, g + 20, g + 40, g + 60, g + 80]
+        pats = [synth_media.image_pattern(d) for d in ids]
+        vs = [0, 1, 2, 3, 3]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert bin(pats[i] ^ pats[j]).count("1") == abs(vs[i] - vs[j])
+
+
+def test_audio_pattern_flips_preserve_popcount_and_quarters():
+    for g in range(20):
+        base = synth_media.AUDIO_CODEWORDS[g]
+        for v_doc, v in ((g, 0), (g + 20, 1), (g + 40, 2), (g + 60, 3)):
+            w = synth_media.audio_pattern(v_doc)
+            assert bin(w).count("1") == 32  # median threshold premise
+            diff = w ^ base
+            assert bin(diff).count("1") == 2 * v
+            # step j touches only quarter j → ≥ 1 quarter identical for any
+            # two variants (exact quarter-blocking recall at max_hamming=6)
+            for q in range(4):
+                qdiff = (diff >> (16 * q)) & 0xFFFF
+                assert bin(qdiff).count("1") == (2 if q < v else 0)
+
+
+# ---------------------------------------------------------------------------
+# Hash == designed pattern through the REAL pipeline (Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_image_hash_equals_design_and_ignores_brightness(spark):
+    # docs 0..99 cover every group × variants 0–4 (brightness offsets differ
+    # between e.g. doc 60 and doc 80 while the pattern saturates at v=3)
+    docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.ahash for r in image_ahash(synth_media.synth_images(docs)).collect()}
+    assert got == {d: _signed(synth_media.image_pattern(d)) for d in range(100)}
+    # brightness invariance, explicitly: docs 60 and 80 share group+pattern
+    # (v saturated) but have different brightness offsets → identical hash
+    assert got[60] == got[80]
+    img60 = synth_media.synth_images(docs).filter("doc_id = 60").collect()[0].payload
+    img80 = synth_media.synth_images(docs).filter("doc_id = 80").collect()[0].payload
+    assert bytes(img60) != bytes(img80)  # the bytes really do differ
+
+
+def test_audio_hash_equals_design_and_ignores_volume(spark):
+    docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.ahash for r in audio_ahash(synth_media.synth_wavs(docs)).collect()}
+    assert got == {d: _signed(synth_media.audio_pattern(d)) for d in range(100)}
+    assert got[60] == got[80]  # same pattern, volume factors differ
+    wav60 = synth_media.synth_wavs(docs).filter("doc_id = 60").collect()[0].payload
+    wav80 = synth_media.synth_wavs(docs).filter("doc_id = 80").collect()[0].payload
+    assert bytes(wav60) != bytes(wav80)
+
+
+def test_image_hash_pinned_value(spark):
+    """Doc 0 is codeword 0 verbatim — a packbits/bit-order regression canary."""
+    docs = spark.range(1).withColumnRenamed("id", "doc_id")
+    (row,) = image_ahash(synth_media.synth_images(docs)).collect()
+    assert row.ahash == _signed(0x076BF32C166E97E2)
+    (arow,) = audio_ahash(synth_media.synth_wavs(docs)).collect()
+    assert arow.ahash == _signed(0x48C33F405F6C4B2F)
+
+
+# ---------------------------------------------------------------------------
+# Backend-invariant hashing: the PIL decode branch (fake-PIL shim)
+# ---------------------------------------------------------------------------
+
+
+class _FakePILImage:
+    """Minimal PIL.Image stand-in backed by the pure codec: open/convert/
+    __array__ — enough to execute image_dedup's PIL decode branch."""
+
+    def __init__(self, px: np.ndarray):
+        self._px = px
+
+    def convert(self, mode: str) -> "_FakePILImage":
+        assert mode == "RGB"
+        if self._px.shape[2] == 1:
+            return _FakePILImage(np.repeat(self._px, 3, axis=2))
+        return self
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._px if dtype is None else self._px.astype(dtype)
+        return np.array(a) if copy else a
+
+
+def test_canonical_gray_pil_branch_bit_equal(monkeypatch):
+    """A payload the pure codec rejects routes through PIL (decode ONLY) and
+    must produce the bit-identical canonical 8×8 gray — the r08 advice's
+    mixed-backend index-poisoning fix, executed in CI via a fake PIL."""
+    # build a real PPM, then wrap it in a fake container the pure codec rejects
+    lvl = np.where(
+        synth_media._bits_msb(synth_media.image_pattern(3)).reshape(8, 8) == 1, 210, 45
+    )
+    big = np.repeat(np.repeat(lvl, 2, axis=0), 2, axis=1).astype(np.uint8)
+    ppm_bytes = imaging.encode_ppm(big[:, :, None])
+    fake_bytes = b"\x89FAKEPNG" + ppm_bytes
+
+    def fake_open(fp):
+        data = fp.read()
+        assert data.startswith(b"\x89FAKEPNG")
+        _w, _h, c, px = imaging.decode_image(data[len(b"\x89FAKEPNG") :])
+        return _FakePILImage(px if c == 3 else np.repeat(px, 3, axis=2))
+
+    fake_image_mod = types.SimpleNamespace(open=fake_open)
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    via_pil = _canonical_8x8_gray(fake_bytes)
+    via_pure = _canonical_8x8_gray(ppm_bytes)
+    assert np.array_equal(via_pil, via_pure)  # bit-equal across backends
+
+
+def test_canonical_gray_gate_stands_without_pil(monkeypatch):
+    monkeypatch.setitem(sys.modules, "PIL", None)  # import raises
+    with pytest.raises(NotImplementedError):
+        _canonical_8x8_gray(b"\x89PNG not decodable")
+
+
+# ---------------------------------------------------------------------------
+# Pure RIFF/AVI video decode (the last real-decode modality)
+# ---------------------------------------------------------------------------
+
+
+def _frames(n, w=6, h=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_avi_roundtrip_pixel_exact():
+    frames = _frames(7)
+    b = imaging.encode_avi(frames, fps=25)
+    w, h, fps, out = imaging.decode_avi(b)
+    assert (w, h, fps, len(out)) == (6, 4, 25.0, 7)
+    for a, c in zip(frames, out):
+        assert np.array_equal(a, c)
+
+
+def test_avi_honest_gates():
+    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+        imaging.decode_avi(b"\x00\x00\x00\x00 not riff")
+    # a compressed stream (non-zero biCompression) must refuse, not garble
+    frames = _frames(2)
+    b = bytearray(imaging.encode_avi(frames, fps=10))
+    strf_off = bytes(b).index(b"strf") + 8
+    b[strf_off + 16 : strf_off + 20] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compressed AVI"):
+        imaging.decode_avi(bytes(b))
+
+
+def test_sample_video_frames_real_decode(spark):
+    """real_decode=True over genuine AVI payloads: stride sampling over the
+    ACTUAL frame count, scores pixel-exact against the per-frame luma."""
+    import math
+
+    from kda_flink_demo_spark.operators.llm.multimodal import sample_video_frames
+
+    payloads = []
+    all_frames = {}
+    for doc_id, n in ((0, 7), (1, 12)):
+        frames = _frames(n, seed=doc_id)
+        all_frames[doc_id] = frames
+        payloads.append((doc_id, bytearray(imaging.encode_avi(frames, fps=10))))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_idx): r.frame_score
+        for r in sample_video_frames(df, stride=5, real_decode=True).collect()
+    }
+    expected = {}
+    for doc_id, frames in all_frames.items():
+        for i in range(0, len(frames), 5):
+            expected[(doc_id, i)] = (
+                math.floor(imaging.grayscale_mean(frames[i]) / 255.0 * 1e4 + 0.5) / 1e4
+            )
+    assert got == expected
+
+
+def test_empty_media_batch(spark):
+    """Zero-row inputs through the vectorized packbits path (n=0 branch)."""
+    docs = spark.range(0).withColumnRenamed("id", "doc_id")
+    assert image_ahash(synth_media.synth_images(docs)).count() == 0
+    assert audio_ahash(synth_media.synth_wavs(docs)).count() == 0
