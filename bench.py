@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "image_ingest_gate",
     "audio_ingest_gate",
     "video_frame_scores",
+    "image_dedup_apply",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must

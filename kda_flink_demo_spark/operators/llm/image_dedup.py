@@ -275,6 +275,52 @@ def hash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 5) -> DataFrame:
     return cross.unionByName(same)
 
 
+def hash_near_dup_edges(hashes: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Connectivity-equivalent, LINEAR-sized edge list (doc_a, doc_b) for the
+    near-dup graph — the input connected-components actually needs.
+
+    The full pair graph is quadratic per near-dup cluster (a 250-copy image
+    contributes C(250,2) pairs; a screenshot-farm corpus makes it the
+    dominant shuffle). Connectivity doesn't need it: per hash VALUE, a star
+    from the minimal id to its exact-dup siblings (n−1 edges), plus ONE edge
+    between the minimal ids of every distinct-hash pair within max_hamming.
+    Any near-dup pair (a, b) is then connected via min(hash(a)) —
+    min(hash(b)), so components — and therefore canonical selection — are
+    IDENTICAL to the full pair graph's (test-pinned), at O(n + distinct²
+    within block) total cost."""
+    per_hash = hashes.groupBy("ahash").agg(F.min("doc_id").alias("_min_id"))
+    star = (
+        hashes.join(per_hash, "ahash")
+        .filter(F.col("doc_id") > F.col("_min_id"))
+        .select(F.col("_min_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    vpairs = _distinct_hash_pairs(hashes, max_hamming)
+    mins_a = per_hash.select(F.col("ahash").alias("h_a"), F.col("_min_id").alias("_min_a"))
+    mins_b = per_hash.select(F.col("ahash").alias("h_b"), F.col("_min_id").alias("_min_b"))
+    cross = (
+        vpairs.join(mins_a, "h_a")
+        .join(mins_b, "h_b")
+        .select(
+            F.least("_min_a", "_min_b").alias("doc_a"),
+            F.greatest("_min_a", "_min_b").alias("doc_b"),
+        )
+    )
+    return star.unionByName(cross)
+
+
+def image_near_dup_edges(
+    df: DataFrame,
+    max_hamming: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Linear-sized clustering edges over the image corpus (one decode+hash
+    scan, then hash_near_dup_edges) — feed this to connected_components /
+    dedup_clusters instead of the quadratic image_near_dup_pairs output."""
+    hashes = image_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    return hash_near_dup_edges(hashes, max_hamming=max_hamming)
+
+
 def audio_ahash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -40,6 +40,49 @@ def _worker_has_pil() -> bool:
     except Exception:
         return False
 
+def _image_features_pil(b: bytes) -> tuple[int, int, int, float]:
+    """(width, height, channels, mean-luma) via PIL — PIL's convert('L') uses
+    the same truncating integer ITU-R 601-2 formula as
+    ``imaging.grayscale_mean``, so the two backends agree bit-for-bit on RGB
+    input. Module-level (not buried in the worker closure) so the fake-PIL
+    parity test can execute this branch in CI (r08 verdict directive 5)."""
+    import io as _io
+
+    from PIL import Image
+
+    img = Image.open(_io.BytesIO(b))
+    w, h, c = img.width, img.height, len(img.getbands())
+    px = list(img.convert("L").getdata())
+    return w, h, c, sum(px) / max(len(px), 1)
+
+
+def _image_features_pure(b: bytes) -> tuple[int, int, int, float]:
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    w, h, c, pixels = imaging.decode_image(b)
+    return w, h, c, imaging.grayscale_mean(pixels)
+
+
+def _resize_payload_pil(b: bytes, target_w: int, target_h: int) -> tuple[int, int, bytes]:
+    """(in_w, in_h, resized PNG bytes) via PIL. Module-level for the fake-PIL
+    branch test; the checksum container is backend-specific by design."""
+    import io as _io
+
+    from PIL import Image
+
+    img = Image.open(_io.BytesIO(b))
+    buf = _io.BytesIO()
+    img.resize((target_w, target_h)).save(buf, format="PNG")
+    return img.width, img.height, buf.getvalue()
+
+
+def _resize_payload_pure(b: bytes, target_w: int, target_h: int) -> tuple[int, int, bytes]:
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    w, h, _c, pixels = imaging.decode_image(b)
+    return w, h, imaging.encode_ppm(imaging.resize_nearest(pixels, target_w, target_h))
+
+
 DECODE_SCHEMA = (
     "doc_id long, width int, height int, channels int, brightness double, n_bytes long"
 )
@@ -69,28 +112,21 @@ def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame
     if real_decode:
 
         def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            import io as _io
             import math
 
             import pandas as pd
 
-            from kda_flink_demo_spark.operators.llm import imaging
-            from kda_flink_demo_spark.operators.llm.multimodal import _worker_has_pil
+            from kda_flink_demo_spark.operators.llm.multimodal import (
+                _image_features_pil,
+                _image_features_pure,
+                _worker_has_pil,
+            )
 
-            has_pil = _worker_has_pil()
+            features = _image_features_pil if _worker_has_pil() else _image_features_pure
             for pdf in batches:
                 widths, heights, chans, bright = [], [], [], []
                 for b in pdf["payload"]:
-                    if has_pil:
-                        from PIL import Image
-
-                        img = Image.open(_io.BytesIO(bytes(b)))
-                        w, h, c = img.width, img.height, len(img.getbands())
-                        px = list(img.convert("L").getdata())
-                        mean = sum(px) / max(len(px), 1)
-                    else:
-                        w, h, c, pixels = imaging.decode_image(bytes(b))
-                        mean = imaging.grayscale_mean(pixels)
+                    w, h, c, mean = features(bytes(b))
                     widths.append(w)
                     heights.append(h)
                     chans.append(c)
@@ -393,33 +429,22 @@ def resize_images(
 
         def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
             import hashlib
-            import io as _io
 
             import pandas as pd
 
-            from kda_flink_demo_spark.operators.llm import imaging
-            from kda_flink_demo_spark.operators.llm.multimodal import _worker_has_pil
+            from kda_flink_demo_spark.operators.llm.multimodal import (
+                _resize_payload_pil,
+                _resize_payload_pure,
+                _worker_has_pil,
+            )
 
-            has_pil = _worker_has_pil()
+            resize_one = _resize_payload_pil if _worker_has_pil() else _resize_payload_pure
             for pdf in batches:
                 in_w, in_h, nout, md5s = [], [], [], []
                 for b in pdf["payload"]:
-                    if has_pil:
-                        from PIL import Image
-
-                        img = Image.open(_io.BytesIO(bytes(b)))
-                        in_w.append(img.width)
-                        in_h.append(img.height)
-                        buf = _io.BytesIO()
-                        img.resize((target_w, target_h)).save(buf, format="PNG")
-                        out = buf.getvalue()
-                    else:
-                        w, h, _c, pixels = imaging.decode_image(bytes(b))
-                        in_w.append(w)
-                        in_h.append(h)
-                        out = imaging.encode_ppm(
-                            imaging.resize_nearest(pixels, target_w, target_h)
-                        )
+                    w, h, out = resize_one(bytes(b), target_w, target_h)
+                    in_w.append(w)
+                    in_h.append(h)
                     nout.append(len(out))
                     # same checksum form as the stub: md5 of the lowercase hex
                     md5s.append(hashlib.md5(out.hex().encode()).hexdigest())

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from kda_flink_demo_spark.io.sources import load_table
 from kda_flink_demo_spark.operators.llm import (
     classifier,
+    clustering,
     dedup,
     image_dedup,
     synth_media,
@@ -1451,3 +1452,29 @@ def q_video_frame_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     naming pyav/ffmpeg."""
     vids = synth_media.synth_videos(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_video_frames(vids, stride=5, real_decode=True)
+
+
+_IMAGE_APPLY_ORACLE = """
+    WITH m AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id % 20)
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN m USING (doc_id)
+"""
+
+
+@register("image_dedup_apply", _IMAGE_APPLY_ORACLE)
+def q_image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BATCH image-dedup pipeline end-to-end: synth corpus → aHash →
+    LINEAR-sized connectivity edges (hash_near_dup_edges: per-hash stars +
+    one edge per distinct-hash pair at max_hamming=3, the pigeonhole-exact
+    radius; components provably equal the full pair graph's, test-pinned) →
+    connected components → keep each cluster's minimum-id canonical. By the
+    corpus design every group is one complete near-dup component (variant
+    patterns sit pairwise ≤ 3 apart), so the surviving corpus is EXACTLY the
+    20 per-group minimum ids with their attributes — closed-form SQL. This is
+    the text dedup_clusters/dedup_apply_fuzzy shape applied to the multimodal
+    column, riding the same connected_components machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = image_dedup.image_near_dup_edges(
+        synth_media.synth_images(docs), max_hamming=3
+    )
+    clusters = clustering.dedup_clusters(docs, edges)
+    return clustering.apply_dedup(docs, clusters)

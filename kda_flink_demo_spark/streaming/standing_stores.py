@@ -699,10 +699,12 @@ def update_ahash_index_store(
     max_hamming: int = 5,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    hasher=None,
 ) -> None:
-    """Fold one micro-batch of images through the standing perceptual-dedup
-    gate (call from ``foreachBatch``): clean the batch against the standing
-    aHash index + earlier within-batch images (``image_dedup_probe``), land
+    """Fold one micro-batch of media payloads through the standing
+    perceptual-dedup gate (call from ``foreachBatch``): clean the batch
+    against the standing fingerprint index + earlier within-batch payloads
+    (``image_dedup_probe`` — hash-agnostic once given hash tables), land
     survivors under ``sink_path/batch=<id>``, then commit the batch's OWN
     hashes as index segment ``seg=<id>`` — including dropped images' hashes,
     so a later re-crawl of a dropped near-dup still gates (the index records
@@ -721,8 +723,16 @@ def update_ahash_index_store(
     idx = read_ahash_index(spark, store_path, exclude_batch=batch_id)
     # hash the batch ONCE: the checkpointed table feeds both the probe's two
     # joins and the index segment write — recomputing would run the
-    # per-image decode mapInPandas twice per fold (r08 second-review finding)
-    bh = image_ahash(batch_df, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    # per-image decode mapInPandas twice per fold (r08 second-review finding).
+    # ``hasher`` defaults to the image aHash; pass ``audio_ahash`` (or any
+    # (df, id_col, payload_col) → (doc_id, ahash BIGINT) projection) and the
+    # identical gate/store machinery dedups that modality — the probe and the
+    # segment format are hash-agnostic. One store holds ONE modality: never
+    # mix hashers in a store_path (hashes from different fingerprint spaces
+    # are incomparable — the same failure the canonical-backend fix closed).
+    if hasher is None:
+        hasher = image_ahash
+    bh = hasher(batch_df, id_col=id_col, payload_col=payload_col).localCheckpoint()
     cleaned = image_dedup_probe(
         batch_df,
         idx,

@@ -164,8 +164,12 @@ def main() -> None:
     )
     from kda_flink_demo_spark.operators.llm.synth_media import image_pattern
 
-    n_mono = 8_000  # naive is O(hot²) — 7.2k hot docs ≈ 2·10⁸ candidates
-    sat = [image_pattern(g * 20 + 60) for g in range(4)]  # 4 saturated patterns
+    n_mono = 24_000  # naive is O(hot²): 21.6k hot docs ≈ 10⁹ candidate pairs
+    # (at 8k docs both plans time alike — 2·10⁸ codegen'd integer comparisons
+    # hide inside scan noise on 32 cores; the quadratic needs room to bite)
+    # the 4 VARIANTS of ONE group: within hamming ≤ 3 of each other, so the
+    # hot 90% shares (most) quarter buckets — the true monoculture block shape
+    sat = [image_pattern(v * 20) for v in range(4)]
 
     def _signed(w):
         return w - (1 << 64) if w >= 1 << 63 else w

@@ -498,3 +498,40 @@ def test_tpch_q11_global_total_is_one_row_broadcast(spark):
     assert plan.count("Scan ExistingRDD") == 2, plan  # grouped reused twice
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
     assert "Window" not in plan, plan  # never a global single-partition window
+
+
+def test_image_dedup_probe_payload_never_shuffles(spark):
+    """The perceptual ingest gate must move 8-byte hashes, never image bytes:
+    no Exchange row may carry the payload column, every join is broadcast
+    (batch-side hash quarters / drop ids), and no CartesianProduct appears —
+    the monoculture defense rides DISTINCT hash values, not doc rows."""
+    from kda_flink_demo_spark.operators.llm.image_dedup import (
+        image_ahash,
+        image_dedup_probe,
+    )
+    from kda_flink_demo_spark.operators.llm.synth_media import synth_images
+
+    docs = load_table(spark, SF_DIR, "documents")
+    incoming = synth_images(docs.filter(F.col("doc_id") % 3 == 1))
+    index = image_ahash(synth_images(docs.filter(F.col("doc_id") % 3 == 0)))
+    plan = _plan(image_dedup_probe(incoming, index, max_hamming=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+
+
+def test_hash_near_dup_pairs_blocks_on_distinct_hashes(spark):
+    """The pair stage's quarter-blocked self-join runs over DISTINCT hash
+    values (HashAggregate(keys=[ahash]) feeds the join) with doc rows joining
+    back only at expansion; no CartesianProduct, no Python in the join."""
+    from kda_flink_demo_spark.operators.llm.image_dedup import hash_near_dup_pairs
+
+    hashes = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.xxhash64("text").alias("ahash")
+    )
+    plan = _plan(hash_near_dup_pairs(hashes, max_hamming=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "ahash" in plan and plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -158,6 +158,90 @@ def test_canonical_gray_gate_stands_without_pil(monkeypatch):
         _canonical_8x8_gray(b"\x89PNG not decodable")
 
 
+class _FakePILFull:
+    """Fuller PIL.Image shim (open/width/height/getbands/convert('L')/
+    getdata/resize/save) backed by the pure codec + PIL's documented
+    truncating ITU-R 601-2 luma — executes multimodal's PIL feature/resize
+    tiers in CI without the dependency."""
+
+    def __init__(self, px: np.ndarray):
+        self._px = px
+
+    @property
+    def width(self):
+        return self._px.shape[1]
+
+    @property
+    def height(self):
+        return self._px.shape[0]
+
+    def getbands(self):
+        return ("R", "G", "B") if self._px.shape[2] == 3 else ("L",)
+
+    def convert(self, mode):
+        assert mode == "L"
+        px = self._px.astype(np.int64)
+        luma = (
+            px[:, :, 0]
+            if px.shape[2] == 1
+            else (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+        )
+        return _FakePILFull(luma.astype(np.uint8)[:, :, None])
+
+    def getdata(self):
+        return [int(v) for v in self._px[:, :, 0].flatten()]
+
+    def resize(self, size):
+        return _FakePILFull(imaging.resize_nearest(self._px, size[0], size[1]))
+
+    def save(self, buf, format=None):
+        assert format == "PNG"
+        buf.write(b"\x89FAKEPNG" + imaging.encode_ppm(self._px))
+
+
+def _install_fake_pil(monkeypatch, opener):
+    import types as _types
+
+    fake_image_mod = _types.SimpleNamespace(open=opener)
+    fake_pil = _types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+
+def test_multimodal_pil_tiers_match_pure_backend(monkeypatch):
+    """The PIL feature/resize tiers (module-level helpers since r09) produce
+    the same geometry + bit-identical brightness as the pure backend on a
+    shared format — executed via the fake PIL, closing the r08 'PIL-present
+    branches never run in CI' gap."""
+    from kda_flink_demo_spark.operators.llm.multimodal import (
+        _image_features_pil,
+        _image_features_pure,
+        _resize_payload_pil,
+        _resize_payload_pure,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (10, 14, 3), dtype=np.uint8)
+    ppm = imaging.encode_ppm(px)
+
+    def opener(fp):
+        _w, _h, c, decoded = imaging.decode_image(fp.read())
+        return _FakePILFull(decoded if c == 3 else np.repeat(decoded, 3, axis=2))
+
+    _install_fake_pil(monkeypatch, opener)
+
+    assert _image_features_pil(ppm) == _image_features_pure(ppm)
+
+    w_pil, h_pil, out_pil = _resize_payload_pil(ppm, 4, 4)
+    w_pure, h_pure, out_pure = _resize_payload_pure(ppm, 4, 4)
+    assert (w_pil, h_pil) == (w_pure, h_pure) == (14, 10)
+    # payload containers are backend-specific by design (PNG vs PPM); the
+    # resized PIXELS under the fake's nearest resize must agree exactly
+    assert out_pil.startswith(b"\x89FAKEPNG")
+    assert out_pil[len(b"\x89FAKEPNG") :] == out_pure
+
+
 # ---------------------------------------------------------------------------
 # Pure RIFF/AVI video decode (the last real-decode modality)
 # ---------------------------------------------------------------------------
@@ -214,6 +298,76 @@ def test_sample_video_frames_real_decode(spark):
                 math.floor(imaging.grayscale_mean(frames[i]) / 255.0 * 1e4 + 0.5) / 1e4
             )
     assert got == expected
+
+
+def test_edges_give_identical_components_to_full_pairs(spark):
+    """hash_near_dup_edges is connectivity-equivalent to the quadratic pair
+    graph: connected components (and so canonical selection) are identical,
+    on a corpus mixing exact dups, chained near-dups, and singletons."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm.clustering import connected_components
+    from kda_flink_demo_spark.operators.llm.image_dedup import (
+        hash_near_dup_edges,
+        hash_near_dup_pairs,
+    )
+
+    rows = []
+    # groups of exact dups + hamming-chained variants + diverse singletons
+    for d in range(120):
+        rows.append((d, _signed(synth_media.image_pattern(d))))
+    for d in range(120, 160):
+        rows.append((d, _signed((0xDEADBEEF << 13) * (d * 2 + 1) & ((1 << 64) - 1))))
+    hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+
+    pairs = hash_near_dup_pairs(hashes, max_hamming=3).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    edges = hash_near_dup_edges(hashes, max_hamming=3)
+    comp_pairs = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    comp_edges = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    assert comp_pairs == comp_edges
+    assert len(comp_pairs) == 120  # every grouped doc labeled, singletons absent
+    # edge list is linear-sized: stars (120 − 80 distinct... here: per-hash
+    # n−1) + one edge per distinct-hash pair — far below the pair count
+    assert edges.count() < pairs.count()
+
+
+def test_audio_standing_gate_replay_idempotent(spark, tmp_path):
+    """The standing perceptual gate generalized to audio (hasher=audio_ahash):
+    index near-dups drop, within-batch keeps the first, replay rewrites
+    identical survivors, and a re-crawl of a DROPPED clip still gates."""
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        read_ahash_index,
+        update_ahash_index_store,
+    )
+
+    store = str(tmp_path / "audio_idx")
+    sink = str(tmp_path / "clean")
+
+    def wav_df(ids):
+        base = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return synth_media.synth_wavs(base)
+
+    update_ahash_index_store(wav_df([0, 1]), 0, store, sink, max_hamming=6, hasher=audio_ahash)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=0").collect()} == {0, 1}
+
+    # 20 = group 0 variant 1 (ham 2 vs indexed doc 0 → drop); 7 = new group
+    # (keep); 27 = group 7 variant 1 (ham 2 vs in-batch doc 7 → drop)
+    update_ahash_index_store(wav_df([20, 7, 27]), 1, store, sink, max_hamming=6, hasher=audio_ahash)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=1").collect()} == {7}
+    assert {r.doc_id for r in read_ahash_index(spark, store).collect()} == {0, 1, 20, 7, 27}
+
+    # replay of batch 1: identical survivors (idempotent)
+    update_ahash_index_store(wav_df([20, 7, 27]), 1, store, sink, max_hamming=6, hasher=audio_ahash)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=1").collect()} == {7}
+    # 47 = group 7 variant 2: ham 2 vs the DROPPED-but-indexed 27 → still gates
+    update_ahash_index_store(wav_df([47]), 2, store, sink, max_hamming=6, hasher=audio_ahash)
+    assert spark.read.parquet(f"{sink}/batch=2").count() == 0
 
 
 def test_empty_media_batch(spark):
