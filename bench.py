@@ -185,13 +185,18 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     # perceptual-hash dedup family (round 9: first-class — synth corpus →
     # real decode → hash → quarter-blocked pair join / ingest gate)
-    "image_ahash_table",
+    "image_ahash_values",
+    "image_ahash_index_build",
     "image_dedup_report",
     "audio_dedup_report",
     "image_ingest_gate",
     "audio_ingest_gate",
     "video_frame_scores",
     "image_dedup_apply",
+    "media_sniff_features",
+    "video_dedup_report",
+    "audio_ahash_values",
+    "video_ahash_values",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must
@@ -204,6 +209,7 @@ _BUILD_BEFORE = {
     "fuzzy_ingest_index_build": ("ingest_dedup_fuzzy",),
     "pq_index_build": ("similarity_pq_adc",),
     "bpe_merge_steps": ("bpe_encode",),
+    "image_ahash_index_build": ("image_ingest_gate",),
 }
 for _b, _consumers in _BUILD_BEFORE.items():
     for _c in _consumers:

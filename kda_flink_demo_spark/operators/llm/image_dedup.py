@@ -380,3 +380,67 @@ def audio_near_dup_pairs(
     re-encodes of the same clip collide; different envelopes don't)."""
     hashes = audio_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
     return hash_near_dup_pairs(hashes, max_hamming=max_hamming)
+
+
+def video_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = 1,
+) -> DataFrame:
+    """(id, AVI payload) → (doc_id, ahash): a 64-bit video fingerprint — the
+    MAJORITY of the sampled frames' canonical aHash bits (bit b set iff more
+    than half the sampled frames set it). Majority voting makes the
+    fingerprint robust to a minority of outlier frames (intro cards, corrupt
+    frames, scene bumpers) while re-encodes/brightness shifts of the same
+    footage collide exactly — the temporal analogue of the image mean
+    threshold. Pure RIFF/AVI decode; compressed codecs raise the honest
+    NotImplementedError naming pyav/ffmpeg. Rides the shared quarter-blocked
+    pair/gate machinery like every (doc_id, ahash) table."""
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            n = len(pdf)
+            bitmat = np.zeros((n, 64), dtype=np.uint8)
+            for i, b in enumerate(pdf[payload_col]):
+                _w, _h, _fps, frames = imaging.decode_avi(bytes(b))
+                sampled = frames[::stride]
+                votes = np.zeros(64, dtype=np.int64)
+                for f in sampled:
+                    px64 = f.astype(np.int64)
+                    gray = (
+                        299 * px64[:, :, 0] + 587 * px64[:, :, 1] + 114 * px64[:, :, 2]
+                    ) // 1000
+                    small = imaging.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+                    votes += (small > small.mean()).flatten()
+                bitmat[i] = (2 * votes > len(sampled)).astype(np.uint8)
+            hashes = (
+                np.packbits(bitmat, axis=1).view(">i8").reshape(-1).astype(np.int64)
+                if n
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = 1,
+) -> DataFrame:
+    """Near-duplicate video pairs via the shared quarter-blocked machinery
+    over the temporal-majority fingerprint."""
+    hashes = video_ahash(
+        df, id_col=id_col, payload_col=payload_col, stride=stride
+    ).localCheckpoint()
+    return hash_near_dup_pairs(hashes, max_hamming=max_hamming)

@@ -486,3 +486,75 @@ def resize_images(
         F.col("_keep").cast("long").alias("n_bytes_out"),
         F.md5(F.lower(F.hex("_resized"))).alias("out_md5"),
     )
+
+
+SNIFF_SCHEMA = (
+    "doc_id long, modality string, width int, height int, channels int, "
+    "duration_sec double, brightness double, rms double, n_bytes long"
+)
+
+
+def sniff_media_features(df: DataFrame) -> DataFrame:
+    """Mixed-format media scan: a real lake's payload column is never one
+    format, so the decode stage DISPATCHES on magic bytes per row — PPM/PGM/
+    BMP → image features (geometry + integer-luma brightness), WAV → audio
+    features (duration + rms), AVI → video features (geometry + duration) —
+    into one unified nullable feature schema with a ``modality`` tag.
+    Unrecognized payloads land as modality='unknown' and recognized-but-
+    undecodable ones (truncated header, compressed codec) as 'corrupt' —
+    quarantine rows, not exceptions: one exotic file must not kill a 100 TB
+    scan, and the two tags stay distinct so a corrupt-rate monitor can alarm.
+    The single-format decode stages keep their raising gates; quarantining is
+    THIS operator's contract.
+
+    Scale shape: one Arrow-batched mapInPandas over the payload scan —
+    partition-local, no shuffle, same contract as the single-format decode
+    stages it composes."""
+
+    def _sniff(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        def row(b: bytes):
+            try:
+                if b[:2] in (b"P6", b"P5") or b[:2] == b"BM":
+                    w, h, c, px = imaging.decode_image(b)
+                    mean = imaging.grayscale_mean(px)
+                    return ("image", w, h, c, None, math.floor(mean * 1e4 + 0.5) / 1e4, None)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    sr, nf, ch, samples = imaging.decode_wav(b)
+                    dur = math.floor(nf / sr * 1e4 + 0.5) / 1e4 if sr else None
+                    return ("audio", None, None, ch, dur, None, imaging.rms_of(samples))
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    w, h, fps, frames = imaging.decode_avi(b)
+                    dur = math.floor(len(frames) / fps * 1e4 + 0.5) / 1e4 if fps else None
+                    return ("video", w, h, 3, dur, None, None)
+            except Exception:  # noqa: BLE001 — quarantine, never kill the scan
+                return ("corrupt", None, None, None, None, None, None)
+            return ("unknown", None, None, None, None, None, None)
+
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                m, w, h, c, dur, bright, rms = row(b)
+                recs.append((int(doc_id), m, w, h, c, dur, bright, rms, len(b)))
+            out = pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "modality", "width", "height", "channels",
+                    "duration_sec", "brightness", "rms", "n_bytes",
+                ],
+            )
+            for col, dt in (
+                ("width", "Int32"), ("height", "Int32"), ("channels", "Int32"),
+                ("duration_sec", "Float64"), ("brightness", "Float64"),
+                ("rms", "Float64"), ("n_bytes", "int64"),
+            ):
+                out[col] = out[col].astype(dt)
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(_sniff, SNIFF_SCHEMA)

@@ -209,3 +209,38 @@ def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return spread_for_compute(df.select(id_col)).mapInPandas(
         _gen, "doc_id long, payload binary"
     )
+
+
+def synth_pattern_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): an AVI whose per-frame aHash MAJORITY
+    equals ``image_pattern(doc_id)`` — the video-dedup corpus. Every frame
+    carries the doc's image pattern (2×2-upscaled, per-frame brightness
+    offsets the hash ignores), but a MINORITY of frames (every third, always
+    fewer than half of the ``doc_id % 5 + 2`` total) is bit-INVERTED — a
+    stand-in for intro cards / corrupted frames. The temporal majority vote
+    must suppress them exactly; a mean- or any-frame fingerprint would not."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                bits = _bits_msb(image_pattern(d)).reshape(8, 8)
+                frames = []
+                for i in range(d % 5 + 2):
+                    fb = (1 - bits) if i % 3 == 2 else bits  # minority inverted
+                    off = (i * 7 + d) % 8 * 5
+                    lvl = np.where(fb == 1, 200 + off, 40 + off)
+                    big = np.repeat(np.repeat(lvl, 2, axis=0), 2, axis=1).astype(np.uint8)
+                    frames.append(np.repeat(big[:, :, None], 3, axis=2))
+                payloads.append(imaging.encode_avi(frames, fps=10))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )

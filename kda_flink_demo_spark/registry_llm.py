@@ -1385,10 +1385,14 @@ def q_image_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closed-form survivor set the oracle computes."""
     docs = load_table(spark, sf_dir, "documents")
     incoming = synth_media.synth_images(docs.filter(F.col("doc_id") % 3 == 1))
-    index = image_dedup.image_ahash(
-        synth_media.synth_images(
-            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
-        )
+    index = standing_artifact(
+        spark,
+        ("ahash_index", sf_dir),
+        lambda: image_dedup.image_ahash(
+            synth_media.synth_images(
+                docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+            )
+        ).localCheckpoint(),
     )
     survivors = image_dedup.image_dedup_probe(incoming, index, max_hamming=5)
     return survivors.select("doc_id", (F.col("doc_id") % 20).alias("group_id"))
@@ -1415,15 +1419,7 @@ def q_audio_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", (F.col("doc_id") % 20).alias("group_id"))
 
 
-@register("image_ahash_table", None, helper=True)
-def q_image_ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HELPER (benched, plan-dumped — not a driver row): the raw hash stage
-    alone — synthesized corpus → (doc_id, ahash) — isolating the decode+hash
-    scan cost from the pair join the report queries add. The hash VALUES are
-    externally evidenced through image_dedup_report's exact histogram."""
-    return image_dedup.image_ahash(
-        synth_media.synth_images(load_table(spark, sf_dir, "documents"))
-    )
+
 
 
 _VIDEO_FRAMES_ORACLE = """
@@ -1478,3 +1474,177 @@ def q_image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = clustering.dedup_clusters(docs, edges)
     return clustering.apply_dedup(docs, clusters)
+
+
+def _sniff_oracle() -> str:
+    """Closed-form oracle for media_sniff_features: the brightness of a synth
+    image is 40 + off + 2.5·popcount(pattern), so an 80-row (g, v) → popcount
+    VALUES table (computed here from the same hardcoded codewords the corpus
+    uses) pins it exactly; audio rms is s·sqrt(4545000)/32768 (64 windows,
+    exactly 32 high by design); AVI size is linear in frames (224 + 88·nf)."""
+    lut_rows = ", ".join(
+        f"({g}, {v}, {bin(synth_media.image_pattern(g + 20 * v)).count('1')})"
+        for g in range(20)
+        for v in range(4)
+    )
+    return f"""
+    WITH lut(g, v, k) AS (VALUES {lut_rows}),
+    d AS (
+        SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v,
+               (doc_id // 20) % 8 AS o8, 1 + (doc_id // 20) % 4 AS s,
+               doc_id % 4 AS m, doc_id % 12 + 1 AS nf, text
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  WHEN 2 THEN 'video' ELSE 'unknown' END AS modality,
+           CAST(CASE m WHEN 0 THEN 16 WHEN 2 THEN 6 END AS INTEGER) AS width,
+           CAST(CASE m WHEN 0 THEN 16 WHEN 2 THEN 4 END AS INTEGER) AS height,
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3 END AS INTEGER) AS channels,
+           CASE m WHEN 1 THEN 0.256
+                  WHEN 2 THEN floor(nf / 10.0 * 10000.0 + 0.5) / 10000.0 END AS duration_sec,
+           CASE m WHEN 0 THEN floor((40 + o8 * 5 + lut.k * 2.5) * 10000.0 + 0.5) / 10000.0
+               END AS brightness,
+           CASE m WHEN 1 THEN floor(sqrt(4545000.0) / 32768 * s * 10000.0 + 0.5) / 10000.0
+               END AS rms,
+           CAST(CASE m WHEN 0 THEN 781 WHEN 1 THEN 4140 WHEN 2 THEN 224 + 88 * nf
+                       ELSE octet_length(encode(text)) + 1 END AS BIGINT) AS n_bytes
+    FROM d LEFT JOIN lut ON lut.g = d.g AND lut.v = d.v
+    """
+
+
+@register("media_sniff_features", _sniff_oracle())
+def q_media_sniff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format media LAKE scan, driver-checkable: the corpus interleaves
+    all three synthetic containers plus junk text payloads by doc_id % 4, and
+    ``sniff_media_features`` must dispatch each row by magic bytes through the
+    matching REAL decoder into one unified feature table — geometry + exact
+    integer-luma brightness for images (the oracle pins it via an 80-row
+    popcount table computed from the same codeword constants), duration + rms
+    for audio (closed-form: exactly 32 high-energy windows by design),
+    geometry + duration for video, 'unknown' quarantine for the junk (its
+    '#' prefix can never match a magic). A dispatch, decode, or rounding
+    defect anywhere moves some cell and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    imgs = synth_media.synth_images(docs.filter(d % 4 == 0))
+    wavs = synth_media.synth_wavs(docs.filter(d % 4 == 1))
+    vids = synth_media.synth_videos(docs.filter(d % 4 == 2))
+    junk = docs.filter(d % 4 == 3).select(
+        "doc_id", F.encode(F.concat(F.lit("#"), F.col("text")), "UTF-8").alias("payload")
+    )
+    corpus = imgs.unionByName(wavs).unionByName(vids).unionByName(junk)
+    return multimodal.sniff_media_features(corpus)
+
+
+@register("video_dedup_report", _IMAGE_PAIRS_ORACLE)
+def q_video_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs via the temporal-MAJORITY fingerprint
+    (video_ahash: per-frame canonical aHash bits, majority across frames)
+    over the designed pattern-video corpus — whose minority of bit-INVERTED
+    frames the vote must suppress exactly, so a mean- or first-frame
+    implementation hash-fails. Fingerprints then equal image_pattern(doc_id),
+    making the pair histogram the SAME closed form as the image report
+    (|v_a − v_b| per same-group pair, cross-group unreachable)."""
+    vids = synth_media.synth_pattern_videos(load_table(spark, sf_dir, "documents"))
+    pairs = image_dedup.video_near_dup_pairs(vids, max_hamming=5)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _pattern_lut_sql() -> str:
+    """80-row (g, v) → signed-int64 pattern VALUES table, generated from the
+    same hardcoded codeword constants the corpus uses — the strongest
+    possible external pin: the oracle recomputes every raw hash VALUE."""
+    rows = []
+    for g in range(20):
+        for v in range(4):
+            w = synth_media.image_pattern(g + 20 * v)
+            rows.append(f"({g}, {v}, {w - (1 << 64) if w >= 1 << 63 else w})")
+    return ", ".join(rows)
+
+
+_AHASH_VALUES_ORACLE = f"""
+    WITH lut(g, v, h) AS (VALUES {_pattern_lut_sql()})
+    SELECT d.doc_id, CAST(lut.h AS BIGINT) AS ahash
+    FROM (SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v
+          FROM documents) d
+    JOIN lut ON lut.g = d.g AND lut.v = d.v
+"""
+
+
+@register("image_ahash_values", _AHASH_VALUES_ORACLE)
+def q_image_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw decode+hash scan, externally value-pinned: every 64-bit aHash
+    over the synth corpus must equal the designed pattern VERBATIM (the
+    oracle joins an 80-row signed-pattern table generated from the same
+    hardcoded codeword constants). This pins the exact bit layout — luma
+    formula, nearest-resize indices, mean threshold, MSB-first packing,
+    two's-complement — not just pair distances."""
+    return image_dedup.image_ahash(
+        synth_media.synth_images(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register(
+    "image_ahash_index_build",
+    _AHASH_VALUES_ORACLE.replace(
+        "FROM documents) d", "FROM documents WHERE doc_id % 3 = 0 AND doc_id % 20 < 10) d"
+    ),
+)
+def q_image_ahash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD query for the image ingest gate's standing index (the
+    fuzzy_ingest_index_build convention): always rebuilds fresh — its benched
+    time is the honest one-time index construction cost — and refreshes the
+    session artifact the gate then probes, so the gate's benched time is the
+    recurring PER-BATCH cost a production deployment actually pays (hash the
+    batch + probe the standing index), not an index rebuild per batch.
+    Oracle: the signed-pattern LUT restricted to the indexed slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = image_dedup.image_ahash(
+        synth_media.synth_images(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        )
+    ).localCheckpoint()
+    return standing_put(spark, ("ahash_index", sf_dir), idx)
+
+
+def _audio_lut_sql() -> str:
+    rows = []
+    for g in range(20):
+        for v in range(4):
+            w = synth_media.audio_pattern(g + 20 * v)
+            rows.append(f"({g}, {v}, {w - (1 << 64) if w >= 1 << 63 else w})")
+    return ", ".join(rows)
+
+
+@register(
+    "audio_ahash_values",
+    f"""
+    WITH lut(g, v, h) AS (VALUES {_audio_lut_sql()})
+    SELECT d.doc_id, CAST(lut.h AS BIGINT) AS ahash
+    FROM (SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v
+          FROM documents) d
+    JOIN lut ON lut.g = d.g AND lut.v = d.v
+    """,
+)
+def q_audio_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw WAV decode + energy-envelope fingerprint scan, externally
+    value-pinned like image_ahash_values: every 64-bit fingerprint must equal
+    the designed audio pattern VERBATIM (80-row signed-pattern LUT from the
+    same constants) — pinning the stdlib WAV parse, per-window energy fold,
+    median threshold, and volume invariance bit-for-bit."""
+    return image_dedup.audio_ahash(
+        synth_media.synth_wavs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register("video_ahash_values", _AHASH_VALUES_ORACLE)
+def q_video_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw AVI decode + temporal-MAJORITY fingerprint scan, externally
+    value-pinned: the pattern-video corpus (with its minority of inverted
+    frames) must fingerprint to image_pattern(doc_id) VERBATIM — the same
+    signed-pattern LUT as image_ahash_values, reached through a completely
+    different kernel (multi-frame decode, per-frame hash, majority vote)."""
+    return image_dedup.video_ahash(
+        synth_media.synth_pattern_videos(load_table(spark, sf_dir, "documents"))
+    )

@@ -261,6 +261,30 @@ def test_avi_roundtrip_pixel_exact():
         assert np.array_equal(a, c)
 
 
+def test_avi_roundtrip_property():
+    """Property: encode_avi∘decode_avi is the identity on pixels for ANY
+    geometry (odd widths exercise the 4-byte row padding) and frame count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=21),
+        h=st.integers(min_value=1, max_value=14),
+        n=st.integers(min_value=1, max_value=5),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, n, seed):
+        rng = np.random.RandomState(seed)
+        frames = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+        got_w, got_h, fps, out = imaging.decode_avi(imaging.encode_avi(frames, fps=10))
+        assert (got_w, got_h, fps, len(out)) == (w, h, 10.0, n)
+        for a, c in zip(frames, out):
+            assert np.array_equal(a, c)
+
+    check()
+
+
 def test_avi_honest_gates():
     with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
         imaging.decode_avi(b"\x00\x00\x00\x00 not riff")
@@ -368,6 +392,71 @@ def test_audio_standing_gate_replay_idempotent(spark, tmp_path):
     # 47 = group 7 variant 2: ham 2 vs the DROPPED-but-indexed 27 → still gates
     update_ahash_index_store(wav_df([47]), 2, store, sink, max_hamming=6, hasher=audio_ahash)
     assert spark.read.parquet(f"{sink}/batch=2").count() == 0
+
+
+def test_video_vhash_equals_design_despite_corrupt_frames(spark):
+    """The video fingerprint is the MAJORITY of per-frame aHash bits, so the
+    designed corpus's minority of inverted frames (bit-flipped, < half) must
+    not move it: vhash == image_pattern(doc_id) exactly, for every doc."""
+    from kda_flink_demo_spark.operators.llm.image_dedup import video_ahash
+
+    docs = spark.range(120).withColumnRenamed("id", "doc_id")
+    got = {
+        r.doc_id: r.ahash
+        for r in video_ahash(synth_media.synth_pattern_videos(docs)).collect()
+    }
+    assert got == {d: _signed(synth_media.image_pattern(d)) for d in range(120)}
+
+
+def test_video_vhash_majority_is_load_bearing(spark):
+    """A mean/any-frame implementation would fail this: two clean frames +
+    one fully inverted frame still fingerprint as the clean pattern, and a
+    video that is MOSTLY the inverted pattern fingerprints as the inversion."""
+    from kda_flink_demo_spark.operators.llm.image_dedup import video_ahash
+
+    bits = synth_media._bits_msb(synth_media.image_pattern(5)).reshape(8, 8)
+
+    def frame(b):
+        lvl = np.where(b == 1, 210, 45)
+        big = np.repeat(np.repeat(lvl, 2, axis=0), 2, axis=1).astype(np.uint8)
+        return np.repeat(big[:, :, None], 3, axis=2)
+
+    clean, inverted = frame(bits), frame(1 - bits)
+    rows = [
+        (0, bytearray(imaging.encode_avi([clean, clean, inverted], fps=10))),
+        (1, bytearray(imaging.encode_avi([inverted, clean, inverted], fps=10))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.ahash for r in video_ahash(df).collect()}
+    pattern = synth_media.image_pattern(5)
+    assert got[0] == _signed(pattern)
+    assert got[1] == _signed(pattern ^ ((1 << 64) - 1))
+
+
+def test_sniff_quarantines_corrupt_and_unknown(spark):
+    """The mixed-format scan's quarantine contract: unrecognized magic →
+    'unknown'; recognized-but-undecodable (truncated PPM header, compressed
+    AVI stream) → 'corrupt'; neither kills the scan, and healthy rows around
+    them still decode."""
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    good_img = imaging.encode_ppm(np.full((4, 4, 3), 100, dtype=np.uint8))
+    bad_ppm = b"P6 trunca"  # valid magic, truncated header
+    avi = bytearray(imaging.encode_avi(_frames(2), fps=10))
+    strf_off = bytes(avi).index(b"strf") + 8
+    avi[strf_off + 16 : strf_off + 20] = (1).to_bytes(4, "little")  # compressed
+    rows = [
+        (0, bytearray(good_img)),
+        (1, bytearray(bad_ppm)),
+        (2, bytearray(bytes(avi))),
+        (3, bytearray(b"#just some text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in sniff_media_features(df).collect()}
+    assert got[0].modality == "image" and got[0].width == 4
+    assert got[1].modality == "corrupt" and got[1].width is None
+    assert got[2].modality == "corrupt"
+    assert got[3].modality == "unknown" and got[3].n_bytes == 15
 
 
 def test_empty_media_batch(spark):
