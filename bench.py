@@ -186,7 +186,10 @@ BENCH_QUERIES = [
     # perceptual-hash dedup family (round 9: first-class — synth corpus →
     # real decode → hash → quarter-blocked pair join / ingest gate)
     "image_ahash_values",
+    "audio_ahash_values",
+    "video_ahash_values",
     "image_ahash_index_build",
+    "audio_ahash_index_build",
     "image_dedup_report",
     "audio_dedup_report",
     "image_ingest_gate",
@@ -195,8 +198,6 @@ BENCH_QUERIES = [
     "image_dedup_apply",
     "media_sniff_features",
     "video_dedup_report",
-    "audio_ahash_values",
-    "video_ahash_values",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must
@@ -210,6 +211,7 @@ _BUILD_BEFORE = {
     "pq_index_build": ("similarity_pq_adc",),
     "bpe_merge_steps": ("bpe_encode",),
     "image_ahash_index_build": ("image_ingest_gate",),
+    "audio_ahash_index_build": ("audio_ingest_gate",),
 }
 for _b, _consumers in _BUILD_BEFORE.items():
     for _c in _consumers:

@@ -1405,10 +1405,14 @@ def q_audio_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe machinery is hash-agnostic once given the (doc_id, ahash) tables)."""
     docs = load_table(spark, sf_dir, "documents")
     incoming = synth_media.synth_wavs(docs.filter(F.col("doc_id") % 3 == 1))
-    index = image_dedup.audio_ahash(
-        synth_media.synth_wavs(
-            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
-        )
+    index = standing_artifact(
+        spark,
+        ("audio_ahash_index", sf_dir),
+        lambda: image_dedup.audio_ahash(
+            synth_media.synth_wavs(
+                docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+            )
+        ).localCheckpoint(),
     )
     survivors = image_dedup.image_dedup_probe(
         incoming,
@@ -1648,3 +1652,27 @@ def q_video_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dedup.video_ahash(
         synth_media.synth_pattern_videos(load_table(spark, sf_dir, "documents"))
     )
+
+
+@register(
+    "audio_ahash_index_build",
+    f"""
+    WITH lut(g, v, h) AS (VALUES {_audio_lut_sql()})
+    SELECT d.doc_id, CAST(lut.h AS BIGINT) AS ahash
+    FROM (SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v
+          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 20 < 10) d
+    JOIN lut ON lut.g = d.g AND lut.v = d.v
+    """,
+)
+def q_audio_ahash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD query for the audio ingest gate's standing fingerprint index
+    (mirrors image_ahash_index_build): always rebuilds fresh, refreshes the
+    session artifact the audio gate probes; oracle = the signed audio-pattern
+    LUT restricted to the indexed slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = image_dedup.audio_ahash(
+        synth_media.synth_wavs(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        )
+    ).localCheckpoint()
+    return standing_put(spark, ("audio_ahash_index", sf_dir), idx)
