@@ -492,9 +492,47 @@ def _cseg_dir(store_path: str, upto: int) -> str:
 
 
 def compact_cms_store(spark: SparkSession, store_path: str, upto_batch: int) -> None:
-    """Merge every committed segment with id ≤ ``upto_batch`` into ONE
+    """Merge every committed CMS segment with id ≤ ``upto_batch`` into ONE
     segment (cell-wise sum — the readout is bit-identical before and after,
-    test-pinned), bounding segment count for long-running streams.
+    test-pinned). Thin wrapper over ``_compact_segment_store``; see it for
+    the crash-safe protocol."""
+    _compact_segment_store(
+        spark,
+        store_path,
+        upto_batch,
+        lambda df: df.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")),
+    )
+
+
+def compact_ahash_index_store(
+    spark: SparkSession, store_path: str, upto_batch: int
+) -> None:
+    """Merge every committed aHash-index segment with id ≤ ``upto_batch``
+    into ONE distinct (doc_id, ahash) segment — a billion-image standing
+    index folds one segment per micro-batch and would otherwise accumulate
+    unbounded small files; the index READOUT (and therefore every gate
+    decision) is identical before, during, and after (set-union semantics,
+    so unlike the additive CMS cells the merge is a plain distinct).
+    Same replay constraint as the CMS store: only compact batches beyond the
+    checkpoint's replay horizon (``update_ahash_index_store`` auto-compacts
+    at ``batch_id − 1``, which Structured Streaming guarantees is committed
+    before batch_id starts)."""
+    _compact_segment_store(
+        spark,
+        store_path,
+        upto_batch,
+        lambda df: df.select("doc_id", "ahash").distinct(),
+    )
+
+
+def _compact_segment_store(
+    spark: SparkSession, store_path: str, upto_batch: int, merge
+) -> None:
+    """Merge every committed segment with id ≤ ``upto_batch`` into ONE
+    segment via ``merge`` (a DataFrame → DataFrame reducer whose readout
+    must be invariant under segment regrouping — cell-wise sum for CMS,
+    distinct union for the aHash index), bounding segment count for
+    long-running streams.
 
     ONLY call for batches beyond the streaming checkpoint's replay horizon:
     a replay of a compacted batch would rewrite its ``seg=`` dir as a fresh
@@ -575,11 +613,7 @@ def compact_cms_store(spark: SparkSession, store_path: str, upto_batch: int) -> 
         return
     cseg = _cseg_dir(store, upto_batch)
     if not is_complete(spark, cseg):
-        merged = (
-            spark.read.parquet(*covered)
-            .groupBy("d", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+        merged = merge(spark.read.parquet(*covered))
         # clear any half-written previous attempt, then commit the compacted cells
         if fs.exists(hpath(cseg)):
             fs.delete(hpath(cseg), True)
@@ -591,10 +625,14 @@ def compact_cms_store(spark: SparkSession, store_path: str, upto_batch: int) -> 
     fs.rename(hpath(cseg), hpath(_seg_dir(store, upto_batch)))
 
 
-def _cms_segment_frames(spark: SparkSession, store_path: str) -> list[str]:
+def _cms_segment_frames(
+    spark: SparkSession, store_path: str, exclude_batch: int | None = None
+) -> list[str]:
     """Segment paths honoring the compaction protocol: a COMMITTED
     ``cseg=<u>`` shadows every ``seg=`` with id ≤ u (mid-compaction reads
-    stay exact); half-written csegs are invisible."""
+    stay exact); half-written csegs are invisible. ``exclude_batch`` drops
+    that batch's own seg (never a cseg — compaction trails the replay
+    horizon, so a replaying batch's segment is always uncompacted)."""
     from kda_flink_demo_spark.streaming.store import _fs
 
     store = store_path.rstrip("/")
@@ -608,7 +646,7 @@ def _cms_segment_frames(spark: SparkSession, store_path: str) -> list[str]:
                 u = int(name.split("=", 1)[1])
                 if shadow is None or u > shadow:
                     shadow, cseg_path = u, f"{store}/{name}"
-    segs = _committed_seg_paths(spark, store)
+    segs = _committed_seg_paths(spark, store, exclude_batch=exclude_batch)
     if shadow is not None:
         segs = [p for p in segs if int(p.rsplit("=", 1)[1]) > shadow]
         segs.append(cseg_path)
@@ -684,8 +722,10 @@ def read_ahash_index(
     """Union of all COMMITTED ``(doc_id, ahash)`` index segments; None before
     the first fold. Same visibility rules as the span index: half-written
     segments are invisible, ``exclude_batch`` drops a replaying batch's own
-    segment so an image never probes its own hash."""
-    segs = _committed_seg_paths(spark, store_path, exclude_batch=exclude_batch)
+    segment so an image never probes its own hash. Honors the compaction
+    protocol (``compact_ahash_index_store``): a committed ``cseg=<u>``
+    shadows every segment with id ≤ u, so mid-compaction reads stay exact."""
+    segs = _cms_segment_frames(spark, store_path, exclude_batch=exclude_batch)
     if not segs:
         return None
     return spark.read.parquet(*segs).select("doc_id", "ahash")
@@ -700,6 +740,7 @@ def update_ahash_index_store(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     hasher=None,
+    compact_every: int | None = None,
 ) -> None:
     """Fold one micro-batch of media payloads through the standing
     perceptual-dedup gate (call from ``foreachBatch``): clean the batch
@@ -745,3 +786,16 @@ def update_ahash_index_store(
         f"{sink_path.rstrip('/')}/batch={int(batch_id)}"
     )
     bh.write.mode("overwrite").parquet(_seg_dir(store_path, batch_id))
+    # bound the segment count for long-running streams: once this batch's
+    # PREDECESSORS pile past the threshold, fold them into one distinct
+    # segment. upto = batch_id − 1 is replay-safe by construction: Structured
+    # Streaming commits batch N−1 before starting N, so only THIS batch can
+    # ever replay — and its own segment is never compacted here.
+    if compact_every is not None:
+        prior = [
+            p
+            for p in _committed_seg_paths(spark, store_path)
+            if int(p.rsplit("=", 1)[1]) < int(batch_id)
+        ]
+        if len(prior) >= compact_every:
+            compact_ahash_index_store(spark, store_path, int(batch_id) - 1)

@@ -510,6 +510,109 @@ def test_image_gate_real_stream_matches_batch(spark, tmp_path):
     assert streamed == one_shot == set(range(20))  # one canonical per group
 
 
+def _img_batch(spark, ids):
+    base = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return synth_media.synth_images(base)
+
+
+def test_ahash_index_compaction_readout_and_gate_identical(spark, tmp_path):
+    """Explicit compaction folds every covered segment into one DISTINCT
+    (doc_id, ahash) segment: the index set — and therefore every later gate
+    decision — is identical before and after, and the segment count drops."""
+    import os
+
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        compact_ahash_index_store,
+        read_ahash_index,
+        update_ahash_index_store,
+    )
+
+    store, sink = str(tmp_path / "idx"), str(tmp_path / "clean")
+    update_ahash_index_store(_img_batch(spark, range(0, 10)), 0, store, sink)
+    update_ahash_index_store(_img_batch(spark, range(25, 30)), 1, store, sink)
+    update_ahash_index_store(_img_batch(spark, range(45, 50)), 2, store, sink)
+    before = {(r.doc_id, r.ahash) for r in read_ahash_index(spark, store).collect()}
+
+    compact_ahash_index_store(spark, store, upto_batch=1)
+    after = {(r.doc_id, r.ahash) for r in read_ahash_index(spark, store).collect()}
+    assert after == before
+    segs = sorted(n for n in os.listdir(store) if n.startswith("seg="))
+    assert segs == ["seg=1", "seg=2"]  # 0+1 folded into seg=1
+
+    # a later fold still gates against compacted history: doc 20 is group 0
+    # variant 1 — hamming 1 from doc 0, which now lives only in the cseg-swap
+    update_ahash_index_store(_img_batch(spark, [20, 13]), 3, store, sink)
+    survivors = {r.doc_id for r in spark.read.parquet(f"{sink}/batch=3").collect()}
+    assert survivors == {13}
+
+
+def test_ahash_index_auto_compaction_bounds_segments_replay_safe(spark, tmp_path):
+    """compact_every auto-folds trailing segments during the batch fold; the
+    index stays exact and a REPLAY of the newest batch (the only one
+    Structured Streaming can replay) is still idempotent afterwards."""
+    import os
+
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        read_ahash_index,
+        update_ahash_index_store,
+    )
+
+    store, sink = str(tmp_path / "idx"), str(tmp_path / "clean")
+    batches = [list(range(i * 7, i * 7 + 3)) for i in range(5)]
+    for bid, ids in enumerate(batches):
+        update_ahash_index_store(
+            _img_batch(spark, ids), bid, store, sink, compact_every=2
+        )
+    segs = sorted(n for n in os.listdir(store) if n.startswith("seg="))
+    assert len(segs) <= 3  # bounded, not one per batch
+    idx = {r.doc_id for r in read_ahash_index(spark, store).collect()}
+    assert idx == {i for ids in batches for i in ids}
+
+    # replay the newest batch after its predecessors were compacted
+    update_ahash_index_store(_img_batch(spark, batches[-1]), 4, store, sink, compact_every=2)
+    idx2 = {r.doc_id for r in read_ahash_index(spark, store).collect()}
+    assert idx2 == idx
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=4").collect()} == {
+        r.doc_id for r in spark.read.parquet(f"{sink}/batch=4").collect()
+    }
+
+
+def test_ahash_index_mid_compaction_shadow_read_exact(spark, tmp_path):
+    """Crash window between cseg commit and covered-seg deletion: a committed
+    cseg SHADOWS the covered segments, so the read never double-counts; the
+    next compact call converges the swap. (The full crash matrix is pinned on
+    the shared protocol by the CMS tests — this pins the ahash reader.)"""
+    import os
+    import shutil
+
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        _cseg_dir,
+        compact_ahash_index_store,
+        read_ahash_index,
+        update_ahash_index_store,
+    )
+
+    store, sink = str(tmp_path / "idx"), str(tmp_path / "clean")
+    update_ahash_index_store(_img_batch(spark, range(0, 6)), 0, store, sink)
+    update_ahash_index_store(_img_batch(spark, range(30, 36)), 1, store, sink)
+    update_ahash_index_store(_img_batch(spark, range(60, 66)), 2, store, sink)
+    before = {(r.doc_id, r.ahash) for r in read_ahash_index(spark, store).collect()}
+
+    # hand-commit cseg=1 (covers 0..1) as if compaction crashed after step 1
+    spark.read.parquet(f"{store}/seg=0", f"{store}/seg=1").select(
+        "doc_id", "ahash"
+    ).distinct().write.parquet(_cseg_dir(store, 1))
+    assert {(r.doc_id, r.ahash) for r in read_ahash_index(spark, store).collect()} == before
+    # ...and after the covered segs are gone (crash mid step 2)
+    shutil.rmtree(os.path.join(store, "seg=0"))
+    assert {(r.doc_id, r.ahash) for r in read_ahash_index(spark, store).collect()} == before
+
+    compact_ahash_index_store(spark, store, upto_batch=1)  # converges the swap
+    assert {(r.doc_id, r.ahash) for r in read_ahash_index(spark, store).collect()} == before
+    assert sorted(n for n in os.listdir(store) if n.startswith("seg=")) == ["seg=1", "seg=2"]
+    assert not os.path.exists(_cseg_dir(store, 1))
+
+
 def test_empty_media_batch(spark):
     """Zero-row inputs through the vectorized packbits path (n=0 branch)."""
     docs = spark.range(0).withColumnRenamed("id", "doc_id")
