@@ -1512,7 +1512,7 @@ def _sniff_oracle() -> str:
            CASE m WHEN 1 THEN floor(sqrt(4545000.0) / 32768 * s * 10000.0 + 0.5) / 10000.0
                END AS rms,
            CAST(CASE m WHEN 0 THEN 781 WHEN 1 THEN 4140 WHEN 2 THEN 224 + 88 * nf
-                       ELSE octet_length(encode(text)) + 1 END AS BIGINT) AS n_bytes
+                       ELSE octet_length(encode(coalesce(text, ''))) + 1 END AS BIGINT) AS n_bytes
     FROM d LEFT JOIN lut ON lut.g = d.g AND lut.v = d.v
     """
 
@@ -1535,7 +1535,12 @@ def q_media_sniff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = synth_media.synth_wavs(docs.filter(d % 4 == 1))
     vids = synth_media.synth_videos(docs.filter(d % 4 == 2))
     junk = docs.filter(d % 4 == 3).select(
-        "doc_id", F.encode(F.concat(F.lit("#"), F.col("text")), "UTF-8").alias("payload")
+        "doc_id",
+        # coalesce: a NULL text must quarantine as a 1-byte unknown payload,
+        # not NULL out the whole row (fixtures regenerate every round)
+        F.encode(
+            F.concat(F.lit("#"), F.coalesce(F.col("text"), F.lit(""))), "UTF-8"
+        ).alias("payload"),
     )
     corpus = imgs.unionByName(wavs).unionByName(vids).unionByName(junk)
     return multimodal.sniff_media_features(corpus)

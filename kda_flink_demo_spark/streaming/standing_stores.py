@@ -790,7 +790,11 @@ def update_ahash_index_store(
     # PREDECESSORS pile past the threshold, fold them into one distinct
     # segment. upto = batch_id − 1 is replay-safe by construction: Structured
     # Streaming commits batch N−1 before starting N, so only THIS batch can
-    # ever replay — and its own segment is never compacted here.
+    # ever replay — and its own segment is never compacted here. Each
+    # compaction rewrites the whole standing index (the compacted seg is the
+    # index), so with threshold N the amortized extra cost is O(index/N) per
+    # batch — size N to taste (e.g. 64: full rewrite every 63 batches) the
+    # same way any LSM picks its compaction fan-in.
     if compact_every is not None:
         prior = [
             p

@@ -510,6 +510,25 @@ def test_image_gate_real_stream_matches_batch(spark, tmp_path):
     assert streamed == one_shot == set(range(20))  # one canonical per group
 
 
+def test_video_standing_gate(spark, tmp_path):
+    """The standing gate with hasher=video_ahash — the third modality through
+    the identical store machinery: an index near-dup drops, a new group
+    survives, an in-batch near-dup keeps the first."""
+    from kda_flink_demo_spark.operators.llm.image_dedup import video_ahash
+    from kda_flink_demo_spark.streaming.standing_stores import update_ahash_index_store
+
+    def vids(ids):
+        base = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return synth_media.synth_pattern_videos(base)
+
+    store, sink = str(tmp_path / "vidx"), str(tmp_path / "clean")
+    update_ahash_index_store(vids([0, 1]), 0, store, sink, hasher=video_ahash)
+    # 20 = group 0 variant 1 (ham 1 vs indexed doc 0 → drop); 7 new → keep;
+    # 27 = group 7 variant 1 (ham 1 vs in-batch doc 7 → drop)
+    update_ahash_index_store(vids([20, 7, 27]), 1, store, sink, hasher=video_ahash)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=1").collect()} == {7}
+
+
 def _img_batch(spark, ids):
     base = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     return synth_media.synth_images(base)
