@@ -257,7 +257,7 @@ def read_span_index(
     its replay rewrites it — same visibility rule as the snapshot store.
     ``exclude_batch`` drops that batch's own segment: on a checkpoint replay a
     doc must never be cleaned against spans it itself introduced."""
-    segs = _committed_seg_paths(spark, store_path, exclude_batch=exclude_batch)
+    segs = _cms_segment_frames(spark, store_path, exclude_batch=exclude_batch)
     if not segs:
         return None
     return spark.read.parquet(*segs).select("h")
@@ -304,6 +304,19 @@ def update_span_index_store(
     span_index_hashes(batch_df, text_col=text_col, id_col=id_col, span=span).write.mode(
         "overwrite"
     ).parquet(_seg_dir(store_path, batch_id))
+
+
+def compact_span_index_store(
+    spark: SparkSession, store_path: str, upto_batch: int
+) -> None:
+    """Merge every committed span-index segment with id ≤ ``upto_batch`` into
+    ONE distinct hash segment — same shared crash-safe protocol as the CMS
+    and aHash stores (``_compact_segment_store``); the span-hash set, and so
+    every later gate decision, is identical before, during (cseg shadow) and
+    after. Same replay constraint: compact only ≤ latest − 1."""
+    _compact_segment_store(
+        spark, store_path, upto_batch, lambda df: df.select("h").distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

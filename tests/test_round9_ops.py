@@ -632,6 +632,52 @@ def test_ahash_index_mid_compaction_shadow_read_exact(spark, tmp_path):
     assert not os.path.exists(_cseg_dir(store, 1))
 
 
+def test_span_index_compaction_readout_and_gate_identical(spark, tmp_path):
+    """Span-index compaction (the third store on the shared cseg protocol):
+    hash-set readout and the span gate's survivors are identical before and
+    after, and re-crawled spans still gate against compacted history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.io.sources import load_table
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        compact_span_index_store,
+        read_span_index,
+        update_span_index_store,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store, sink = str(tmp_path / "sidx"), str(tmp_path / "clean")
+    for bid, (lo, hi) in enumerate(((0, 30), (30, 60), (60, 90))):
+        update_span_index_store(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            bid, store, sink, span=5,
+        )
+    before = {r.h for r in read_span_index(spark, store).collect()}
+
+    compact_span_index_store(spark, store, upto_batch=1)
+    assert {r.h for r in read_span_index(spark, store).collect()} == before
+    assert sorted(n for n in os.listdir(store) if n.startswith("seg=")) == ["seg=1", "seg=2"]
+
+    # a re-crawl of batch-0 docs (ids shifted) still gates on compacted spans
+    recrawl = docs.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    update_span_index_store(recrawl, 3, store, sink, span=5)
+    cleaned = spark.read.parquet(f"{sink}/batch=3")
+    # every re-crawled doc's spans are already indexed → fully span-cleaned
+    from kda_flink_demo_spark.operators.llm.dedup import span_dedup_probe
+
+    expected = span_dedup_probe(recrawl, read_span_index(spark, store, exclude_batch=3), span=5)
+    got = sorted((r.doc_id, r.cleaned_text, r.n_removed) for r in cleaned.collect())
+    want = sorted((r.doc_id, r.cleaned_text, r.n_removed) for r in expected.collect())
+    assert got == want
+    # and the gate really bit: every re-crawled doc lost all its spans
+    assert all(t == "" for _, t, _ in got) and len(got) == 30
+
+
 def test_empty_media_batch(spark):
     """Zero-row inputs through the vectorized packbits path (n=0 branch)."""
     docs = spark.range(0).withColumnRenamed("id", "doc_id")
