@@ -678,6 +678,63 @@ def test_span_index_compaction_readout_and_gate_identical(spark, tmp_path):
     assert all(t == "" for _, t, _ in got) and len(got) == 30
 
 
+def test_blocked_pair_and_gate_match_bruteforce_property(spark):
+    """Property (randomized, seeded): on arbitrary (doc_id, ahash) tables —
+    duplicate-heavy by construction — the quarter-blocked pair graph at
+    hamming ≤ 3 equals the brute-force O(n²) reference EXACTLY (pigeonhole
+    recall regime), and the gate's survivors equal the brute-force
+    keep-first rule. Catches any blocking/collapse/expansion defect the
+    designed corpus might be too regular to expose."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm.image_dedup import (
+        hash_near_dup_pairs,
+        image_dedup_probe,
+    )
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        base = [rng.getrandbits(64) for _ in range(12)]
+        rows = []
+        for i in range(80):
+            w = base[rng.randrange(len(base))]
+            for _ in range(rng.randrange(4)):  # 0-3 random bit flips
+                w ^= 1 << rng.randrange(64)
+            rows.append((i, w - (1 << 64) if w >= 1 << 63 else w))
+        hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        brute_pairs = {
+            (a, b, ham(ha, hb))
+            for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+            if ham(ha, hb) <= 3
+        }
+        got_pairs = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hash_near_dup_pairs(hashes, max_hamming=3).collect()
+        }
+        assert got_pairs == brute_pairs, f"seed {seed}"
+
+        brute_survivors = {
+            b
+            for b, hb in rows
+            if not any(a < b and ham(ha, hb) <= 3 for a, ha in rows)
+        }
+        incoming = hashes.withColumn("payload", F.lit(b""))
+        got_survivors = {
+            r.doc_id
+            for r in image_dedup_probe(
+                incoming, None, max_hamming=3, batch_hashes=hashes
+            ).collect()
+        }
+        assert got_survivors == brute_survivors, f"seed {seed}"
+
+
 def test_empty_media_batch(spark):
     """Zero-row inputs through the vectorized packbits path (n=0 branch)."""
     docs = spark.range(0).withColumnRenamed("id", "doc_id")
