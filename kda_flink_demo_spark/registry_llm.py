@@ -1367,9 +1367,22 @@ def q_audio_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+# Survivors in closed form for ANY id set (r09 drift-insurance test finding:
+# the original `group >= 10` shortcut silently assumed CONTIGUOUS doc_ids —
+# with a sparse table some group < 10 can have no indexed member, and its
+# batch docs then legitimately survive the within-batch keep-min):
+# a batch doc survives iff its group has NO indexed member (same-group
+# hamming is always within the gate radius by design) and it is the minimal
+# batch doc of its group.
 _GATE_ORACLE = """
+    WITH idx_groups AS (
+        SELECT DISTINCT doc_id % 20 AS g FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 20 < 10
+    )
     SELECT min(doc_id) AS doc_id, doc_id % 20 AS group_id
-    FROM documents WHERE doc_id % 3 = 1 AND doc_id % 20 >= 10
+    FROM documents
+    WHERE doc_id % 3 = 1
+      AND doc_id % 20 NOT IN (SELECT g FROM idx_groups)
     GROUP BY 2
 """
 

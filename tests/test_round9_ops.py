@@ -735,6 +735,61 @@ def test_blocked_pair_and_gate_match_bruteforce_property(spark):
         assert got_survivors == brute_survivors, f"seed {seed}"
 
 
+def test_media_oracles_hold_on_sparse_noncontiguous_ids(spark, tmp_path):
+    """Fixture-drift insurance: every media query's closed form is pure
+    doc_id arithmetic on BOTH engines, so the hash match must survive ANY id
+    set the driver might regenerate — proven here on a sparse, gappy,
+    duplicate-group-skewed documents table."""
+    import os
+    import random
+
+    from tests.conftest import SF_DIR
+    from tests.oracle import compare_to_oracle, duck_connect
+
+    sf_dir = str(tmp_path / "sf_drift")
+    os.makedirs(sf_dir)
+    from kda_flink_demo_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    os.unlink(f"{sf_dir}/documents.parquet")
+    rng = random.Random(424242)
+    ids = sorted(rng.sample(range(0, 5000), 90)) + [100003, 2_000_017]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [f"doc {i} text" for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["src0"] * len(ids),
+                "n_chars": pa.array([10] * len(ids), pa.int64()),
+            }
+        ),
+        f"{sf_dir}/documents.parquet",
+    )
+
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    con = duck_connect(sf_dir)
+    for name in (
+        "image_dedup_report",
+        "audio_dedup_report",
+        "video_dedup_report",
+        "image_ingest_gate",
+        "audio_ingest_gate",
+        "image_dedup_apply",
+        "image_ahash_values",
+        "audio_ahash_values",
+        "video_ahash_values",
+        "media_sniff_features",
+    ):
+        compare_to_oracle(qs[name](spark, sf_dir), con, oracles[name])
+
+
 def test_empty_media_batch(spark):
     """Zero-row inputs through the vectorized packbits path (n=0 branch)."""
     docs = spark.range(0).withColumnRenamed("id", "doc_id")
