@@ -31,6 +31,27 @@ from pyspark.sql.functions import broadcast
 AHASH_SCHEMA = "doc_id long, ahash long"
 
 
+def pack_bits_i64(bitmat: "np.ndarray") -> "np.ndarray":
+    """(n, 64) uint8 bit matrix → (n,) int64: one vectorized pack for a whole
+    Arrow batch — MSB-first bytes viewed as big-endian int64 == the
+    (h << 1 | bit) fold, two's complement included; no per-item Python bit
+    loop (r08 advice)."""
+    import numpy as np
+
+    if not len(bitmat):
+        return np.empty(0, dtype=np.int64)
+    return np.packbits(bitmat, axis=1).view(">i8").reshape(-1).astype(np.int64)
+
+
+def image_hash_bits(b: bytes) -> "np.ndarray":
+    """One image payload → its uint8[64] aHash bit vector (MSB-first layout:
+    index k = hash bit 63−k). Module-level so the fused ingest-profile kernel
+    and the dedicated ``image_ahash`` scan share the EXACT same math (and so
+    fake-PIL tests can execute it driver-side)."""
+    small = _canonical_8x8_gray(b)
+    return (small > small.mean()).flatten().astype("uint8")
+
+
 def image_ahash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """(id, payload) → (doc_id, ahash): the 64-bit average hash of the decoded
     image. Arrow-batched mapInPandas; unsupported formats raise the same
@@ -44,20 +65,11 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
             n = len(pdf)
             bitmat = np.zeros((n, 64), dtype=np.uint8)
             for i, b in enumerate(pdf[payload_col]):
-                small = _canonical_8x8_gray(bytes(b))
-                bitmat[i] = (small > small.mean()).flatten()
-            # one vectorized pack for the whole Arrow batch: MSB-first bytes
-            # viewed as big-endian int64 == the (h << 1 | bit) fold, two's
-            # complement included — no per-image Python bit loop (r08 advice)
-            hashes = (
-                np.packbits(bitmat, axis=1).view(">i8").reshape(-1).astype(np.int64)
-                if n
-                else np.empty(0, dtype=np.int64)
-            )
+                bitmat[i] = image_hash_bits(bytes(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "ahash": pd.Series(pack_bits_i64(bitmat), dtype="int64"),
                 }
             )
 
@@ -89,6 +101,18 @@ def _canonical_8x8_gray(b: bytes) -> "np.ndarray":
             raise gate  # no PIL either: the honest format gate stands
         px = np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"), dtype=np.uint8)
         c = 3
+    return pixels_to_8x8_gray(px, c)
+
+
+def pixels_to_8x8_gray(px: "np.ndarray", c: int) -> "np.ndarray":
+    """Decoded (h, w, c) uint8 pixels → the canonical 8×8 int64 gray (integer
+    ITU-R 601-2 luma, floor-nearest resize) — the pure back half of
+    ``_canonical_8x8_gray``, split out so the fused ingest-profile kernel can
+    decode ONCE and feed the same pixels to brightness + aHash."""
+    import numpy as np
+
+    from kda_flink_demo_spark.operators.llm import imaging
+
     px64 = px.astype(np.int64)
     gray = (
         px64[:, :, 0]
@@ -96,6 +120,13 @@ def _canonical_8x8_gray(b: bytes) -> "np.ndarray":
         else (299 * px64[:, :, 0] + 587 * px64[:, :, 1] + 114 * px64[:, :, 2]) // 1000
     )
     return imaging.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+
+
+def image_bits_from_pixels(px: "np.ndarray", c: int) -> "np.ndarray":
+    """Already-decoded pixels → the uint8[64] aHash bit vector (the same math
+    as ``image_hash_bits`` minus the decode)."""
+    small = pixels_to_8x8_gray(px, c)
+    return (small > small.mean()).flatten().astype("uint8")
 
 
 def _quartered(df: DataFrame, hash_col: str, keep: list[str]) -> DataFrame:
@@ -165,7 +196,17 @@ def image_dedup_probe(
     (an already-materialized ``image_ahash`` table for ``incoming``) when
     the caller needs the hashes too — ``update_ahash_index_store`` writes
     them as the index segment, and recomputing would decode every image a
-    second time (r08 second-review finding)."""
+    second time (r08 second-review finding).
+
+    Driver-memory bound: the final left-anti join BROADCASTS the drop-id
+    list, which is bounded by the BATCH size (never the index/corpus — all
+    three drop sources are subsets of the batch's ids). Micro-batches are
+    sized by the stream trigger (maxFilesPerTrigger / maxOffsetsPerTrigger),
+    so in practice this is millions of 8-byte ids at most; a caller feeding
+    pathologically huge batches (≳100M rows AND mostly duplicates) should
+    lower the trigger size — or replace ``broadcast(...)`` with a plain
+    shuffle anti-join, which the optimizer picks automatically once the hint
+    is dropped (r09 advice: document the bound)."""
     bh = (
         batch_hashes
         if batch_hashes is not None
@@ -342,31 +383,39 @@ def audio_ahash(
         import numpy as np
         import pandas as pd
 
-        from kda_flink_demo_spark.operators.llm import imaging
-
         for pdf in batches:
             n = len(pdf)
             bitmat = np.zeros((n, n_windows), dtype=np.uint8)
             for i, b in enumerate(pdf[payload_col]):
-                _sr, _nf, _ch, samples = imaging.decode_wav(bytes(b))
-                if samples.size < n_windows:
-                    samples = np.pad(samples, (0, n_windows - samples.size))
-                usable = (samples.size // n_windows) * n_windows
-                energy = (samples[:usable] ** 2).reshape(n_windows, -1).mean(axis=1)
-                bitmat[i] = energy > np.median(energy)
-            hashes = (
-                np.packbits(bitmat, axis=1).view(">i8").reshape(-1).astype(np.int64)
-                if n
-                else np.empty(0, dtype=np.int64)
-            )
+                bitmat[i] = audio_hash_bits(bytes(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "ahash": pd.Series(pack_bits_i64(bitmat), dtype="int64"),
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def audio_hash_bits(b: bytes) -> "np.ndarray":
+    """One WAV payload → its uint8[64] energy-envelope fingerprint bits."""
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    return audio_bits_from_samples(imaging.decode_wav(b)[3])
+
+
+def audio_bits_from_samples(samples: "np.ndarray") -> "np.ndarray":
+    """Already-decoded samples → fingerprint bits (bit k = window k's mean
+    energy > the MEDIAN window energy). Split out so the fused ingest-profile
+    kernel can decode ONCE and feed the same samples to rms + fingerprint."""
+    import numpy as np
+
+    if samples.size < 64:
+        samples = np.pad(samples, (0, 64 - samples.size))
+    usable = (samples.size // 64) * 64
+    energy = (samples[:usable] ** 2).reshape(64, -1).mean(axis=1)
+    return (energy > np.median(energy)).astype(np.uint8)
 
 
 def audio_near_dup_pairs(
@@ -397,38 +446,46 @@ def video_ahash(
     threshold. Pure RIFF/AVI decode; compressed codecs raise the honest
     NotImplementedError naming pyav/ffmpeg. Rides the shared quarter-blocked
     pair/gate machinery like every (doc_id, ahash) table."""
+    if stride < 1:
+        # fail at plan-construction time on the driver: stride=0 would die
+        # deep inside the Arrow worker with an opaque 'slice step cannot be
+        # zero', and a negative stride silently reverses frame order (advice)
+        raise ValueError(f"stride must be >= 1, got {stride}")
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
-        from kda_flink_demo_spark.operators.llm import imaging
-
         for pdf in batches:
             n = len(pdf)
             bitmat = np.zeros((n, 64), dtype=np.uint8)
             for i, b in enumerate(pdf[payload_col]):
-                _w, _h, _fps, frames = imaging.decode_avi(bytes(b))
-                sampled = frames[::stride]
-                votes = np.zeros(64, dtype=np.int64)
-                for f in sampled:
-                    px64 = f.astype(np.int64)
-                    gray = (
-                        299 * px64[:, :, 0] + 587 * px64[:, :, 1] + 114 * px64[:, :, 2]
-                    ) // 1000
-                    small = imaging.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
-                    votes += (small > small.mean()).flatten()
-                bitmat[i] = (2 * votes > len(sampled)).astype(np.uint8)
-            hashes = (
-                np.packbits(bitmat, axis=1).view(">i8").reshape(-1).astype(np.int64)
-                if n
-                else np.empty(0, dtype=np.int64)
-            )
+                bitmat[i] = video_hash_bits(bytes(b), stride=stride)
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "ahash": pd.Series(hashes, dtype="int64")}
+                {"doc_id": pdf[id_col], "ahash": pd.Series(pack_bits_i64(bitmat), dtype="int64")}
             )
 
     return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def video_hash_bits(b: bytes, stride: int = 1) -> "np.ndarray":
+    """One AVI payload → its uint8[64] temporal-majority fingerprint bits."""
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    return video_bits_from_frames(imaging.decode_avi(b)[3][::stride])
+
+
+def video_bits_from_frames(frames: list) -> "np.ndarray":
+    """Already-decoded RGB frames → fingerprint bits: per-frame canonical
+    aHash bits, MAJORITY vote across frames (bit set iff more than half the
+    frames set it). Split out so the fused ingest-profile kernel can decode
+    ONCE and feed the same frames to geometry/duration + fingerprint."""
+    import numpy as np
+
+    votes = np.zeros(64, dtype=np.int64)
+    for f in frames:
+        votes += image_bits_from_pixels(f, 3)
+    return (2 * votes > len(frames)).astype(np.uint8)
 
 
 def video_near_dup_pairs(
@@ -440,6 +497,8 @@ def video_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate video pairs via the shared quarter-blocked machinery
     over the temporal-majority fingerprint."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")  # mirrors video_ahash
     hashes = video_ahash(
         df, id_col=id_col, payload_col=payload_col, stride=stride
     ).localCheckpoint()

@@ -184,13 +184,18 @@ def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
             "non-AVI video payload requires pyav/ffmpeg (pure-python path "
             "reads uncompressed 24-bit DIB RIFF AVI)"
         )
-    width = height = None
+    width = height = None  # avih main-header dims (fallback geometry)
     usec_per_frame = 0
+    n_streams = 0  # strh chunks seen so far — streams are numbered in strh order
+    video_stream = None  # b"NN" ascii index of the first 'vids' stream
+    expect_video_strf = False
+    v_w = v_h = None  # the vids stream's OWN strf geometry (authoritative)
     bpp = compression = None
     frames: list[np.ndarray] = []
 
     def walk(off: int, end: int) -> None:
-        nonlocal width, height, usec_per_frame, bpp, compression
+        nonlocal width, height, usec_per_frame, n_streams, video_stream
+        nonlocal expect_video_strf, v_w, v_h, bpp, compression
         while off + 8 <= end:
             cid = b[off : off + 4]
             size = struct.unpack_from("<I", b, off + 4)[0]
@@ -200,17 +205,35 @@ def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
             elif cid == b"avih":
                 usec_per_frame = struct.unpack_from("<I", b, body)[0]
                 width, height = struct.unpack_from("<II", b, body + 32)
-            elif cid == b"strf" and bpp is None:  # first (video) stream format
-                _sz, _w, _h, _planes, bpp_v = struct.unpack_from("<IiiHH", b, body)
+            elif cid == b"strh":
+                # accept a stream format ONLY from a strl whose strh fccType is
+                # 'vids': an audio-first AVI must not parse WAVEFORMATEX bytes
+                # as BITMAPINFOHEADER, and frame decoding is restricted to the
+                # vids stream's own '##db'/'##dc' chunks below (r09 advice)
+                expect_video_strf = b[body : body + 4] == b"vids" and video_stream is None
+                if expect_video_strf:
+                    video_stream = b"%02d" % n_streams
+                n_streams += 1
+            elif cid == b"strf" and expect_video_strf:
+                _sz, w_v, h_v, _planes, bpp_v = struct.unpack_from("<IiiHH", b, body)
                 compression = struct.unpack_from("<I", b, body + 16)[0]
-                bpp = bpp_v
-            elif cid[2:4] in (b"db", b"dc"):
+                bpp, v_w, v_h = bpp_v, w_v, h_v
+                expect_video_strf = False
+            elif cid[2:4] in (b"db", b"dc") and cid[:2] == video_stream:
                 if bpp != 24 or compression != 0:
                     raise NotImplementedError(
                         "compressed AVI streams require pyav/ffmpeg (pure "
                         "path reads uncompressed 24-bit DIB frames only)"
                     )
-                frames.append(_bgr_rows_to_rgb(b[body:body_end], width, height))
+                # decode with the vids stream's strf geometry (BMP semantics:
+                # positive height ⇒ bottom-up rows), falling back to avih dims
+                fw = v_w if v_w else width
+                fh = abs(v_h) if v_h else height
+                frames.append(
+                    _bgr_rows_to_rgb(
+                        b[body:body_end], fw, fh, bottom_up=(v_h is None or v_h > 0)
+                    )
+                )
             off = body_end + (size & 1)  # RIFF chunks pad to even offsets
 
     walk(12, len(b))
