@@ -70,12 +70,13 @@ _DRIVER_PRIORITY: list[str] = [
     "sliding_range_30m",
     "projection_json_cast",
     "ts_parse_fallback",
-    "filter_predicates",
-    # Round-9 curation (r08 VERDICT directive 3): every round-7/8 re-pin went
-    # r08-green, so they all moved to the rotating tail. Only the flagship
-    # parity core above stays permanently pinned — the never-checked round-9
-    # perceptual-dedup rows sort first automatically and the 43 rotating
-    # slots then drain ALL 30 r05-stale rows plus the oldest r06 rows.
+    # Round-10 curation (r09 VERDICT directive 1: drain ALL 41 r06-stale rows
+    # this round): "filter_predicates" sits out the pin set for exactly one
+    # round — it is r09-green (0.16 s, re-confirmed after the r08 contention
+    # artifact) and the freed slot makes the window 6 pins + 3 never-checked
+    # round-10 rows (video_ahash_index_build / video_ingest_gate /
+    # media_ingest_profile, which sort first automatically) + all 41 r06
+    # rows = exactly 50. Re-pin it in r11.
 ]
 
 _DRIVER_WINDOW = 50

@@ -1694,3 +1694,138 @@ def q_audio_ahash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
     return standing_put(spark, ("audio_ahash_index", sf_dir), idx)
+
+
+@register(
+    "video_ahash_index_build",
+    _AHASH_VALUES_ORACLE.replace(
+        "FROM documents) d", "FROM documents WHERE doc_id % 3 = 0 AND doc_id % 20 < 10) d"
+    ),
+)
+def q_video_ahash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD query for the VIDEO ingest gate's standing fingerprint index —
+    the third modality through the image/audio BUILD-split convention (r09
+    verdict directive 2: the standing video gate existed but was
+    pytest-only). Pattern videos fingerprint to ``image_pattern(doc_id)``
+    VERBATIM (the temporal majority suppresses the designed minority of
+    inverted frames), so the oracle is the SAME signed-pattern LUT as the
+    image index build, reached through the multi-frame decode + majority
+    kernel."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = image_dedup.video_ahash(
+        synth_media.synth_pattern_videos(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        )
+    ).localCheckpoint()
+    return standing_put(spark, ("video_ahash_index", sf_dir), idx)
+
+
+@register("video_ingest_gate", _GATE_ORACLE)
+def q_video_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video twin of image/audio_ingest_gate (same modality-independent
+    survivor closed form): incoming pattern videos (docs ≡ 1 mod 3) probe the
+    standing video fingerprint index (groups 0–9, docs ≡ 0 mod 3) through the
+    hash-agnostic gate machinery — driver-checkable since r10; previously the
+    standing video gate ran only in pytest (tests/test_round9_ops.py,
+    ``hasher=video_ahash``). Video fingerprints equal image patterns by the
+    corpus design, so same-group hamming ≤ 3 ≤ 5 and the image gate's closed
+    form transfers verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = synth_media.synth_pattern_videos(docs.filter(F.col("doc_id") % 3 == 1))
+    index = standing_artifact(
+        spark,
+        ("video_ahash_index", sf_dir),
+        lambda: image_dedup.video_ahash(
+            synth_media.synth_pattern_videos(
+                docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+            )
+        ).localCheckpoint(),
+    )
+    survivors = image_dedup.image_dedup_probe(
+        incoming,
+        index,
+        max_hamming=5,
+        batch_hashes=image_dedup.video_ahash(incoming).localCheckpoint(),
+    )
+    return survivors.select("doc_id", (F.col("doc_id") % 20).alias("group_id"))
+
+
+def _profile_lut_sql() -> str:
+    """80-row (g, v, k, hi, ha) VALUES table for the fused ingest profile:
+    k = popcount of the image pattern (pins brightness), hi/ha = the signed
+    image/audio pattern values (pin the fingerprints) — all generated from
+    the same hardcoded codeword constants the corpus uses."""
+    rows = []
+    for g in range(20):
+        for v in range(4):
+            wi = synth_media.image_pattern(g + 20 * v)
+            wa = synth_media.audio_pattern(g + 20 * v)
+            rows.append(
+                f"({g}, {v}, {bin(wi).count('1')}, "
+                f"{wi - (1 << 64) if wi >= 1 << 63 else wi}, "
+                f"{wa - (1 << 64) if wa >= 1 << 63 else wa})"
+            )
+    return ", ".join(rows)
+
+
+def _profile_oracle() -> str:
+    """Closed-form oracle for media_ingest_profile, composed from the proven
+    pieces: sniff's feature closed forms (image brightness via the popcount
+    LUT, audio rms/duration, video geometry/duration — pattern videos here,
+    so 16×16 and ``doc_id % 5 + 2`` frames at 224 + 776/frame bytes) plus the
+    signed-pattern fingerprint LUTs (image patterns for image AND video rows
+    — the temporal majority recovers the image pattern by design — audio
+    patterns for audio rows; NULL for junk)."""
+    return f"""
+    WITH lut(g, v, k, hi, ha) AS (VALUES {_profile_lut_sql()}),
+    d AS (
+        SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v,
+               (doc_id // 20) % 8 AS o8, 1 + (doc_id // 20) % 4 AS s,
+               doc_id % 4 AS m, doc_id % 5 + 2 AS nfv, text
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  WHEN 2 THEN 'video' ELSE 'unknown' END AS modality,
+           CAST(CASE m WHEN 0 THEN 16 WHEN 2 THEN 16 END AS INTEGER) AS width,
+           CAST(CASE m WHEN 0 THEN 16 WHEN 2 THEN 16 END AS INTEGER) AS height,
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3 END AS INTEGER) AS channels,
+           CASE m WHEN 1 THEN 0.256
+                  WHEN 2 THEN floor(nfv / 10.0 * 10000.0 + 0.5) / 10000.0 END AS duration_sec,
+           CASE m WHEN 0 THEN floor((40 + o8 * 5 + lut.k * 2.5) * 10000.0 + 0.5) / 10000.0
+               END AS brightness,
+           CASE m WHEN 1 THEN floor(sqrt(4545000.0) / 32768 * s * 10000.0 + 0.5) / 10000.0
+               END AS rms,
+           CAST(CASE m WHEN 0 THEN 781 WHEN 1 THEN 4140 WHEN 2 THEN 224 + 776 * nfv
+                       ELSE octet_length(encode(coalesce(text, ''))) + 1 END AS BIGINT) AS n_bytes,
+           CAST(CASE m WHEN 0 THEN lut.hi WHEN 1 THEN lut.ha WHEN 2 THEN lut.hi
+                END AS BIGINT) AS ahash
+    FROM d LEFT JOIN lut ON lut.g = d.g AND lut.v = d.v
+    """
+
+
+@register("media_ingest_profile", _profile_oracle())
+def q_media_ingest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SCAN fused ingest profile over the mixed-format lake (r09 verdict
+    directive 6): magic-byte dispatch → decode each payload ONCE → sniff
+    features AND the modality's perceptual fingerprint in the same
+    mapInPandas pass. The oracle pins every feature cell (sniff's closed
+    forms) AND every raw 64-bit fingerprint (the signed-pattern LUTs), so a
+    defect in the fusion — a second decode path diverging, a dtype slip in
+    the nullable ahash column, dispatch order — fails the hash. The corpus
+    interleaves images / WAVs / pattern videos / junk by doc_id % 4 like
+    media_sniff_features (pattern videos instead of luma videos so the video
+    fingerprint is LUT-pinned too)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    imgs = synth_media.synth_images(docs.filter(d % 4 == 0))
+    wavs = synth_media.synth_wavs(docs.filter(d % 4 == 1))
+    vids = synth_media.synth_pattern_videos(docs.filter(d % 4 == 2))
+    junk = docs.filter(d % 4 == 3).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("#"), F.coalesce(F.col("text"), F.lit(""))), "UTF-8"
+        ).alias("payload"),
+    )
+    corpus = imgs.unionByName(wavs).unionByName(vids).unionByName(junk)
+    return multimodal.media_ingest_profile(corpus)
