@@ -15,6 +15,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# probes stress beyond fixture scale (1M+-node CC graphs) — give the local
+# JVM a realistic driver/executor heap instead of the 1 GB default the
+# fixture-scale bench/tests run in (must be set before the JVM launches)
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from kda_flink_demo_spark.io.sources import load_table  # noqa: E402
@@ -225,11 +230,63 @@ def main() -> None:
         f"gate parity broke: {survivors_naive} vs {survivors_collapsed}"
     )
 
+    # CHAINED-VARIANT near-dup corpus (r09 verdict directive 5): a chain of
+    # variants v0~v1~…~vK (each adjacent pair within the dedup radius, ends
+    # far apart) feeds connected_components a PATH graph — the depth-worst
+    # case for label propagation. Measured against a same-size STAR corpus
+    # (diameter 2 — the shape hash_near_dup_edges emits for a monoculture
+    # cluster) to isolate iteration depth from per-round cost, plus a
+    # diameter-100 chain that plain one-hop propagation could not finish at
+    # all within max_iter=20 (101 rounds needed). The shipped loop's pointer
+    # jumping (label-of-label, r10) makes rounds ≈ log2(diameter) + 2.
+    from kda_flink_demo_spark.operators.llm.clustering import connected_components
+
+    def cc_probe(edges_df, expect_comps):
+        st: dict = {}
+        t0 = time.time()
+        cc = connected_components(edges_df, stats=st)
+        n_comp = cc.select("component").distinct().count()
+        assert n_comp == expect_comps
+        return st.get("rounds"), round(time.time() - t0, 2)
+
+    def chain_edges_of(n_chains_, chain_len_):
+        b = spark.range(n_chains_ * chain_len_).withColumnRenamed("id", "nid")
+        return (
+            b.filter((F.col("nid") % chain_len_) != chain_len_ - 1)
+            .select(F.col("nid").alias("doc_a"), (F.col("nid") + 1).alias("doc_b"))
+            .localCheckpoint()
+        )
+
+    chain_len, n_chains = 11, 100_000
+    cc_chain_rounds, t_cc_chain = cc_probe(chain_edges_of(n_chains, chain_len), n_chains)
+
+    base_ids = spark.range(n_chains * chain_len).withColumnRenamed("id", "nid")
+    star_edges = (
+        base_ids.filter((F.col("nid") % chain_len) != 0)
+        .select(
+            (F.col("nid") - F.col("nid") % chain_len).alias("doc_a"),
+            F.col("nid").alias("doc_b"),
+        )
+        .localCheckpoint()
+    )
+    cc_star_rounds, t_cc_star = cc_probe(star_edges, n_chains)
+
+    cc_deep_rounds, t_cc_deep = cc_probe(chain_edges_of(10_000, 101), 10_000)
+
     n = ev.count()
     print(
         json.dumps(
             {
                 "rows": n,
+                "cc_nodes": n_chains * chain_len,
+                "cc_chain_diameter": chain_len - 1,
+                "cc_chain_rounds": cc_chain_rounds,
+                "cc_chain_sec": t_cc_chain,
+                "cc_star_rounds": cc_star_rounds,
+                "cc_star_sec": t_cc_star,
+                "cc_deep_chain_diameter": 100,
+                "cc_deep_chain_rounds": cc_deep_rounds,
+                "cc_deep_chain_sec": t_cc_deep,
                 "naive_sec": t_naive,
                 "salted_sec": t_salted,
                 "topk_naive_sec": t_cap_naive,
