@@ -575,6 +575,48 @@ def sniff_media_features(df: DataFrame) -> DataFrame:
 PROFILE_SCHEMA = SNIFF_SCHEMA + ", ahash long"
 
 
+def _profile_row(b: bytes):
+    """One payload → (modality, width, height, channels, duration_sec,
+    brightness, rms, fingerprint-bits|None): the fused dispatch-decode-once
+    kernel body. Module-level (not a worker closure) so the quarantine
+    contract — ANY byte string yields a row, never an exception — is
+    driver-side fuzzable (hypothesis over arbitrary/corrupted payloads)."""
+    import math
+
+    from kda_flink_demo_spark.operators.llm import imaging
+    from kda_flink_demo_spark.operators.llm.image_dedup import (
+        audio_bits_from_samples,
+        image_bits_from_pixels,
+        video_bits_from_frames,
+    )
+
+    try:
+        if b[:2] in (b"P6", b"P5") or b[:2] == b"BM":
+            w, h, c, px = imaging.decode_image(b)
+            mean = imaging.grayscale_mean(px)
+            return (
+                "image", w, h, c, None,
+                math.floor(mean * 1e4 + 0.5) / 1e4, None,
+                image_bits_from_pixels(px, c),
+            )
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            sr, nf, ch, samples = imaging.decode_wav(b)
+            dur = math.floor(nf / sr * 1e4 + 0.5) / 1e4 if sr else None
+            return (
+                "audio", None, None, ch, dur, None,
+                imaging.rms_of(samples),
+                audio_bits_from_samples(samples),
+            )
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            w, h, fps, frames = imaging.decode_avi(b)
+            dur = math.floor(len(frames) / fps * 1e4 + 0.5) / 1e4 if fps else None
+            bits = video_bits_from_frames(frames) if frames else None
+            return ("video", w, h, 3, dur, None, None, bits)
+    except Exception:  # noqa: BLE001 — quarantine, never kill the scan
+        return ("corrupt", None, None, None, None, None, None, None)
+    return ("unknown", None, None, None, None, None, None, None)
+
+
 def media_ingest_profile(df: DataFrame) -> DataFrame:
     """One-scan media ingest profile: ``sniff_media_features`` + the
     modality's 64-bit perceptual fingerprint, fused — each payload is decoded
@@ -597,51 +639,17 @@ def media_ingest_profile(df: DataFrame) -> DataFrame:
     again."""
 
     def _profile(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import math
-
         import numpy as np
         import pandas as pd
 
-        from kda_flink_demo_spark.operators.llm import imaging
-        from kda_flink_demo_spark.operators.llm.image_dedup import (
-            audio_bits_from_samples,
-            image_bits_from_pixels,
-            pack_bits_i64,
-            video_bits_from_frames,
-        )
-
-        def row(b: bytes):
-            try:
-                if b[:2] in (b"P6", b"P5") or b[:2] == b"BM":
-                    w, h, c, px = imaging.decode_image(b)
-                    mean = imaging.grayscale_mean(px)
-                    return (
-                        "image", w, h, c, None,
-                        math.floor(mean * 1e4 + 0.5) / 1e4, None,
-                        image_bits_from_pixels(px, c),
-                    )
-                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    sr, nf, ch, samples = imaging.decode_wav(b)
-                    dur = math.floor(nf / sr * 1e4 + 0.5) / 1e4 if sr else None
-                    return (
-                        "audio", None, None, ch, dur, None,
-                        imaging.rms_of(samples),
-                        audio_bits_from_samples(samples),
-                    )
-                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    w, h, fps, frames = imaging.decode_avi(b)
-                    dur = math.floor(len(frames) / fps * 1e4 + 0.5) / 1e4 if fps else None
-                    bits = video_bits_from_frames(frames) if frames else None
-                    return ("video", w, h, 3, dur, None, None, bits)
-            except Exception:  # noqa: BLE001 — quarantine, never kill the scan
-                return ("corrupt", None, None, None, None, None, None, None)
-            return ("unknown", None, None, None, None, None, None, None)
+        from kda_flink_demo_spark.operators.llm.image_dedup import pack_bits_i64
+        from kda_flink_demo_spark.operators.llm.multimodal import _profile_row
 
         for pdf in batches:
             recs, bit_rows = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                m, w, h, c, dur, bright, rms, bits = row(b)
+                m, w, h, c, dur, bright, rms, bits = _profile_row(b)
                 recs.append((int(doc_id), m, w, h, c, dur, bright, rms, len(b)))
                 bit_rows.append(bits)
             out = pd.DataFrame(

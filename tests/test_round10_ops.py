@@ -289,6 +289,69 @@ def test_connected_components_random_graphs_match_union_find(spark):
         assert got == expected, f"trial {trial}"
 
 
+def test_profile_row_never_raises_property():
+    """The fused profile's quarantine contract, fuzzed driver-side: ANY byte
+    string — random noise, bare magic prefixes, truncations/corruptions of
+    REAL payloads — yields a schema-shaped row, never an exception (one
+    exotic file must not kill a 100 TB scan), and a fingerprint is present
+    only on successfully decoded media."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kda_flink_demo_spark.operators.llm.multimodal import _profile_row
+
+    # real payloads to mutate (driver-side, same corpus math as synth_media)
+    lvl = np.where(
+        synth_media._bits_msb(synth_media.image_pattern(5)).reshape(8, 8) == 1, 205, 45
+    )
+    big = np.repeat(np.repeat(lvl, 2, axis=0), 2, axis=1).astype(np.uint8)
+    real_img = imaging.encode_ppm(big[:, :, None])
+    real_avi = imaging.encode_avi([np.full((4, 6, 3), 90, dtype=np.uint8)] * 3, fps=10)
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x10" * 256)
+    real_wav = buf.getvalue()
+    reals = [real_img, real_avi, real_wav]
+    magics = [b"P6", b"P5", b"BM", b"RIFF", b"RIFF1234WAVE", b"RIFF1234AVI "]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        mode=st.sampled_from(["noise", "truncate", "corrupt", "magic+noise"]),
+        data=st.binary(min_size=0, max_size=64),
+        pick=st.integers(min_value=0, max_value=2),
+        cut=st.integers(min_value=0, max_value=4200),
+        pos=st.integers(min_value=0, max_value=4200),
+    )
+    def check(mode, data, pick, cut, pos):
+        base = reals[pick]
+        if mode == "noise":
+            b = data
+        elif mode == "truncate":
+            b = base[: cut % (len(base) + 1)]
+        elif mode == "corrupt":
+            p = pos % max(len(base), 1)
+            b = base[:p] + data + base[p + len(data):]
+        else:
+            b = magics[pick % len(magics)] + data
+        row = _profile_row(b)
+        assert len(row) == 9 - 1  # 8-tuple: 7 feature cells + bits
+        modality, w, h, c, dur, bright, rms, bits = row
+        assert modality in ("image", "audio", "video", "unknown", "corrupt")
+        if bits is not None:
+            assert modality in ("image", "audio", "video")
+            assert len(bits) == 64
+        if modality in ("unknown", "corrupt"):
+            assert all(v is None for v in (w, h, c, dur, bright, rms, bits))
+
+    check()
+
+
 def test_image_and_audio_hash_bits_helpers_match_patterns():
     """The per-payload bit helpers (shared by the fused kernel and the
     dedicated scans since r10) still reproduce the designed patterns."""
