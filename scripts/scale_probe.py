@@ -428,6 +428,44 @@ def main() -> None:
         ),
     )
 
+    # round-10: fused one-scan profile + the video gate at 8×. Same linear-
+    # output reasoning as the round-9 members: the fused profile is a pure
+    # decode-once scan (growth should track the sniff/hash scans), and the
+    # video gate rides the identical distinct-hash-collapsed probe machinery.
+    profile_corpus = (
+        _synth.synth_images(media_docs.filter(F.col("doc_id") % 4 == 0))
+        .unionByName(_synth.synth_wavs(media_docs.filter(F.col("doc_id") % 4 == 1)))
+        .unionByName(
+            _synth.synth_pattern_videos(media_docs.filter(F.col("doc_id") % 4 == 2))
+        )
+        .unionByName(
+            media_docs.filter(F.col("doc_id") % 4 == 3).select(
+                "doc_id",
+                F.encode(
+                    F.concat(F.lit("#junk"), F.col("doc_id").cast("string")), "UTF-8"
+                ).alias("payload"),
+            )
+        )
+    )
+    bench("media_ingest_profile", _mm.media_ingest_profile(profile_corpus))
+    bench("video_ahash", _imgd.video_ahash(_synth.synth_pattern_videos(media_docs)))
+    _vid_idx = _imgd.video_ahash(
+        _synth.synth_pattern_videos(
+            media_docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        )
+    ).localCheckpoint()
+
+    def _vgate():
+        incoming = _synth.synth_pattern_videos(media_docs.filter(F.col("doc_id") % 3 == 1))
+        return _imgd.image_dedup_probe(
+            incoming,
+            _vid_idx,
+            max_hamming=5,
+            batch_hashes=_imgd.video_ahash(incoming).localCheckpoint(),
+        )
+
+    bench_lazy("video_ingest_gate", _vgate)
+
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
 
