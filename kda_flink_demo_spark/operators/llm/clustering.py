@@ -26,6 +26,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _loop_join_big(n_nodes: int, threshold: int = 100_000) -> bool:
+    """Join-strategy switch for the per-round CC joins. Catalyst happily
+    broadcasts a small label table — and at fixture scale that IS fastest
+    (measured: sort-merge rounds cost ~3× on a 5k-node graph, pure per-stage
+    overhead) — but the broadcast repeats EVERY round and builds on the
+    driver, so past ~100k nodes (a few MB per round, 10× headroom below the
+    1.1M-node probe that OOMed a 1 GB driver) both joins are pinned to
+    sort-merge: spill-safe (shuffle-hash's build side is not — the same probe
+    OOMed executor-side with it), executor-only at any label size, rounds
+    co-partitioned on the node key. At 100 TB labels are corpus-sized and a
+    driver-routed broadcast is not slow, it is impossible."""
+    return n_nodes > threshold
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -68,6 +82,14 @@ def connected_components(
     )
     # self-loop keeps each node's own label in the min()
     labels = edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    # loop-aware join strategy: at fixture scale Catalyst broadcasts the tiny
+    # label table and that IS fastest — but the broadcast repeats EVERY round
+    # and builds on the driver, so past the node threshold both per-round
+    # joins are pinned to spill-safe sort-merge (see _loop_join_big). The
+    # count is one cheap job on the already-checkpointed label table.
+    hinted = (
+        (lambda df: df.hint("merge")) if _loop_join_big(labels.count()) else (lambda df: df)
+    )
     converged = False
     for it in range(max_iter):
         # every node adopts min(own label, neighbors' labels); the convergence
@@ -79,16 +101,8 @@ def connected_components(
         # degenerate graph with NULL ids must keep such nodes on their own
         # label (as the previous union+groupBy-min formulation did), not drop
         # them through an inner equi-join.
-        # merge-join hints: labels is NODE-sized, and without the hint the
-        # 64 MB session broadcast threshold re-broadcasts it EVERY round once
-        # the graph passes fixture scale (measured: a 1.1M-node probe OOMed
-        # the driver on round-repeated label broadcasts; at 100 TB labels are
-        # corpus-sized and must never route through the driver). Sort-merge —
-        # not shuffle_hash, whose build side cannot spill and OOMed the same
-        # probe under a small heap — keeps both per-round joins executor-side,
-        # spill-safe, and co-partitioned on the node key across rounds.
         neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v").hint("merge"), "v")
+            edges.join(hinted(labels.withColumnRenamed("u", "v")), "v")
             .groupBy("u")
             .agg(F.min("label").alias("_nmin"))
         )
@@ -100,7 +114,7 @@ def connected_components(
         # O(log d); a fixpoint of the jumped update is also a fixpoint of
         # plain propagation, so converged labels are still exact component
         # minima (property-tested against the DuckDB transitive closure).
-        half = labels.join(neighbor_min.hint("merge"), "u", "left")
+        half = labels.join(hinted(neighbor_min), "u", "left")
         if it == 0:
             # round 1's labels are the identity mapping — label-of-label is a
             # no-op there, so the jump join starts in round 2 (saves one
@@ -114,7 +128,7 @@ def connected_components(
         else:
             jump = labels.select(F.col("u").alias("_j_from"), F.col("label").alias("_j_to"))
             new_labels = (
-                half.join(jump.hint("merge"), F.col("label") == F.col("_j_from"), "left")
+                half.join(hinted(jump), F.col("label") == F.col("_j_from"), "left")
                 .select(
                     "u",
                     F.least("label", "_nmin", "_j_to").alias("label"),
