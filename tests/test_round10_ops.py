@@ -208,6 +208,21 @@ def test_media_ingest_profile_equals_sniff_plus_hashes(spark):
         assert p.ahash == hashes[d], d
 
 
+def test_media_ingest_profile_empty_corpus_keeps_schema(spark):
+    """Zero-row input (an idle micro-batch) must yield zero rows with the
+    full typed schema — the empty Arrow batch path exercises every dtype
+    conversion including the nullable Int64 fingerprint column."""
+    from kda_flink_demo_spark.operators.llm import multimodal
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    out = multimodal.media_ingest_profile(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "modality", "width", "height", "channels",
+        "duration_sec", "brightness", "rms", "n_bytes", "ahash",
+    ]
+
+
 def test_media_ingest_profile_quarantine_rows_null_hash(spark):
     from kda_flink_demo_spark.operators.llm import multimodal
 
