@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     "video_ahash_index_build",
     "video_ingest_gate",
     "media_ingest_profile",
+    # round 10: PNG — the first compressed container through the real-decode
+    # path (stdlib inflate + all five scanline filters, LUT-value-pinned)
+    "png_ahash_values",
+    "png_sniff_features",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must

@@ -115,8 +115,8 @@ def pixels_to_8x8_gray(px: "np.ndarray", c: int) -> "np.ndarray":
 
     px64 = px.astype(np.int64)
     gray = (
-        px64[:, :, 0]
-        if c == 1
+        px64[:, :, 0]  # gray / gray+alpha: channel 0 IS the luma
+        if c <= 2
         else (299 * px64[:, :, 0] + 587 * px64[:, :, 1] + 114 * px64[:, :, 2]) // 1000
     )
     return imaging.resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]

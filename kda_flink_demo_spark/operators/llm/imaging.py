@@ -2,8 +2,9 @@
 
 This container has no PIL/librosa and installs are off-limits, so the
 ``real_decode=True`` stages fall back to these minimal, dependency-free
-decoders: binary PPM/PGM (P6/P5) and uncompressed 24-bit BMP for images,
-stdlib ``wave`` (16-bit PCM) for audio. They exist so the REAL decode path —
+decoders: binary PPM/PGM (P6/P5), 8-bit PNG (stdlib ``zlib`` inflate + all
+five scanline filters — see ``decode_png``) and uncompressed 24-bit BMP for
+images, stdlib ``wave`` (16-bit PCM) for audio. They exist so the REAL decode path —
 bytes → pixels/samples → features, through the exact mapInPandas contract the
 production stage uses — executes and is tested here, not just stubbed.
 Formats outside this set raise NotImplementedError naming the library that
@@ -19,8 +20,11 @@ import io
 import math
 import struct
 import wave
+import zlib
 
 import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
 def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
@@ -62,7 +66,8 @@ def _ppm_data_offset(b: bytes, sep_idx: int, need: int) -> int:
 def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """bytes → (width, height, channels, uint8 pixels shaped (h, w, c)).
 
-    Supports binary PPM (P6, RGB), binary PGM (P5, gray), and uncompressed
+    Supports binary PPM (P6, RGB), binary PGM (P5, gray), 8-bit PNG (gray /
+    RGB / palette / gray+alpha / RGBA via ``decode_png``), and uncompressed
     24-bit bottom-up BMP. Anything else needs PIL."""
     if b[:2] == b"P6" or b[:2] == b"P5":
         (w, h, maxval), sep_idx = _ppm_header_tokens(b, 3)
@@ -73,6 +78,8 @@ def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
         off = _ppm_data_offset(b, sep_idx, need)
         data = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
         return w, h, c, data.reshape(h, w, c)
+    if b[:8] == PNG_SIGNATURE:
+        return decode_png(b)
     if b[:2] == b"BM":
         if len(b) < 54:
             raise ValueError("truncated BMP header")
@@ -95,7 +102,7 @@ def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
         return w, h, 3, rows[:, :, ::-1].copy()  # BGR → RGB
     raise NotImplementedError(
         "image format not decodable without PIL (pure-python path handles "
-        "P6/P5 PPM/PGM and uncompressed 24-bit BMP)"
+        "P6/P5 PPM/PGM, 8-bit PNG, and uncompressed 24-bit BMP)"
     )
 
 
@@ -104,9 +111,9 @@ def grayscale_mean(pixels: np.ndarray) -> float:
     (ITU-R 601-2, truncating): L = (299·R + 587·G + 114·B) // 1000 — so the
     pure backend and a PIL backend agree bit-for-bit on RGB input."""
     px = pixels.astype(np.int64)
-    if px.shape[2] == 1:
+    if px.shape[2] <= 2:  # gray / gray+alpha: channel 0 IS the luma
         luma = px[:, :, 0]
-    else:
+    else:  # RGB / RGBA: alpha (if any) is ignored, like PIL convert('L')
         luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
     return float(luma.mean())
 
@@ -126,6 +133,186 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     if pixels.shape[2] == 1:
         pixels = np.repeat(pixels, 3, axis=2)
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+# PNG bytes-per-pixel (bit depth 8) and decoded channel count per color type:
+# 0 = gray, 2 = RGB, 3 = palette (expands to RGB), 4 = gray+alpha, 6 = RGBA.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Filtered scanline bytes (h rows of 1 filter byte + ``stride`` data
+    bytes) → uint8 (h, stride) reconstructed raster. Implements all five
+    PNG filter types; Sub is a per-byte-lane cumulative sum and Up a prior-row
+    add (both vectorized), Average/Paeth scan pixels left-to-right with the
+    channel lanes vectorized — the spec's reconstruction is inherently
+    sequential in x for those two."""
+    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] — lane cumsum
+            rec = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1)
+        elif ft == 2:  # Up
+            rec = row + prev
+        elif ft == 3:  # Average: + floor((left + up) / 2), left is sequential
+            rec = np.zeros(stride, dtype=np.int64)
+            rowp, prevp = row.reshape(-1, bpp), prev.reshape(-1, bpp)
+            recp = rec.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(rowp.shape[0]):
+                left = (rowp[x] + (left + prevp[x]) // 2) & 0xFF
+                recp[x] = left
+        elif ft == 4:  # Paeth predictor over (left, up, up-left)
+            rec = np.zeros(stride, dtype=np.int64)
+            rowp, prevp = row.reshape(-1, bpp), prev.reshape(-1, bpp)
+            recp = rec.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(rowp.shape[0]):
+                up = prevp[x]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (rowp[x] + pred) & 0xFF
+                recp[x] = left
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec & 0xFF
+    return out
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """bytes → (width, height, channels, uint8 pixels shaped (h, w, c)):
+    dependency-free PNG decode via stdlib ``zlib`` (RFC 2083 inflate is the
+    only compression PNG has, and the stdlib ships it — unlike JPEG/H.264,
+    "compressed" does not have to mean "gated").
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette, expanded
+    to RGB), 4 (gray+alpha) and 6 (RGBA), all five scanline filters, and
+    verifies every chunk CRC (a corrupt payload must land in the sniff scan's
+    quarantine, not decode to garbage). Adam7 interlace and non-8-bit depths
+    raise NotImplementedError naming PIL — the honest-gate convention.
+    Ancillary chunks (tRNS included) are skipped: this decoder feeds the
+    luma/feature path, which ignores alpha."""
+    if b[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    off = 8
+    ihdr = None
+    plte: np.ndarray | None = None
+    idat: list[bytes] = []
+    while off + 8 <= len(b):
+        length = struct.unpack_from(">I", b, off)[0]
+        ctype = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + length]
+        if len(data) != length or off + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", b, off + 8 + length)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG requires PIL")
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color_type} requires PIL "
+            "(pure path reads 8-bit gray/RGB/palette/gray+alpha/RGBA)"
+        )
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    px = _png_unfilter(raw, h, stride, c).reshape(h, w, c)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[px[:, :, 0]]
+        c = 3
+    return w, h, c, px
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int | None = None,
+    palette: np.ndarray | None = None,
+    filter_per_row: bool = False,
+) -> bytes:
+    """uint8 (h, w, c) → PNG bytes (``decode_png``'s inverse; deterministic —
+    fixed zlib level, used by tests and the synthetic media corpus).
+
+    ``color_type`` defaults from the channel count (1 → gray, 2 → gray+alpha,
+    3 → RGB, 4 → RGBA); pass ``color_type=3`` with a ``palette`` (n, 3) and
+    single-channel index pixels for a palette image. ``filter_per_row=True``
+    cycles scanline filters 0..4 by row index so a decoder must get ALL five
+    reconstructions right to round-trip — the corpus uses it on purpose."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    c = pixels.shape[2]
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rows = pixels.reshape(h, w * c).astype(np.int64)
+    lines = []
+    for y in range(h):
+        row = rows[y]
+        prev = rows[y - 1] if y else np.zeros(w * c, dtype=np.int64)
+        ft = y % 5 if filter_per_row else 0
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            filt = row - (left + prev) // 2
+        else:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prev, upleft)
+            )
+            filt = row - pred
+        lines.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG needs a palette")
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(b"".join(lines), 6)) + chunk(b"IEND", b"")
+    return PNG_SIGNATURE + body
 
 
 def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:

@@ -509,7 +509,7 @@ SNIFF_SCHEMA = (
 def sniff_media_features(df: DataFrame) -> DataFrame:
     """Mixed-format media scan: a real lake's payload column is never one
     format, so the decode stage DISPATCHES on magic bytes per row — PPM/PGM/
-    BMP → image features (geometry + integer-luma brightness), WAV → audio
+    PNG/BMP → image features (geometry + integer-luma brightness), WAV → audio
     features (duration + rms), AVI → video features (geometry + duration) —
     into one unified nullable feature schema with a ``modality`` tag.
     Unrecognized payloads land as modality='unknown' and recognized-but-
@@ -532,7 +532,11 @@ def sniff_media_features(df: DataFrame) -> DataFrame:
 
         def row(b: bytes):
             try:
-                if b[:2] in (b"P6", b"P5") or b[:2] == b"BM":
+                if (
+                    b[:2] in (b"P6", b"P5")
+                    or b[:2] == b"BM"
+                    or b[:8] == imaging.PNG_SIGNATURE
+                ):
                     w, h, c, px = imaging.decode_image(b)
                     mean = imaging.grayscale_mean(px)
                     return ("image", w, h, c, None, math.floor(mean * 1e4 + 0.5) / 1e4, None)
@@ -591,7 +595,7 @@ def _profile_row(b: bytes):
     )
 
     try:
-        if b[:2] in (b"P6", b"P5") or b[:2] == b"BM":
+        if b[:2] in (b"P6", b"P5") or b[:2] == b"BM" or b[:8] == imaging.PNG_SIGNATURE:
             w, h, c, px = imaging.decode_image(b)
             mean = imaging.grayscale_mean(px)
             return (

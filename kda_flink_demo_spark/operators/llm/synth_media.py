@@ -142,6 +142,65 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): the SAME 16×16 designed pattern as
+    ``synth_images`` (2×2-upscaled 8×8, gray 200+off / 40+off) in a real PNG
+    container, so the whole inflate → unfilter → (palette) → luma pipeline is
+    LUT-value-pinned: the decoded aHash must equal ``image_pattern(doc_id)``
+    VERBATIM. The corpus deliberately varies what the decoder must get right:
+
+    - color type by ``doc_id % 4``: 0 → 8-bit grayscale, 1 → RGB, 2 → PALETTE
+      (2-entry PLTE, index raster), 3 → RGBA (opaque alpha the luma ignores) —
+      decoded channel counts (1, 3, 3, 4) are the sniff oracle's closed form;
+    - every payload cycles scanline filters 0..4 by row (``filter_per_row``),
+      so None/Sub/Up/Average/Paeth reconstruction are ALL load-bearing — a
+      defect in any single filter moves some pixel, flips a hash bit, and
+      fails the 80-row signed-pattern LUT join.
+
+    Brightness stays 40 + off + 2.5·popcount(pattern) for every color type
+    (equal-channel RGB keeps integer luma == the gray level exactly)."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                off = (d // N_GROUPS % 8) * 5
+                lo, hi = 40 + off, 200 + off
+                bits = _bits_msb(image_pattern(d)).reshape(8, 8)
+                big = np.repeat(np.repeat(bits, 2, axis=0), 2, axis=1)
+                m = d % 4
+                if m == 2:  # palette: raster carries indices, PLTE the levels
+                    pal = np.array([[lo] * 3, [hi] * 3], dtype=np.uint8)
+                    payloads.append(
+                        imaging.encode_png(
+                            big[:, :, None].astype(np.uint8),
+                            color_type=3,
+                            palette=pal,
+                            filter_per_row=True,
+                        )
+                    )
+                    continue
+                lvl = np.where(big == 1, hi, lo).astype(np.uint8)[:, :, None]
+                if m == 1:
+                    lvl = np.repeat(lvl, 3, axis=2)
+                elif m == 3:
+                    lvl = np.concatenate(
+                        [np.repeat(lvl, 3, axis=2), np.full_like(lvl, 255)], axis=2
+                    )
+                payloads.append(imaging.encode_png(lvl, filter_per_row=True))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
 def synth_wavs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(…, doc_id, …) → (doc_id, payload): a 16-bit PCM WAV (64 windows × 32
     samples, 8 kHz mono) whose energy-envelope fingerprint equals

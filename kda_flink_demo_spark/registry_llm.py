@@ -1607,6 +1607,66 @@ def q_image_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("png_ahash_values", _AHASH_VALUES_ORACLE)
+def q_png_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG decode path, externally value-pinned (round 10 — the first
+    COMPRESSED container through the real-decode gate; PNG's only compression
+    is RFC-1951 inflate, which the stdlib ships, so unlike JPEG/H.264 it does
+    not have to stay behind the PIL gate). ``synth_media.synth_pngs`` carries
+    the SAME designed patterns as the PPM corpus in real PNG containers —
+    cycling color type 0/2/3/6 by doc_id and scanline filters 0..4 by row —
+    so every 64-bit aHash must equal ``image_pattern(doc_id)`` VERBATIM
+    through inflate → unfilter (all five reconstructions load-bearing) →
+    palette expansion → luma → resize → threshold. Same signed-pattern LUT
+    oracle as image_ahash_values, reached through a completely different
+    byte path."""
+    return image_dedup.image_ahash(
+        synth_media.synth_pngs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _png_sniff_oracle() -> str:
+    """Closed form for the PNG corpus through the mixed-format sniff scan:
+    geometry is fixed 16×16, decoded channels follow the color-type cycle
+    (gray 1, RGB 3, palette→RGB 3, RGBA 4), and brightness is the image
+    corpus's 40 + off + 2.5·popcount(pattern) for EVERY color type (equal-
+    channel integer luma reproduces the gray level exactly; alpha ignored).
+    n_bytes is deliberately not selected — zlib output length is
+    deterministic but not SQL-expressible."""
+    lut_rows = ", ".join(
+        f"({g}, {v}, {bin(synth_media.image_pattern(g + 20 * v)).count('1')})"
+        for g in range(20)
+        for v in range(4)
+    )
+    return f"""
+    WITH lut(g, v, k) AS (VALUES {lut_rows})
+    SELECT doc_id, 'image' AS modality,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(CASE d.m WHEN 0 THEN 1 WHEN 3 THEN 4 ELSE 3 END AS INTEGER) AS channels,
+           floor((40 + d.o8 * 5 + lut.k * 2.5) * 10000.0 + 0.5) / 10000.0 AS brightness
+    FROM (SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v,
+                 (doc_id // 20) % 8 AS o8, doc_id % 4 AS m
+          FROM documents) d
+    JOIN lut ON lut.g = d.g AND lut.v = d.v
+    """
+
+
+@register("png_sniff_features", _png_sniff_oracle())
+def q_png_sniff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG corpus through ``sniff_media_features``' magic-byte dispatch:
+    the 8-byte PNG signature must route to the image decoder and the decoded
+    GEOMETRY + CHANNELS + integer-luma brightness must match the corpus
+    design — the channel count varies with the color-type cycle, so a decoder
+    that flattened palette indices wrong or dropped/kept alpha in the wrong
+    place moves a cell. n_bytes/duration/rms are excluded (compressed size is
+    not closed-form; the full nullable schema is already pinned by
+    media_sniff_features)."""
+    feats = multimodal.sniff_media_features(
+        synth_media.synth_pngs(load_table(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "modality", "width", "height", "channels", "brightness")
+
+
 @register(
     "image_ahash_index_build",
     _AHASH_VALUES_ORACLE.replace(

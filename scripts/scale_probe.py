@@ -466,6 +466,11 @@ def main() -> None:
 
     bench_lazy("video_ingest_gate", _vgate)
 
+    # round-10: PNG decode at 8× — inflate + unfilter is partition-local
+    # per-payload work (no shuffle at all), so growth should be ≈ linear in
+    # rows like the other decode scans
+    bench("png_ahash_values", _imgd.image_ahash(_synth.synth_pngs(media_docs)))
+
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
 
