@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     # path (stdlib inflate + all five scanline filters, LUT-value-pinned)
     "png_ahash_values",
     "png_sniff_features",
+    "wav_width_ahash_values",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must

@@ -3,8 +3,9 @@
 This container has no PIL/librosa and installs are off-limits, so the
 ``real_decode=True`` stages fall back to these minimal, dependency-free
 decoders: binary PPM/PGM (P6/P5), 8-bit PNG (stdlib ``zlib`` inflate + all
-five scanline filters — see ``decode_png``) and uncompressed 24-bit BMP for
-images, stdlib ``wave`` (16-bit PCM) for audio. They exist so the REAL decode path —
+five scanline filters + Adam7 — see ``decode_png``) and uncompressed 24-bit
+BMP for images, stdlib ``wave`` (8/16/24/32-bit integer PCM) for audio. They
+exist so the REAL decode path —
 bytes → pixels/samples → features, through the exact mapInPandas contract the
 production stage uses — executes and is tested here, not just stubbed.
 Formats outside this set raise NotImplementedError naming the library that
@@ -189,6 +190,25 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass — each pass is
+# its own independently-filtered mini-image inside the single IDAT stream
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
 def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """bytes → (width, height, channels, uint8 pixels shaped (h, w, c)):
     dependency-free PNG decode via stdlib ``zlib`` (RFC 2083 inflate is the
@@ -196,12 +216,13 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     "compressed" does not have to mean "gated").
 
     Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette, expanded
-    to RGB), 4 (gray+alpha) and 6 (RGBA), all five scanline filters, and
-    verifies every chunk CRC (a corrupt payload must land in the sniff scan's
-    quarantine, not decode to garbage). Adam7 interlace and non-8-bit depths
-    raise NotImplementedError naming PIL — the honest-gate convention.
-    Ancillary chunks (tRNS included) are skipped: this decoder feeds the
-    luma/feature path, which ignores alpha."""
+    to RGB), 4 (gray+alpha) and 6 (RGBA), all five scanline filters, BOTH
+    interlace methods (progressive Adam7 sub-images are independently
+    unfiltered and reassembled), and verifies every chunk CRC (a corrupt
+    payload must land in the sniff scan's quarantine, not decode to garbage).
+    Non-8-bit depths raise NotImplementedError naming PIL — the honest-gate
+    convention. Ancillary chunks (tRNS included) are skipped: this decoder
+    feeds the luma/feature path, which ignores alpha."""
     if b[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     off = 8
@@ -229,8 +250,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG requires PIL")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if depth != 8 or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG bit depth {depth} / color type {color_type} requires PIL "
@@ -238,10 +259,24 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
         )
     c = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * c
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG raster size mismatch")
-    px = _png_unfilter(raw, h, stride, c).reshape(h, w, c)
+    if interlace == 0:
+        stride = w * c
+        if len(raw) != h * (1 + stride):
+            raise ValueError("PNG raster size mismatch")
+        px = _png_unfilter(raw, h, stride, c).reshape(h, w, c)
+    else:  # Adam7: seven independently-filtered sub-images, reassembled
+        px = np.zeros((h, w, c), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            pstride = pw * c
+            need = ph * (1 + pstride)
+            if off + need > len(raw):
+                raise ValueError("PNG raster size mismatch (interlaced)")
+            sub = _png_unfilter(raw[off : off + need], ph, pstride, c)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
+            off += need
+        if off != len(raw):
+            raise ValueError("PNG raster size mismatch (interlaced)")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -252,39 +287,14 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, c, px
 
 
-def encode_png(
-    pixels: np.ndarray,
-    color_type: int | None = None,
-    palette: np.ndarray | None = None,
-    filter_per_row: bool = False,
-) -> bytes:
-    """uint8 (h, w, c) → PNG bytes (``decode_png``'s inverse; deterministic —
-    fixed zlib level, used by tests and the synthetic media corpus).
-
-    ``color_type`` defaults from the channel count (1 → gray, 2 → gray+alpha,
-    3 → RGB, 4 → RGBA); pass ``color_type=3`` with a ``palette`` (n, 3) and
-    single-channel index pixels for a palette image. ``filter_per_row=True``
-    cycles scanline filters 0..4 by row index so a decoder must get ALL five
-    reconstructions right to round-trip — the corpus uses it on purpose."""
-    h, w = pixels.shape[0], pixels.shape[1]
-    c = pixels.shape[2]
-    if color_type is None:
-        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    bpp = c
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    rows = pixels.reshape(h, w * c).astype(np.int64)
+def _filter_scanlines(rows: np.ndarray, bpp: int, filter_per_row: bool) -> bytes:
+    """(h, stride) int64 raster rows → filtered scanline bytes (filter-type
+    byte + filtered data per row); cycles filters 0..4 by row when asked."""
+    h, stride = rows.shape
     lines = []
     for y in range(h):
         row = rows[y]
-        prev = rows[y - 1] if y else np.zeros(w * c, dtype=np.int64)
+        prev = rows[y - 1] if y else np.zeros(stride, dtype=np.int64)
         ft = y % 5 if filter_per_row else 0
         if ft == 0:
             filt = row
@@ -305,37 +315,97 @@ def encode_png(
             )
             filt = row - pred
         lines.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return b"".join(lines)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    color_type: int | None = None,
+    palette: np.ndarray | None = None,
+    filter_per_row: bool = False,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 (h, w, c) → PNG bytes (``decode_png``'s inverse; deterministic —
+    fixed zlib level, used by tests and the synthetic media corpus).
+
+    ``color_type`` defaults from the channel count (1 → gray, 2 → gray+alpha,
+    3 → RGB, 4 → RGBA); pass ``color_type=3`` with a ``palette`` (n, 3) and
+    single-channel index pixels for a palette image. ``filter_per_row=True``
+    cycles scanline filters 0..4 by row index so a decoder must get ALL five
+    reconstructions right to round-trip — the corpus uses it on purpose.
+    ``interlace=True`` emits Adam7 (each pass filtered independently, filters
+    cycling within the pass when asked)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    c = pixels.shape[2]
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    if interlace:
+        scan = b"".join(
+            _filter_scanlines(
+                pixels[y0::dy, x0::dx].reshape(ph, pw * c).astype(np.int64),
+                c,
+                filter_per_row,
+            )
+            for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h)
+        )
+    else:
+        scan = _filter_scanlines(pixels.reshape(h, w * c).astype(np.int64), c, filter_per_row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     body = chunk(b"IHDR", ihdr)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG needs a palette")
         body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
-    body += chunk(b"IDAT", zlib.compress(b"".join(lines), 6)) + chunk(b"IEND", b"")
+    body += chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b"")
     return PNG_SIGNATURE + body
 
 
 def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """bytes → (sample_rate, n_frames, channels, float64 samples in [-1, 1)).
 
-    Stdlib ``wave`` handles PCM WAV without librosa; only 16-bit PCM is
-    accepted (the one production format a librosa-free reader can do
-    faithfully)."""
+    Stdlib ``wave`` handles integer PCM WAV without librosa, at every sample
+    width the format defines: 8-bit (unsigned, center 128), 16/24/32-bit
+    (signed little-endian) — each normalized by its own full-scale so the
+    SAME waveform fingerprints identically at any width. Non-PCM codecs
+    (μ-law, float, MP3-in-WAV) are rejected by ``wave`` itself; non-RIFF
+    payloads raise the honest librosa gate."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "non-WAV audio payload requires librosa/soundfile (pure-python "
-            "path reads 16-bit PCM WAV via the stdlib)"
+            "path reads integer PCM WAV via the stdlib)"
         )
     with wave.open(io.BytesIO(b)) as wf:
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError(
-                "only 16-bit PCM WAV decodes without librosa/soundfile"
-            )
+        sw = wf.getsampwidth()
         sr = wf.getframerate()
         nf = wf.getnframes()
         ch = wf.getnchannels()
         raw = wf.readframes(nf)
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit PCM is unsigned with midpoint 128 (the WAV spec)
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 3:  # 24-bit: assemble little-endian triplets, sign-extend bit 23
+        u = np.frombuffer(raw, dtype=np.uint8)[: (len(raw) // 3) * 3]
+        u = u.reshape(-1, 3).astype(np.int64)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        v -= (v & 0x800000) << 1
+        samples = v.astype(np.float64) / 8388608.0
+    elif sw == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(
+            f"{sw * 8}-bit WAV requires librosa/soundfile (pure path reads "
+            "8/16/24/32-bit integer PCM)"
+        )
     return sr, nf, ch, samples
 
 

@@ -6,7 +6,8 @@ Two decode tiers (this container has no PIL/librosa):
   the raw bytes — oracle-hash-checkable, exercises the full Spark plumbing;
 - ``real_decode=True``: ACTUAL bytes→pixels/samples decoding — PIL/librosa
   when installed, else the dependency-free codecs in ``imaging.py`` (binary
-  PPM/PGM, uncompressed 24-bit BMP, 16-bit PCM WAV via stdlib ``wave``).
+  PPM/PGM, 8-bit PNG incl. Adam7, uncompressed 24-bit BMP, 8/16/24/32-bit
+  integer PCM WAV via stdlib ``wave``).
   Formats beyond that set raise NotImplementedError at decode time naming
   the library that would handle them, keeping the gate honest.
 Everything Spark-side — schema contract, Arrow batch shape, partition-parallel
@@ -209,7 +210,7 @@ def decode_audio_features(df: DataFrame, real_decode: bool = False) -> DataFrame
     typed audio features via mapInPandas. STUB: deterministic fake — sample
     rate from the first CODEPOINT (matching the oracle's character-domain
     ord()), sample count from the BYTE length (octet_length), RMS from the
-    first 32 codepoints. ``real_decode``: 16-bit PCM WAV parsed by the stdlib
+    first 32 codepoints. ``real_decode``: integer PCM WAV parsed by the stdlib
     ``wave`` codec in ``imaging.py`` (librosa-free); compressed formats raise
     NotImplementedError at decode time. Same schema either way; n_samples is
     the FRAME count, rms over all channels' normalized [-1, 1) samples."""

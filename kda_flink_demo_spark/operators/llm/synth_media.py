@@ -155,7 +155,10 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     - every payload cycles scanline filters 0..4 by row (``filter_per_row``),
       so None/Sub/Up/Average/Paeth reconstruction are ALL load-bearing — a
       defect in any single filter moves some pixel, flips a hash bit, and
-      fails the 80-row signed-pattern LUT join.
+      fails the 80-row signed-pattern LUT join;
+    - docs with ``doc_id % 8 >= 4`` are ADAM7-INTERLACED (each color type
+      appears both ways), so progressive reassembly is load-bearing too —
+      oracle-neutral on purpose: interlacing permutes bytes, not pixels.
 
     Brightness stays 40 + off + 2.5·popcount(pattern) for every color type
     (equal-channel RGB keeps integer luma == the gray level exactly)."""
@@ -175,6 +178,7 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 bits = _bits_msb(image_pattern(d)).reshape(8, 8)
                 big = np.repeat(np.repeat(bits, 2, axis=0), 2, axis=1)
                 m = d % 4
+                il = d % 8 >= 4
                 if m == 2:  # palette: raster carries indices, PLTE the levels
                     pal = np.array([[lo] * 3, [hi] * 3], dtype=np.uint8)
                     payloads.append(
@@ -183,6 +187,7 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             color_type=3,
                             palette=pal,
                             filter_per_row=True,
+                            interlace=il,
                         )
                     )
                     continue
@@ -193,7 +198,7 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     lvl = np.concatenate(
                         [np.repeat(lvl, 3, axis=2), np.full_like(lvl, 255)], axis=2
                     )
-                payloads.append(imaging.encode_png(lvl, filter_per_row=True))
+                payloads.append(imaging.encode_png(lvl, filter_per_row=True, interlace=il))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     return spread_for_compute(df.select(id_col)).mapInPandas(
@@ -228,6 +233,62 @@ def synth_wavs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     wf.setsampwidth(2)
                     wf.setframerate(8000)
                     wf.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
+def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): the SAME designed energy envelope
+    as ``synth_wavs`` at a SAMPLE WIDTH cycling 8/16/24/32-bit by
+    ``doc_id % 4`` — so the fingerprint must equal ``audio_pattern(doc_id)``
+    VERBATIM through every integer-PCM decode path (unsigned-center-128
+    8-bit, signed LE 16/32-bit, sign-extended 24-bit triplets). Window
+    amplitudes keep the 10:1-ish high/low split scaled to each width's full
+    scale (volume factor s = 1 + doc_id//20 % 4 still cancels through the
+    median threshold); exactly 32 high windows by the codeword design, so
+    the median separates the two energy levels at any width."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as np
+        import pandas as pd
+
+        # (hi, lo) raw amplitudes per sample width; 8-bit is unsigned around
+        # its 128 midpoint, the rest are positive signed values
+        amps = {1: (25, 2), 2: (3000, 300), 3: (300_000, 30_000), 4: (80_000_000, 8_000_000)}
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                s = 1 + (d // N_GROUPS % 4)
+                sw = d % 4 + 1
+                hi, lo = amps[sw]
+                amp = np.where(_bits_msb(audio_pattern(d)) == 1, hi * s, lo * s)
+                vals = np.repeat(amp.astype(np.int64), 32)  # 64 windows × 32
+                if sw == 1:
+                    raw = (128 + vals).astype(np.uint8).tobytes()
+                elif sw == 2:
+                    raw = vals.astype("<i2").tobytes()
+                elif sw == 3:
+                    raw = (
+                        np.stack([vals & 0xFF, (vals >> 8) & 0xFF, (vals >> 16) & 0xFF], axis=1)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                else:
+                    raw = vals.astype("<i4").tobytes()
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(sw)
+                    wf.setframerate(8000)
+                    wf.writeframes(raw)
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 

@@ -1733,6 +1733,30 @@ def q_video_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_width_ahash_values",
+    f"""
+    WITH lut(g, v, h) AS (VALUES {_audio_lut_sql()})
+    SELECT d.doc_id, CAST(lut.h AS BIGINT) AS ahash
+    FROM (SELECT doc_id, doc_id % 20 AS g, least(doc_id // 20, 3) AS v
+          FROM documents) d
+    JOIN lut ON lut.g = d.g AND lut.v = d.v
+    """,
+)
+def q_wav_width_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every integer-PCM sample width through the WAV decode path, externally
+    value-pinned (round 10): ``synth_wavs_widths`` carries the designed
+    energy envelope at 8/16/24/32-bit cycling by doc_id, so the fingerprint
+    must equal ``audio_pattern(doc_id)`` VERBATIM through all four
+    normalizations (unsigned-midpoint 8-bit, signed LE 16/32-bit,
+    sign-extended 24-bit triplets). Same signed audio-pattern LUT oracle as
+    audio_ahash_values — a width-specific scaling or sign-extension defect
+    flips envelope bits for exactly that width's cohort and fails the hash."""
+    return image_dedup.audio_ahash(
+        synth_media.synth_wavs_widths(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register(
     "audio_ahash_index_build",
     f"""
     WITH lut(g, v, h) AS (VALUES {_audio_lut_sql()})

@@ -127,11 +127,14 @@ def test_roundtrip_palette_expands_to_rgb():
     h=st.integers(1, 24),
     c=st.sampled_from([1, 2, 3, 4]),
     fpr=st.booleans(),
+    interlace=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_roundtrip_fuzz(w, h, c, fpr, seed):
+def test_roundtrip_fuzz(w, h, c, fpr, interlace, seed):
     px = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
-    ww, hh, cc, out = imaging.decode_png(imaging.encode_png(px, filter_per_row=fpr))
+    ww, hh, cc, out = imaging.decode_png(
+        imaging.encode_png(px, filter_per_row=fpr, interlace=interlace)
+    )
     assert (ww, hh, cc) == (w, h, c) and np.array_equal(out, px)
 
 
@@ -159,10 +162,29 @@ def test_gray_alpha_luma_is_channel_zero():
 # ---------------------------------------------------------------------------
 
 
-def test_interlaced_and_16bit_gate_name_pil():
-    for ihdr in [(2, 2, 8, 0, 0, 0, 1), (2, 2, 16, 0, 0, 0, 0)]:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            imaging.decode_png(_png(ihdr, b""))
+def test_16bit_depth_gates_naming_pil():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        imaging.decode_png(_png((2, 2, 16, 0, 0, 0, 0), b""))
+
+
+def test_adam7_roundtrip_and_plain_equivalence():
+    """Adam7 is a byte permutation, not a pixel transform: interlaced and
+    plain encodes of the same raster must decode to identical pixels, at
+    sizes below/at/above the 8×8 pass grid."""
+    rng = np.random.default_rng(77)
+    for c in (1, 3, 4):
+        for h, w in [(1, 1), (2, 3), (7, 7), (8, 8), (16, 16), (13, 29)]:
+            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            il = imaging.encode_png(px, interlace=True, filter_per_row=True)
+            ww, hh, cc, out = imaging.decode_png(il)
+            assert (ww, hh, cc) == (w, h, c) and np.array_equal(out, px)
+            assert np.array_equal(out, imaging.decode_png(imaging.encode_png(px))[3])
+
+
+def test_adam7_truncated_pass_data_raises():
+    short = _png((16, 16, 8, 0, 0, 0, 1), b"\x00" + bytes(16))  # one pass row only
+    with pytest.raises(ValueError, match="interlaced"):
+        imaging.decode_png(short)
 
 
 def test_crc_mismatch_raises_value_error():
@@ -201,7 +223,7 @@ def test_sniff_quarantines_corrupt_png(spark):
         (0, good),
         (1, bytes(bad_crc)),
         (2, imaging.PNG_SIGNATURE + b"garbage-after-signature"),
-        (3, _png((2, 2, 8, 0, 0, 0, 1), b"")),  # interlaced -> gated -> corrupt
+        (3, _png((2, 2, 8, 0, 0, 0, 1), b"")),  # interlaced, no pass data -> corrupt
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r["modality"] for r in sniff_media_features(df).collect()}
@@ -244,18 +266,19 @@ def _synth_png_payload(d: int) -> bytes:
     ).reshape(8, 8)
     big = np.repeat(np.repeat(bits, 2, axis=0), 2, axis=1)
     m = d % 4
+    il = d % 8 >= 4
     if m == 2:
         pal = np.array([[lo] * 3, [hi] * 3], dtype=np.uint8)
         return imaging.encode_png(
             big[:, :, None].astype(np.uint8), color_type=3, palette=pal,
-            filter_per_row=True,
+            filter_per_row=True, interlace=il,
         )
     lvl = np.where(big == 1, hi, lo).astype(np.uint8)[:, :, None]
     if m == 1:
         lvl = np.repeat(lvl, 3, axis=2)
     elif m == 3:
         lvl = np.concatenate([np.repeat(lvl, 3, axis=2), np.full_like(lvl, 255)], axis=2)
-    return imaging.encode_png(lvl, filter_per_row=True)
+    return imaging.encode_png(lvl, filter_per_row=True, interlace=il)
 
 
 def test_synth_pngs_kernel_matches_local_replica(spark):

@@ -1,0 +1,115 @@
+"""Round-10 WAV sample widths: the pure decode path reads ALL integer PCM
+widths the format defines (8-bit unsigned, 16/32-bit signed LE, sign-extended
+24-bit triplets), each normalized by its own full scale — so one waveform
+fingerprints identically at any width. Pins: exact normalization values per
+width, the synth multi-width corpus vs a driver-side replica, fingerprint ==
+audio_pattern for every width cohort, and the honest gate for widths the
+stdlib can parse but the normalizer doesn't know."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from kda_flink_demo_spark.operators.llm import imaging, synth_media
+from kda_flink_demo_spark.operators.llm.image_dedup import audio_hash_bits, pack_bits_i64
+
+
+def _wav(raw: bytes, sw: int, ch: int = 1, sr: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(sw)
+        wf.setframerate(sr)
+        wf.writeframes(raw)
+    return buf.getvalue()
+
+
+def test_normalization_pinned_per_width():
+    """One waveform at four widths decodes to the same normalized values —
+    the exact divisors (128 / 32768 / 2^23 / 2^31) and the 8-bit midpoint and
+    24-bit sign extension are all load-bearing."""
+    v16 = np.array([3072, -3072, 512, 0], dtype="<i2")
+    _, nf, ch, s16 = imaging.decode_wav(_wav(v16.tobytes(), 2))
+    assert (nf, ch) == (4, 1)
+    assert np.array_equal(s16, np.array([3072, -3072, 512, 0]) / 32768.0)
+
+    v8 = np.array([128 + 12, 128 - 12, 128 + 2, 128], dtype=np.uint8)
+    _, _, _, s8 = imaging.decode_wav(_wav(v8.tobytes(), 1))
+    assert np.array_equal(s8, np.array([12, -12, 2, 0]) / 128.0)
+
+    vals24 = [786432, -786432, 131072, 0]
+    raw24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals24)
+    _, _, _, s24 = imaging.decode_wav(_wav(raw24, 3))
+    assert np.array_equal(s24, np.array(vals24) / 8388608.0)
+    # same waveform: 16-bit 3072/32768 == 24-bit 786432/8388608
+    assert np.allclose(s24, s16)
+
+    v32 = np.array([201326592, -201326592, 33554432, 0], dtype="<i4")
+    _, _, _, s32 = imaging.decode_wav(_wav(v32.tobytes(), 4))
+    assert np.allclose(s32, s16)
+
+
+def test_unknown_width_gates_naming_librosa():
+    """A hand-built RIFF/WAVE claiming 64-bit samples: stdlib wave parses the
+    header, the normalizer must gate honestly rather than guess a divisor."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 8, 8, 64)
+    data = bytes(16)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="librosa"):
+        imaging.decode_wav(b)
+
+
+AMPS = {1: (25, 2), 2: (3000, 300), 3: (300_000, 30_000), 4: (80_000_000, 8_000_000)}
+
+
+def _synth_width_payload(d: int) -> bytes:
+    """Driver-side replica of synth_media.synth_wavs_widths' per-doc kernel."""
+    s = 1 + (d // 20 % 4)
+    sw = d % 4 + 1
+    hi, lo = AMPS[sw]
+    bits = np.array(
+        [(synth_media.audio_pattern(d) >> (63 - k)) & 1 for k in range(64)],
+        dtype=np.uint8,
+    )
+    amp = np.where(bits == 1, hi * s, lo * s)
+    vals = np.repeat(amp.astype(np.int64), 32)
+    if sw == 1:
+        raw = (128 + vals).astype(np.uint8).tobytes()
+    elif sw == 2:
+        raw = vals.astype("<i2").tobytes()
+    elif sw == 3:
+        raw = (
+            np.stack([vals & 0xFF, (vals >> 8) & 0xFF, (vals >> 16) & 0xFF], axis=1)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    else:
+        raw = vals.astype("<i4").tobytes()
+    return _wav(raw, sw)
+
+
+def test_every_width_fingerprints_to_the_designed_pattern():
+    for d in range(0, 120):
+        got = int(pack_bits_i64(audio_hash_bits(_synth_width_payload(d))[None, :])[0])
+        assert got & (2**64 - 1) == synth_media.audio_pattern(d), (d, d % 4 + 1)
+
+
+def test_synth_wavs_widths_kernel_matches_local_replica(spark):
+    from tests.conftest import SF_DIR
+
+    from kda_flink_demo_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    rows = synth_media.synth_wavs_widths(docs).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert bytes(r["payload"]) == _synth_width_payload(int(r["doc_id"]))
