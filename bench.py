@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "png_ahash_values",
     "png_sniff_features",
     "wav_width_ahash_values",
+    "gif_ahash_values",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must

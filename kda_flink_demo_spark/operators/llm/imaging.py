@@ -81,6 +81,9 @@ def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
         return w, h, c, data.reshape(h, w, c)
     if b[:8] == PNG_SIGNATURE:
         return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, frames = decode_gif(b)
+        return w, h, 3, frames[0]  # image semantics: the first frame
     if b[:2] == b"BM":
         if len(b) < 54:
             raise ValueError("truncated BMP header")
@@ -367,6 +370,214 @@ def encode_png(
         body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     body += chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b"")
     return PNG_SIGNATURE + body
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    growing to 12 bits, CLEAR resets the table, EOI ends the stream. Returns
+    uint8 palette indices (exactly ``n_pixels`` of them)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader: GIF packs codes LSB-first
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    pos = 0
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    def fresh_table() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        if pos + width > bits.size:
+            raise ValueError("truncated GIF LZW stream")
+        code = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.int64)))
+        pos += width
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW code")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+    if n_out != n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compressor (``_lzw_decode``'s inverse — used by the
+    synthetic corpus and tests): dict-growth encoding with CLEAR emitted on
+    table overflow, codes packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        out_bits.extend((code >> k) & 1 for k in range(width))
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq = b""
+    for ix in bytes(indices.astype(np.uint8).tobytes()):
+        cand = seq + bytes([ix])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = bytes([ix])
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    packed = np.packbits(
+        np.array(out_bits + [0] * (-len(out_bits) % 8), dtype=np.uint8),
+        bitorder="little",
+    ).tobytes()
+    return packed
+
+
+# GIF interlace: four passes of rows (start, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """bytes → (width, height, [uint8 (h, w, 3) RGB frames]): dependency-free
+    GIF87a/89a decode — logical screen descriptor, global/local color tables,
+    GIF row interlace, and the real LZW stream (``_lzw_decode``). GIF is
+    lossless and palettized, so decoded pixels are exact.
+
+    Scope (documented, not silent): extension blocks are skipped —
+    transparency and frame disposal are ignored; each image block is decoded
+    onto the logical screen at its (x, y) offset over the PREVIOUS frame's
+    pixels (disposal method 1 semantics), which is exact for the full-frame
+    GIFs real crawls overwhelmingly contain."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=off).reshape(n, 3)
+        off += 3 * n
+    frames: list[np.ndarray] = []
+    screen = np.zeros((h, w, 3), dtype=np.uint8)
+    while off < len(b):
+        marker = b[off]
+        off += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks, skipped
+            off += 1
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"bad GIF block marker 0x{marker:02x}")
+        x0, y0, fw, fh, iflags = struct.unpack_from("<HHHHB", b, off)
+        off += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=off).reshape(n, 3)
+            off += 3 * n
+        if pal is None:
+            raise ValueError("GIF image block with no color table")
+        min_code_size = b[off]
+        off += 1
+        data = bytearray()
+        while off < len(b) and b[off] != 0:
+            ln = b[off]
+            data += b[off + 1 : off + 1 + ln]
+            off += 1 + ln
+        off += 1  # sub-block terminator
+        idx = _lzw_decode(bytes(data), min_code_size, fw * fh)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        rows = idx.reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: rows arrive in the 4-pass order
+            ordered = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, fh, step))
+                ordered[start::step] = rows[src : src + n_rows]
+                src += n_rows
+            rows = ordered
+        screen = screen.copy()
+        screen[y0 : y0 + fh, x0 : x0 + fw] = pal[rows]
+        frames.append(screen)
+    if not frames:
+        raise ValueError("GIF with no image blocks")
+    return w, h, frames
+
+
+def encode_gif(
+    frames_idx: list[np.ndarray],
+    palette: np.ndarray,
+    interlace: bool = False,
+) -> bytes:
+    """[(h, w) uint8 palette indices] + (n, 3) palette → GIF89a bytes
+    (``decode_gif``'s inverse; deterministic — used by tests and the
+    synthetic media corpus)."""
+    h, w = frames_idx[0].shape
+    # smallest power-of-two table size >= len(palette), minimum 2
+    size_bits = 1
+    while (2 << (size_bits - 1)) < len(palette):
+        size_bits += 1
+    table_n = 2 << (size_bits - 1)
+    pal_bytes = palette.astype(np.uint8).tobytes() + b"\x00" * (3 * (table_n - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    out += pal_bytes
+    min_code = max(2, size_bits)
+    for rows in frames_idx:
+        if interlace:
+            parts = [rows[start::step] for start, step in _GIF_INTERLACE]
+            rows = np.concatenate(parts, axis=0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        out += bytes([min_code])
+        stream = _lzw_encode(rows.reshape(-1), min_code)
+        for i in range(0, len(stream), 255):
+            blk = stream[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:

@@ -537,6 +537,7 @@ def sniff_media_features(df: DataFrame) -> DataFrame:
                     b[:2] in (b"P6", b"P5")
                     or b[:2] == b"BM"
                     or b[:8] == imaging.PNG_SIGNATURE
+                    or b[:6] in (b"GIF87a", b"GIF89a")
                 ):
                     w, h, c, px = imaging.decode_image(b)
                     mean = imaging.grayscale_mean(px)
@@ -596,7 +597,12 @@ def _profile_row(b: bytes):
     )
 
     try:
-        if b[:2] in (b"P6", b"P5") or b[:2] == b"BM" or b[:8] == imaging.PNG_SIGNATURE:
+        if (
+            b[:2] in (b"P6", b"P5")
+            or b[:2] == b"BM"
+            or b[:8] == imaging.PNG_SIGNATURE
+            or b[:6] in (b"GIF87a", b"GIF89a")
+        ):
             w, h, c, px = imaging.decode_image(b)
             mean = imaging.grayscale_mean(px)
             return (

@@ -241,6 +241,37 @@ def synth_wavs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): the designed 16×16 pattern as a
+    GIF — inherently palettized (2-entry table: the low/high gray levels as
+    equal-channel RGB), LZW-compressed, with every odd doc ROW-INTERLACED so
+    the 4-pass reassembly is load-bearing. GIF is lossless, so the decoded
+    aHash must equal ``image_pattern(doc_id)`` VERBATIM through LZW → palette
+    → luma — the same signed-pattern LUT as the PPM/PNG corpora, reached
+    through a third completely different byte path."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                off = (d // N_GROUPS % 8) * 5
+                pal = np.array([[40 + off] * 3, [200 + off] * 3], dtype=np.uint8)
+                bits = _bits_msb(image_pattern(d)).reshape(8, 8)
+                big = np.repeat(np.repeat(bits, 2, axis=0), 2, axis=1).astype(np.uint8)
+                payloads.append(imaging.encode_gif([big], pal, interlace=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
 def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(…, doc_id, …) → (doc_id, payload): the SAME designed energy envelope
     as ``synth_wavs`` at a SAMPLE WIDTH cycling 8/16/24/32-bit by

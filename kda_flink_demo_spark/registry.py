@@ -66,15 +66,15 @@ _DRIVER_PRIORITY: list[str] = [
     # the flagship Flink-parity rows stay permanently pinned
     "tumbling_1m",
     "tumbling_offset_30s",
-    "hopping_2m_1m",
     # Round-10 curation (r09 VERDICT directive 1: drain ALL 41 r06-stale rows
     # this round): "filter_predicates", "projection_json_cast",
-    # "ts_parse_fallback" and "sliding_range_30m" sit out the pin set for
-    # exactly one round — all four are r09-green — so the window is 3 pins +
-    # 6 never-checked round-10 rows (video_ahash_index_build /
-    # video_ingest_gate / media_ingest_profile / png_ahash_values /
-    # png_sniff_features / wav_width_ahash_values, which sort first
-    # automatically) + all 41 r06 rows = exactly 50. Re-pin the four in r11.
+    # "ts_parse_fallback", "sliding_range_30m" and "hopping_2m_1m" sit out
+    # the pin set for exactly one round — all five are r09-green — so the
+    # window is 2 pins + 7 never-checked round-10 rows
+    # (video_ahash_index_build / video_ingest_gate / media_ingest_profile /
+    # png_ahash_values / png_sniff_features / wav_width_ahash_values /
+    # gif_ahash_values, which sort first automatically) + all 41 r06 rows =
+    # exactly 50. Re-pin the five in r11.
 ]
 
 _DRIVER_WINDOW = 50

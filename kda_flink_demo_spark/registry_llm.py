@@ -1625,6 +1625,21 @@ def q_png_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("gif_ahash_values", _AHASH_VALUES_ORACLE)
+def q_gif_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF through the real-decode path, externally value-pinned (round 10,
+    alongside PNG): ``synth_media.synth_gifs`` carries the designed patterns
+    as 2-entry-palette LZW-compressed GIFs (odd docs row-interlaced), and GIF
+    is lossless, so every 64-bit aHash must equal ``image_pattern(doc_id)``
+    VERBATIM through the LZW decompressor (variable code widths, CLEAR
+    resets, the KwKwK case) → palette lookup → 4-pass interlace reassembly →
+    luma. Same signed-pattern LUT oracle as image/png_ahash_values — a third
+    independent byte path into the same pinned values."""
+    return image_dedup.image_ahash(
+        synth_media.synth_gifs(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def _png_sniff_oracle() -> str:
     """Closed form for the PNG corpus through the mixed-format sniff scan:
     geometry is fixed 16×16, decoded channels follow the color-type cycle
