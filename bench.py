@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "png_sniff_features",
     "wav_width_ahash_values",
     "gif_ahash_values",
+    "jpeg_ahash_values",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must

@@ -84,6 +84,10 @@ def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h, frames = decode_gif(b)
         return w, h, 3, frames[0]  # image semantics: the first frame
+    if b[:2] == b"\xff\xd8":
+        from kda_flink_demo_spark.operators.llm import jpeg
+
+        return jpeg.decode_jpeg(b)
     if b[:2] == b"BM":
         if len(b) < 54:
             raise ValueError("truncated BMP header")

@@ -536,6 +536,7 @@ def sniff_media_features(df: DataFrame) -> DataFrame:
                 if (
                     b[:2] in (b"P6", b"P5")
                     or b[:2] == b"BM"
+                    or b[:2] == b"\xff\xd8"
                     or b[:8] == imaging.PNG_SIGNATURE
                     or b[:6] in (b"GIF87a", b"GIF89a")
                 ):
@@ -600,6 +601,7 @@ def _profile_row(b: bytes):
         if (
             b[:2] in (b"P6", b"P5")
             or b[:2] == b"BM"
+            or b[:2] == b"\xff\xd8"
             or b[:8] == imaging.PNG_SIGNATURE
             or b[:6] in (b"GIF87a", b"GIF89a")
         ):

@@ -272,6 +272,41 @@ def synth_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): the designed pattern as a REAL
+    baseline JPEG, value-pinnable despite JPEG being lossy: each pattern bit
+    is an 8×8-CONSTANT block in a 64×64 grayscale image, and a flat block's
+    FDCT is DC-only — DC = 8·(level−128) quantizes losslessly at the
+    encoder's DC step of 8 and the exact float64 IDCT reproduces the level
+    VERBATIM (see jpeg.py's module docstring). The floor-nearest 64→8 resize
+    then recovers the pattern exactly, so the aHash must equal
+    ``image_pattern(doc_id)`` through Huffman decode → dequant → IDCT.
+    Docs with ``doc_id % 3 == 0`` are written with a restart interval
+    (DRI=2, RST markers every 2 MCUs) so restart handling and DC-predictor
+    resets are load-bearing too."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                off = (d // N_GROUPS % 8) * 5
+                bits = _bits_msb(image_pattern(d)).reshape(8, 8)
+                lvl = np.where(bits == 1, 200 + off, 40 + off).astype(np.uint8)
+                big = np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1)
+                payloads.append(jpeg.encode_jpeg_gray(big, dri=2 if d % 3 == 0 else 0))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
 def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(…, doc_id, …) → (doc_id, payload): the SAME designed energy envelope
     as ``synth_wavs`` at a SAMPLE WIDTH cycling 8/16/24/32-bit by

@@ -1640,6 +1640,24 @@ def q_gif_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("jpeg_ahash_values", _AHASH_VALUES_ORACLE)
+def q_jpeg_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE JPEG through the real-decode path, externally value-pinned
+    (round 10 — the archetypal 'compressed codec behind the PIL gate', now a
+    pure-numpy decoder: marker parse, Huffman entropy decode with byte
+    unstuffing and restart markers, dequant, dezigzag, exact float64 IDCT).
+    Pinning a LOSSY format exactly: the corpus makes every pattern bit an
+    8×8-CONSTANT block, whose DC-only transform round-trips verbatim at the
+    encoder's DC quant step of 8 — so every 64-bit aHash must equal
+    ``image_pattern(doc_id)`` against the same signed-pattern LUT as the
+    PPM/PNG/GIF corpora (a fourth independent byte path). A third of the
+    corpus carries restart intervals, making RST handling and DC-predictor
+    resets load-bearing."""
+    return image_dedup.image_ahash(
+        synth_media.synth_jpegs(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def _png_sniff_oracle() -> str:
     """Closed form for the PNG corpus through the mixed-format sniff scan:
     geometry is fixed 16×16, decoded channels follow the color-type cycle

@@ -1,0 +1,266 @@
+"""Round-10 baseline JPEG codec: the archetypal 'compressed codec requires
+PIL' format through the pure decode path. Pins: the IDCT against an
+INDEPENDENT O(n^4) textbook sum (matrix-form and direct-sum agreeing kills a
+shared-transform bug class), flat-block EXACT round-trips (the property the
+LUT pin rests on), Huffman canonical-code construction against spec examples,
+restart-marker handling, a hand-built 4:2:0 color JPEG with flat chroma
+(box upsampling + JFIF matrix pinned by independent arithmetic), honest
+progressive/12-bit gates, and sniff quarantine of corrupt streams."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kda_flink_demo_spark.operators.llm import imaging, jpeg, synth_media
+from kda_flink_demo_spark.operators.llm.image_dedup import image_hash_bits, pack_bits_i64
+
+
+# ---------------------------------------------------------------------------
+# Transform + table pins against independent arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _idct_direct(coef: np.ndarray) -> np.ndarray:
+    """Textbook O(n^4) IDCT sum, written independently of the matrix form."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s / 4.0
+    return out
+
+
+def test_idct_matches_independent_direct_sum():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        coef = rng.integers(-512, 512, size=(8, 8)).astype(np.float64)
+        assert np.allclose(jpeg._idct_block(coef), _idct_direct(coef), atol=1e-9)
+
+
+def test_idct_dc_only_is_constant_dc_over_8():
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 400.0
+    assert np.allclose(jpeg._idct_block(coef), 50.0)
+
+
+def test_huffman_canonical_codes_match_spec():
+    """Annex-K DC luminance: category 0 -> code 00 (2 bits), category 1 ->
+    010, category 5 -> 110 — the spec's own table K.3."""
+    tbl = jpeg._build_huffman(jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS)
+    inv = {v: (ln, code) for (ln, code), v in tbl.items()}
+    assert inv[0] == (2, 0b00)
+    assert inv[1] == (3, 0b010)
+    assert inv[5] == (3, 0b110)
+    assert inv[11] == (9, 0b111111110)
+
+
+def test_extend_sign_rule():
+    assert jpeg._extend(0b0, 1) == -1 and jpeg._extend(0b1, 1) == 1
+    assert jpeg._extend(0b011, 3) == -4 and jpeg._extend(0b100, 3) == 4
+    assert jpeg._extend(0, 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_flat_blocks_roundtrip_exactly():
+    """The property the driver LUT pin rests on: 8x8-constant blocks survive
+    the lossy pipeline verbatim at DC quant step 8."""
+    rng = np.random.default_rng(3)
+    levels = rng.integers(0, 256, size=(5, 4))
+    px = np.repeat(np.repeat(levels, 8, 0), 8, 1).astype(np.uint8)
+    for dri in (0, 3):
+        w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px, dri=dri))
+        assert (w, h, c) == (32, 40, 1)
+        assert np.array_equal(out[:, :, 0], px)
+
+
+def test_restart_markers_present_and_decoded():
+    rng = np.random.default_rng(4)
+    px = np.repeat(np.repeat(rng.integers(0, 256, (2, 6)), 8, 0), 8, 1).astype(np.uint8)
+    b = jpeg.encode_jpeg_gray(px, dri=2)
+    assert b.count(b"\xff\xdd") == 1  # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))  # RSTn in scan
+    assert np.array_equal(jpeg.decode_jpeg(b)[3][:, :, 0], px)
+
+
+def test_general_content_bounded_by_quant_noise():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(24, 16)).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))[3][:, :, 0]
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 48
+
+
+def test_odd_dimensions_edge_padded():
+    rng = np.random.default_rng(6)
+    px = np.repeat(np.repeat(rng.integers(0, 256, (2, 2)), 8, 0), 8, 1).astype(np.uint8)
+    px = px[:13, :11]
+    w, h, c, out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))
+    assert (w, h) == (11, 13) and np.array_equal(out[:, :, 0], px)
+
+
+# ---------------------------------------------------------------------------
+# Hand-built 4:2:0 color JPEG (flat chroma — box upsampling is exact there)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, code: int, ln: int) -> None:
+        self.bits.extend((code >> k) & 1 for k in range(ln - 1, -1, -1))
+
+    def bytes(self) -> bytes:
+        self.bits.extend([1] * (-len(self.bits) % 8))
+        return np.packbits(np.array(self.bits, dtype=np.uint8)).tobytes()
+
+
+def _color_jpeg_flat(yv: int, cbv: int, crv: int, w: int = 16, h: int = 16) -> bytes:
+    """One 4:2:0 MCU (4 Y + 1 Cb + 1 Cr), every block DC-only — built by hand
+    with an independent bit writer, not the library encoder."""
+    dc = jpeg._encode_huffman(jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS)
+    ac = jpeg._encode_huffman(jpeg._AC_LUM_BITS, jpeg._AC_LUM_VALS)
+    bw = _BitWriter()
+
+    def put_dc(diff: int) -> None:
+        s = 0 if diff == 0 else int(abs(diff)).bit_length()
+        ln, code = dc[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def put_eob() -> None:
+        ln, code = ac[0x00]
+        bw.put(code, ln)
+
+    # 4 Y blocks (DC diff: first = Y-128, rest 0), then Cb, then Cr
+    put_dc(yv - 128); put_eob()
+    for _ in range(3):
+        put_dc(0); put_eob()
+    put_dc(cbv - 128); put_eob()
+    put_dc(crv - 128); put_eob()
+    entropy = bw.bytes().replace(b"\xff", b"\xff\x00")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    q = np.full(64, 8, dtype=np.uint8)
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + q.tobytes())
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling
+        + bytes([2, 0x11, 0])  # Cb: 1x1
+        + bytes([3, 0x11, 0]),  # Cr: 1x1
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(jpeg._DC_LUM_BITS) + bytes(jpeg._DC_LUM_VALS)
+        + bytes([0x10]) + bytes(jpeg._AC_LUM_BITS) + bytes(jpeg._AC_LUM_VALS),
+    )
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += entropy + b"\xff\xd9"
+    return out
+
+
+def test_color_420_flat_pinned_by_independent_jfif_math():
+    yv, cbv, crv = 120, 90, 180
+    w, h, c, px = jpeg.decode_jpeg(_color_jpeg_flat(yv, cbv, crv))
+    assert (w, h, c) == (16, 16, 3)
+    # independent JFIF arithmetic (not the decoder's helper)
+    r = round(yv + 1.402 * (crv - 128))
+    g = round(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128))
+    b_ = round(yv + 1.772 * (cbv - 128))
+    assert np.all(px.reshape(-1, 3) == [r, g, b_])
+
+
+# ---------------------------------------------------------------------------
+# Honest gates + quarantine
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_gates_naming_pil():
+    b = jpeg.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+    b2 = b.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="PIL"):
+        jpeg.decode_jpeg(b2)
+
+
+def test_12bit_gates_naming_pil():
+    b = bytearray(jpeg.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    i = bytes(b).index(b"\xff\xc0") + 4
+    b[i] = 12  # precision byte
+    with pytest.raises(NotImplementedError, match="PIL"):
+        jpeg.decode_jpeg(bytes(b))
+
+
+def test_sniff_routes_jpeg_and_quarantines_corrupt(spark):
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    good = jpeg.encode_jpeg_gray(np.full((16, 16), 99, dtype=np.uint8))
+    rows = [
+        (0, good),
+        (1, good[: len(good) // 2]),  # truncated mid-scan
+        (2, b"\xff\xd8\xff\xd9"),  # SOI+EOI, no SOF/SOS
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["modality"], r["width"], r["brightness"]) for r in
+           sniff_media_features(df).collect()}
+    assert got[0] == ("image", 16, 99.0)
+    assert got[1][0] == "corrupt" and got[2][0] == "corrupt"
+
+
+def test_decode_image_dispatches_jpeg():
+    px = np.full((8, 8), 42, dtype=np.uint8)
+    w, h, c, out = imaging.decode_image(jpeg.encode_jpeg_gray(px))
+    assert (w, h, c) == (8, 8, 1) and np.all(out[:, :, 0] == 42)
+
+
+# ---------------------------------------------------------------------------
+# Corpus parity (driver-side twin of the jpeg_ahash_values LUT pin)
+# ---------------------------------------------------------------------------
+
+
+def _synth_jpeg_payload(d: int) -> bytes:
+    off = (d // 20 % 8) * 5
+    bits = np.array(
+        [(synth_media.image_pattern(d) >> (63 - k)) & 1 for k in range(64)],
+        dtype=np.uint8,
+    ).reshape(8, 8)
+    lvl = np.where(bits == 1, 200 + off, 40 + off).astype(np.uint8)
+    big = np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1)
+    return jpeg.encode_jpeg_gray(big, dri=2 if d % 3 == 0 else 0)
+
+
+def test_jpeg_corpus_hashes_to_designed_patterns():
+    for d in range(0, 90):
+        got = int(pack_bits_i64(image_hash_bits(_synth_jpeg_payload(d))[None, :])[0])
+        assert got & (2**64 - 1) == synth_media.image_pattern(d), d
+
+
+def test_synth_jpegs_kernel_matches_local_replica(spark):
+    from tests.conftest import SF_DIR
+
+    from kda_flink_demo_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    rows = synth_media.synth_jpegs(docs).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert bytes(r["payload"]) == _synth_jpeg_payload(int(r["doc_id"]))
