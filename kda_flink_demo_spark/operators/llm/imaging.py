@@ -143,6 +143,24 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → uncompressed 24-bit bottom-up BMP bytes (the
+    ``decode_image`` BMP branch's inverse; deterministic — used by tests and
+    cross-format corpora)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    row_stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - w * 3)
+    raster = b"".join(
+        bytes(pixels[y, :, ::-1].tobytes()) + pad for y in range(h - 1, -1, -1)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    return header + raster
+
+
 # PNG bytes-per-pixel (bit depth 8) and decoded channel count per color type:
 # 0 = gray, 2 = RGB, 3 = palette (expands to RGB), 4 = gray+alpha, 6 = RGBA.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
