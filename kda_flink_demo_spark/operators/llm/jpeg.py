@@ -104,34 +104,63 @@ def _encode_huffman(bits: list[int], values: list[int]) -> dict[int, tuple[int, 
     return {v: (ln, c) for (ln, c), v in _build_huffman(bits, values).items()}
 
 
+def _huffman_lut(table: dict[tuple[int, int], int]) -> tuple[bytes, bytes]:
+    """Canonical table → (sym[65536], len[65536]) max-code-length lookup as
+    ``bytes`` (byte indexing is a plain-int fetch — the entropy loop is the
+    decoder's honest hot spot, see the module docstring): peek 16 bits, index
+    once, O(1) per symbol instead of a per-bit walk. len 0 marks an invalid
+    prefix."""
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for (length, code), v in table.items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = v
+        ln[lo:hi] = length
+    return sym.tobytes(), ln.tobytes()
+
+
 class _BitReader:
-    """MSB-first bit reader over UNSTUFFED entropy bytes."""
+    """MSB-first bit reader over UNSTUFFED entropy bytes: a plain-int bit
+    buffer refilled a byte at a time (pure-Python int ops beat per-call numpy
+    by ~10× at this grain). Reads past the real data see virtual 0xFF padding
+    (the spec pads entropy segments with 1-bits); consuming into the padding
+    is the truncation error."""
+
+    __slots__ = ("data", "n_data", "byte_pos", "bitbuf", "nbits", "limit")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
+        self.data = data
+        self.n_data = len(data)
+        self.byte_pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+        self.limit = 8 * len(data)
 
-    def read_bit(self) -> int:
-        if self.pos >= self.bits.size:
-            raise ValueError("truncated JPEG entropy stream")
-        v = int(self.bits[self.pos])
-        self.pos += 1
-        return v
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.data[self.byte_pos] if self.byte_pos < self.n_data else 0xFF
+            self.byte_pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._fill(n)
+        if self.byte_pos * 8 - self.nbits + n > self.limit:
+            raise ValueError("truncated JPEG entropy stream")
+        self.nbits -= n
+        return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad JPEG Huffman code")
+    def read_symbol(self, lut: tuple[bytes, bytes]) -> int:
+        self._fill(16)
+        peek = (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+        length = lut[1][peek]
+        if length == 0 or self.byte_pos * 8 - self.nbits + length > self.limit:
+            raise ValueError("bad JPEG Huffman code")
+        self.nbits -= length
+        return lut[0][peek]
 
 
 def _extend(v: int, s: int) -> int:
@@ -268,6 +297,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
 
     n_mcus = mcus_x * mcus_y
     per_chunk = dri if dri else n_mcus
+    luts = {key: _huffman_lut(tbl) for key, tbl in huff.items()}
+    # pass 1 — entropy decode (inherently sequential) into per-component
+    # coefficient stacks; pass 2 — ONE batched einsum IDCT per component
+    # (the per-block matmul overhead, not the Huffman loop, dominated the
+    # profile; see SCALE.md)
+    coef_rows: list[list[np.ndarray]] = [[] for _ in comps]
+    placements: list[list[tuple[int, int]]] = [[] for _ in comps]
     mcu = 0
     for chunk in chunks:
         if mcu >= n_mcus:
@@ -277,16 +313,16 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
         for _ in range(min(per_chunk, n_mcus - mcu)):
             my, mx = divmod(mcu, mcus_x)
             for ci, c in enumerate(comps):
+                dc_lut, ac_lut = luts[(0, c["td"])], luts[(1, c["ta"])]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        s = reader.read_symbol(huff[(0, c["td"])])
-                        diff = _extend(reader.read_bits(s), s)
-                        pred[ci] += diff
+                        s = reader.read_symbol(dc_lut)
+                        pred[ci] += _extend(reader.read_bits(s), s)
                         zz = np.zeros(64, dtype=np.int64)
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = reader.read_symbol(huff[(1, c["ta"])])
+                            rs = reader.read_symbol(ac_lut)
                             r, sz = rs >> 4, rs & 0x0F
                             if rs == 0x00:  # EOB
                                 break
@@ -298,16 +334,23 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                                 raise ValueError("JPEG AC run overflows block")
                             zz[k] = _extend(reader.read_bits(sz), sz)
                             k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[_ZIGZAG] = zz
-                        deq = coef.reshape(8, 8) * qt[c["tq"]]
-                        blk = _idct_block(deq.astype(np.float64)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                        coef_rows[ci].append(zz)
+                        placements[ci].append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
             mcu += 1
     if mcu != n_mcus:
         raise ValueError("JPEG entropy stream ended before all MCUs")
+    for ci, c in enumerate(comps):
+        zzs = np.stack(coef_rows[ci])  # (n_blocks, 64) zigzag order
+        coefs = np.zeros_like(zzs)
+        coefs[:, _ZIGZAG] = zzs
+        deq = coefs.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        # batched exact IDCT: out[n, x, y] = Σ_u Σ_v M[u,x] deq[n,u,v] M[v,y]
+        blocks = np.einsum("ux,nuv,vy->nxy", _IDCT_M, deq.astype(np.float64), _IDCT_M) + 128.0
+        plane = planes[ci]
+        for (y0, x0), blk in zip(placements[ci], blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
 
     out_planes = []
     for c, plane in zip(comps, planes):

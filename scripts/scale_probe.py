@@ -470,6 +470,9 @@ def main() -> None:
     # per-payload work (no shuffle at all), so growth should be ≈ linear in
     # rows like the other decode scans
     bench("png_ahash_values", _imgd.image_ahash(_synth.synth_pngs(media_docs)))
+    bench("gif_ahash_values", _imgd.image_ahash(_synth.synth_gifs(media_docs)))
+    bench("jpeg_ahash_values", _imgd.image_ahash(_synth.synth_jpegs(media_docs)))
+    bench("wav_width_ahash_values", _imgd.audio_ahash(_synth.synth_wavs_widths(media_docs)))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
