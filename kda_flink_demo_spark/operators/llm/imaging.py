@@ -2,7 +2,7 @@
 
 This container has no PIL/librosa and installs are off-limits, so the
 ``real_decode=True`` stages fall back to these minimal, dependency-free
-decoders: binary PPM/PGM (P6/P5), 8-bit PNG (stdlib ``zlib`` inflate + all
+decoders: binary PPM/PGM (P6/P5), full PNG (stdlib ``zlib`` inflate + all
 five scanline filters + Adam7 — see ``decode_png``) and uncompressed 24-bit
 BMP for images, stdlib ``wave`` (8/16/24/32-bit integer PCM) for audio. They
 exist so the REAL decode path —
@@ -67,7 +67,7 @@ def _ppm_data_offset(b: bytes, sep_idx: int, need: int) -> int:
 def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """bytes → (width, height, channels, uint8 pixels shaped (h, w, c)).
 
-    Supports binary PPM (P6, RGB), binary PGM (P5, gray), 8-bit PNG (gray /
+    Supports binary PPM (P6, RGB), binary PGM (P5, gray), full PNG (gray /
     RGB / palette / gray+alpha / RGBA via ``decode_png``), and uncompressed
     24-bit bottom-up BMP. Anything else needs PIL."""
     if b[:2] == b"P6" or b[:2] == b"P5":
@@ -110,7 +110,7 @@ def decode_image(b: bytes) -> tuple[int, int, int, np.ndarray]:
         return w, h, 3, rows[:, :, ::-1].copy()  # BGR → RGB
     raise NotImplementedError(
         "image format not decodable without PIL (pure-python path handles "
-        "P6/P5 PPM/PGM, 8-bit PNG, and uncompressed 24-bit BMP)"
+        "P6/P5 PPM/PGM, PNG, GIF, baseline JPEG, and uncompressed 24-bit BMP)"
     )
 
 
@@ -161,7 +161,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + raster
 
 
-# PNG bytes-per-pixel (bit depth 8) and decoded channel count per color type:
+# PNG decoded channel count per color type:
 # 0 = gray, 2 = RGB, 3 = palette (expands to RGB), 4 = gray+alpha, 6 = RGBA.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -234,20 +234,45 @@ def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
     return out
 
 
+def _png_samples(raw: bytes, rows: int, width: int, c: int, depth: int) -> np.ndarray:
+    """Filtered scanline bytes for one (sub-)image → (rows, width, c) uint8
+    samples: unfilter at the byte level (bpp = bytes per pixel, min 1 — the
+    spec filters PACKED bytes for sub-byte depths), then unpack MSB-first
+    bit groups (depths 1/2/4), pass through (8), or take the high byte (16 —
+    the uint8 feature path's documented projection, same as a >>8)."""
+    stride = (width * c * depth + 7) // 8
+    rec = _png_unfilter(raw, rows, stride, max(1, (c * depth) // 8))
+    if depth == 8:
+        return rec[:, : width * c].reshape(rows, width, c)
+    if depth == 16:
+        return rec[:, 0::2][:, : width * c].reshape(rows, width, c).copy()
+    bits = np.unpackbits(rec, axis=1)
+    groups = bits[:, : (stride * 8 // depth) * depth].reshape(rows, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, : width * c].reshape(rows, width, c)
+
+
+# gray sample scaling to full 8-bit range per sub-byte depth (exact integers)
+_PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
+
+
 def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """bytes → (width, height, channels, uint8 pixels shaped (h, w, c)):
     dependency-free PNG decode via stdlib ``zlib`` (RFC 2083 inflate is the
     only compression PNG has, and the stdlib ships it — unlike JPEG/H.264,
     "compressed" does not have to mean "gated").
 
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette, expanded
-    to RGB), 4 (gray+alpha) and 6 (RGBA), all five scanline filters, BOTH
-    interlace methods (progressive Adam7 sub-images are independently
-    unfiltered and reassembled), and verifies every chunk CRC (a corrupt
-    payload must land in the sniff scan's quarantine, not decode to garbage).
-    Non-8-bit depths raise NotImplementedError naming PIL — the honest-gate
-    convention. Ancillary chunks (tRNS included) are skipped: this decoder
-    feeds the luma/feature path, which ignores alpha."""
+    Supports EVERY spec depth/color-type combination: color types 0 (gray),
+    2 (RGB), 3 (palette, expanded to RGB), 4 (gray+alpha) and 6 (RGBA) at
+    bit depths 1/2/4 (gray + palette), 8, and 16 (projected to uint8 via the
+    high byte — this decoder feeds a uint8 feature path; sub-byte gray
+    scales to full range, 85/17 steps, per the spec). All five scanline
+    filters, BOTH interlace methods (progressive Adam7 sub-images are
+    independently unfiltered and reassembled), and every chunk CRC verified
+    (a corrupt payload must land in the sniff scan's quarantine, not decode
+    to garbage). Ancillary chunks (tRNS included) are skipped: the
+    luma/feature path ignores alpha."""
     if b[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     off = 8
@@ -277,28 +302,27 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if depth != 8 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / color type {color_type} requires PIL "
-            "(pure path reads 8-bit gray/RGB/palette/gray+alpha/RGBA)"
-        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    valid = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color_type, (8, 16))
+    if depth not in valid:
+        raise ValueError(f"bad PNG depth {depth} for color type {color_type}")
     c = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        stride = w * c
+        stride = (w * c * depth + 7) // 8
         if len(raw) != h * (1 + stride):
             raise ValueError("PNG raster size mismatch")
-        px = _png_unfilter(raw, h, stride, c).reshape(h, w, c)
+        px = _png_samples(raw, h, w, c, depth)
     else:  # Adam7: seven independently-filtered sub-images, reassembled
         px = np.zeros((h, w, c), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
-            pstride = pw * c
+            pstride = (pw * c * depth + 7) // 8
             need = ph * (1 + pstride)
             if off + need > len(raw):
                 raise ValueError("PNG raster size mismatch (interlaced)")
-            sub = _png_unfilter(raw[off : off + need], ph, pstride, c)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
+            px[y0::dy, x0::dx] = _png_samples(raw[off : off + need], ph, pw, c, depth)
             off += need
         if off != len(raw):
             raise ValueError("PNG raster size mismatch (interlaced)")
@@ -309,6 +333,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("PNG palette index out of range")
         px = plte[px[:, :, 0]]
         c = 3
+    elif depth in _PNG_GRAY_SCALE:  # sub-byte gray (+alpha) to full range
+        px = (px.astype(np.int64) * _PNG_GRAY_SCALE[depth]).astype(np.uint8)
     return w, h, c, px
 
 
@@ -343,12 +369,36 @@ def _filter_scanlines(rows: np.ndarray, bpp: int, filter_per_row: bool) -> bytes
     return b"".join(lines)
 
 
+def _pack_png_rows(sub: np.ndarray, depth: int) -> np.ndarray:
+    """(rows, width, c) uint8 samples → (rows, stride) int64 PACKED scanline
+    bytes at the given depth (the encoder-side inverse of ``_png_samples``).
+    Sub-byte samples must already be index/step values (< 2^depth); 16-bit
+    emits v·257 (high byte == low byte == v, so the decode projection is the
+    exact inverse)."""
+    rows, width, c = sub.shape
+    flat = sub.reshape(rows, width * c)
+    if depth == 8:
+        return flat.astype(np.int64)
+    if depth == 16:
+        out = np.empty((rows, width * c * 2), dtype=np.int64)
+        out[:, 0::2] = flat
+        out[:, 1::2] = flat  # v*257 big-endian: high byte == low byte == v
+        return out
+    if int(flat.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample out of range for {depth}-bit PNG")
+    bits = (
+        (flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(rows, -1).astype(np.uint8)
+    return np.packbits(bits, axis=1).astype(np.int64)
+
+
 def encode_png(
     pixels: np.ndarray,
     color_type: int | None = None,
     palette: np.ndarray | None = None,
     filter_per_row: bool = False,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """uint8 (h, w, c) → PNG bytes (``decode_png``'s inverse; deterministic —
     fixed zlib level, used by tests and the synthetic media corpus).
@@ -359,11 +409,21 @@ def encode_png(
     cycles scanline filters 0..4 by row index so a decoder must get ALL five
     reconstructions right to round-trip — the corpus uses it on purpose.
     ``interlace=True`` emits Adam7 (each pass filtered independently, filters
-    cycling within the pass when asked)."""
+    cycling within the pass when asked). ``depth``: 1/2/4 (gray values must
+    be exact multiples of the 255/85/17 step; palette input stays indices),
+    8, or 16 (each uint8 sample emitted as v·257, which the decoder's
+    high-byte projection inverts exactly)."""
     h, w = pixels.shape[0], pixels.shape[1]
     c = pixels.shape[2]
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    samples = pixels
+    if depth in _PNG_GRAY_SCALE and color_type == 0:
+        scale = _PNG_GRAY_SCALE[depth]
+        if np.any(pixels.astype(np.int64) % scale):
+            raise ValueError(f"{depth}-bit gray needs multiples of {scale}")
+        samples = (pixels // scale).astype(np.uint8)
+    bpp = max(1, (c * depth) // 8)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -376,15 +436,13 @@ def encode_png(
     if interlace:
         scan = b"".join(
             _filter_scanlines(
-                pixels[y0::dy, x0::dx].reshape(ph, pw * c).astype(np.int64),
-                c,
-                filter_per_row,
+                _pack_png_rows(samples[y0::dy, x0::dx], depth), bpp, filter_per_row
             )
             for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h)
         )
     else:
-        scan = _filter_scanlines(pixels.reshape(h, w * c).astype(np.int64), c, filter_per_row)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+        scan = _filter_scanlines(_pack_png_rows(samples, depth), bpp, filter_per_row)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
     body = chunk(b"IHDR", ihdr)
     if color_type == 3:
         if palette is None:

@@ -1,14 +1,17 @@
-"""Pure-python/numpy BASELINE JPEG codec for the multimodal real-decode path.
+"""Pure-python/numpy JPEG codec for the multimodal real-decode path —
+baseline sequential (SOF0/1) AND progressive (SOF2).
 
 JPEG was the archetypal "compressed codec stays behind the PIL gate" format;
-baseline sequential JPEG (SOF0) is specified tightly enough to decode exactly
-with stdlib + numpy: marker parse → Huffman entropy decode (byte unstuffing,
-restart markers) → dequant → dezigzag → float64 IDCT (rounded per the spec's
-reference arithmetic) → level shift → optional box chroma upsampling + JFIF
-YCbCr→RGB.
+Huffman-coded JPEG is specified tightly enough to decode exactly with stdlib
++ numpy: marker parse → per-scan Huffman entropy decode (byte unstuffing,
+restart markers; progressive spectral-selection and successive-approximation
+scans accumulate into the coefficient grids — DC first/refine, AC first with
+EOB runs, AC refine with correction bits) → dequant → dezigzag → float64
+IDCT (rounded per the spec's reference arithmetic) → level shift → optional
+box chroma upsampling + JFIF YCbCr→RGB.
 
 Honesty notes, in decode_jpeg's gates and docstrings:
-- progressive (SOF2) / arithmetic / 12-bit / hierarchical JPEG → PIL;
+- arithmetic-coded / 12-bit / lossless / hierarchical JPEG → PIL;
 - the IDCT is the exact float64 separable transform, rounded — bit-equal to
   any spec-conforming reference implementation on the DC-only blocks the
   designed corpus uses, and within the spec's accuracy bounds elsewhere
@@ -182,11 +185,37 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
+def _unstuff_chunks(scan: bytes) -> list[bytes]:
+    """Entropy bytes → restart-delimited chunks with 0xFF00 stuffing removed."""
+    chunks = []
+    cur = bytearray()
+    p = 0
+    while p < len(scan):
+        if scan[p] == 0xFF and p + 1 < len(scan):
+            nxt = scan[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                chunks.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+        cur.append(scan[p])
+        p += 1
+    chunks.append(bytes(cur))
+    return chunks
+
+
 def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """bytes → (width, height, channels, uint8 pixels (h, w, c)): baseline
-    sequential JPEG (SOF0), grayscale or YCbCr with sampling factors 1 or 2
-    per axis (4:4:4 / 4:2:2 / 4:2:0), restart intervals included. Progressive
-    / extended / arithmetic JPEG raise NotImplementedError naming PIL."""
+    sequential (SOF0/1) AND progressive (SOF2) JPEG — spectral-selection and
+    successive-approximation scans both decoded (DC first/refine, AC first
+    with EOB runs, AC refine with correction bits), grayscale or YCbCr with
+    sampling factors 1 or 2 per axis (4:4:4 / 4:2:2 / 4:2:0), restart
+    intervals included. Arithmetic coding / 12-bit / hierarchical JPEG raise
+    NotImplementedError naming PIL."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -194,8 +223,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
     comps: list[dict] = []
     w = h = None
     dri = 0
+    progressive = False
+    scans: list[dict] = []
     off = 2
-    scan = None
     while off + 4 <= len(b):
         if b[off] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -215,7 +245,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 tbl[_ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
                 qt[tq] = tbl.reshape(8, 8)
                 p += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
@@ -224,7 +254,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG requires PIL")
@@ -233,92 +264,113 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
                 raise NotImplementedError("sampling factors beyond 2 require PIL")
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG requires PIL "
-                "(pure path reads baseline sequential SOF0)"
+                "arithmetic/lossless/hierarchical JPEG requires PIL "
+                "(pure path reads baseline SOF0/1 and progressive SOF2)"
             )
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             ns = seg[0]
+            in_scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                for c in comps:
+                for ci, c in enumerate(comps):
                     if c["id"] == cs:
-                        c["td"], c["ta"] = tables >> 4, tables & 0x0F
-            # scan runs to the next real marker (skip stuffed FF00 / RSTn)
+                        in_scan.append((ci, tables >> 4, tables & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             p = off + ln
             while p + 1 < len(b) and not (
-                b[p] == 0xFF and b[p + 1] not in (0x00,) and not (0xD0 <= b[p + 1] <= 0xD7)
+                b[p] == 0xFF and b[p + 1] != 0x00 and not (0xD0 <= b[p + 1] <= 0xD7)
             ):
                 p += 1
-            scan = b[off + ln : p]
+            scans.append(
+                {
+                    "comps": in_scan,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    "chunks": _unstuff_chunks(b[off + ln : p]),
+                    "dri": dri,
+                    "luts": {key: _huffman_lut(tbl) for key, tbl in huff.items()},
+                }
+            )
             off = p
             continue
         off += ln
-    if w is None or scan is None:
+    if w is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component zigzag-order coefficient grids, MCU-padded
+    coef = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64) for c in comps
     ]
+    for c in comps:  # true (unpadded) block counts for non-interleaved scans
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
 
-    # split on restart markers, unstuff each chunk
-    chunks = []
-    cur = bytearray()
-    p = 0
-    while p < len(scan):
-        if scan[p] == 0xFF and p + 1 < len(scan):
-            nxt = scan[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                chunks.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-        cur.append(scan[p])
-        p += 1
-    chunks.append(bytes(cur))
+    for scan in scans:
+        if progressive:
+            _decode_progressive_scan(scan, comps, coef, mcus_x, mcus_y)
+        else:
+            _decode_baseline_scan(scan, comps, coef, mcus_x, mcus_y)
 
+    out_planes = []
+    for ci, c in enumerate(comps):
+        zzs = coef[ci].reshape(-1, 64)
+        nat = np.zeros_like(zzs)
+        nat[:, _ZIGZAG] = zzs
+        deq = nat.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        # batched exact IDCT: out[n, x, y] = Σ_u Σ_v M[u,x] deq[n,u,v] M[v,y]
+        blocks = np.einsum("ux,nuv,vy->nxy", _IDCT_M, deq.astype(np.float64), _IDCT_M) + 128.0
+        by, bx = coef[ci].shape[0], coef[ci].shape[1]
+        plane = (
+            blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        if c["h"] != hmax or c["v"] != vmax:  # box-upsample subsampled chroma
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        out_planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return w, h, 1, px
+    if len(comps) == 3:
+        return w, h, 3, _ycbcr_to_rgb(*out_planes)
+    raise NotImplementedError("JPEG with component counts beyond 1/3 requires PIL")
+
+
+def _decode_baseline_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
+    """One interleaved baseline scan (Ss=0..Se=63) into the coefficient grids."""
+    luts = scan["luts"]
     n_mcus = mcus_x * mcus_y
-    per_chunk = dri if dri else n_mcus
-    luts = {key: _huffman_lut(tbl) for key, tbl in huff.items()}
-    # pass 1 — entropy decode (inherently sequential) into per-component
-    # coefficient stacks; pass 2 — ONE batched einsum IDCT per component
-    # (the per-block matmul overhead, not the Huffman loop, dominated the
-    # profile; see SCALE.md)
-    coef_rows: list[list[np.ndarray]] = [[] for _ in comps]
-    placements: list[list[tuple[int, int]]] = [[] for _ in comps]
+    per_chunk = scan["dri"] if scan["dri"] else n_mcus
     mcu = 0
-    for chunk in chunks:
+    for chunk in scan["chunks"]:
         if mcu >= n_mcus:
             break
         reader = _BitReader(chunk)
-        pred = [0] * len(comps)
+        pred = {ci: 0 for ci, _td, _ta in scan["comps"]}
         for _ in range(min(per_chunk, n_mcus - mcu)):
             my, mx = divmod(mcu, mcus_x)
-            for ci, c in enumerate(comps):
-                dc_lut, ac_lut = luts[(0, c["td"])], luts[(1, c["ta"])]
+            for ci, td, ta in scan["comps"]:
+                c = comps[ci]
+                dc_lut, ac_lut = luts[(0, td)], luts[(1, ta)]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
+                        zz = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
                         s = reader.read_symbol(dc_lut)
                         pred[ci] += _extend(reader.read_bits(s), s)
-                        zz = np.zeros(64, dtype=np.int64)
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
@@ -334,109 +386,183 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                                 raise ValueError("JPEG AC run overflows block")
                             zz[k] = _extend(reader.read_bits(sz), sz)
                             k += 1
-                        coef_rows[ci].append(zz)
-                        placements[ci].append(
-                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
-                        )
             mcu += 1
     if mcu != n_mcus:
         raise ValueError("JPEG entropy stream ended before all MCUs")
-    for ci, c in enumerate(comps):
-        zzs = np.stack(coef_rows[ci])  # (n_blocks, 64) zigzag order
-        coefs = np.zeros_like(zzs)
-        coefs[:, _ZIGZAG] = zzs
-        deq = coefs.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
-        # batched exact IDCT: out[n, x, y] = Σ_u Σ_v M[u,x] deq[n,u,v] M[v,y]
-        blocks = np.einsum("ux,nuv,vy->nxy", _IDCT_M, deq.astype(np.float64), _IDCT_M) + 128.0
-        plane = planes[ci]
-        for (y0, x0), blk in zip(placements[ci], blocks):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
-
-    out_planes = []
-    for c, plane in zip(comps, planes):
-        if c["h"] != hmax or c["v"] != vmax:  # box-upsample subsampled chroma
-            plane = np.repeat(
-                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
-            )
-        out_planes.append(plane[:h, :w])
-    if len(comps) == 1:
-        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[:, :, None]
-        return w, h, 1, px
-    if len(comps) == 3:
-        return w, h, 3, _ycbcr_to_rgb(*out_planes)
-    raise NotImplementedError("JPEG with component counts beyond 1/3 requires PIL")
 
 
-def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0) -> bytes:
-    """uint8 (h, w) or (h, w, 1) grayscale → baseline JPEG bytes, quant table
-    all-8s, Annex-K luminance Huffman tables, full FDCT with per-coefficient
-    rounding (``decode_jpeg``'s test/corpus inverse — for 8×8-CONSTANT blocks
-    the round trip is EXACT, see the module docstring). ``dri`` emits a DRI
-    segment and RST markers every ``dri`` MCUs so restart handling is
-    exercised end-to-end."""
-    if pixels.ndim == 3:
-        pixels = pixels[:, :, 0]
+def _decode_progressive_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
+    """One progressive scan (T.81 Annex G, Huffman): DC first/refine scans
+    are (possibly) interleaved over the MCU grid; AC scans are single-
+    component over the component's true block raster, with EOB-run state and
+    (in refinement) correction bits for already-nonzero coefficients."""
+    luts = scan["luts"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        n_mcus = mcus_x * mcus_y
+        per_chunk = scan["dri"] if scan["dri"] else n_mcus
+        mcu = 0
+        for chunk in scan["chunks"]:
+            if mcu >= n_mcus:
+                break
+            reader = _BitReader(chunk)
+            pred = {ci: 0 for ci, _td, _ta in scan["comps"]}
+            for _ in range(min(per_chunk, n_mcus - mcu)):
+                my, mx = divmod(mcu, mcus_x)
+                for ci, td, _ta in scan["comps"]:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:  # first DC scan
+                                s = reader.read_symbol(luts[(0, td)])
+                                pred[ci] += _extend(reader.read_bits(s), s)
+                                zz[0] = pred[ci] << al
+                            else:  # DC refinement: one raw bit
+                                if reader.read_bits(1):
+                                    zz[0] |= 1 << al
+                mcu += 1
+        if mcu != n_mcus:
+            raise ValueError("JPEG entropy stream ended before all MCUs")
+        return
+    # AC scan: exactly one component, non-interleaved block raster
+    if len(scan["comps"]) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _td, ta = scan["comps"][0]
+    c = comps[ci]
+    ac_lut = luts[(1, ta)]
+    blocks = [
+        coef[ci][by, bx] for by in range(c["bh"]) for bx in range(c["bw"])
+    ]
+    n_blocks = len(blocks)
+    per_chunk = scan["dri"] if scan["dri"] else n_blocks
+    bi = 0
+    for chunk in scan["chunks"]:
+        if bi >= n_blocks:
+            break
+        reader = _BitReader(chunk)
+        eobrun = 0
+        for _ in range(min(per_chunk, n_blocks - bi)):
+            zz = blocks[bi]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, ac_lut, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, ac_lut, zz, ss, se, al, eobrun)
+            bi += 1
+    if bi != n_blocks:
+        raise ValueError("JPEG entropy stream ended before all blocks")
+
+
+def _ac_first_block(reader, ac_lut, zz, ss, se, al, eobrun) -> int:
+    """AC first scan (Ah=0) for one block; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                return (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows band")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_lut, zz, ss, se, al, eobrun) -> int:
+    """AC refinement scan (Ah=Al+1) for one block: newly-significant
+    coefficients arrive as ±1<<Al, and every already-nonzero coefficient
+    passed on the way consumes a correction bit (T.81 G.2 / the classic
+    decode_mcu_AC_refine structure). Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.read_bits(1) else m1
+            elif r != 15:
+                eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                break  # EOB-mode tail handled below
+            # advance over the run, refining nonzero-history coefficients
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bits(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB mode: refine the remaining nonzero coefficients
+            if zz[k] != 0:
+                if reader.read_bits(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+class _BitWriter:
+    """MSB-first bit writer; packs with 1-bit padding (the spec's fill)."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def put(self, code: int, ln: int) -> None:
+        self.bits.extend((code >> k) & 1 for k in range(ln - 1, -1, -1))
+
+    def tobytes(self) -> bytes:
+        padded = self.bits + [1] * (-len(self.bits) % 8)
+        return np.packbits(np.array(padded, dtype=np.uint8)).tobytes()
+
+
+def _quantized_blocks(pixels: np.ndarray, q: np.ndarray) -> list[np.ndarray]:
+    """Grayscale pixels → per-block quantized zigzag-order coefficients
+    (full FDCT + per-coefficient rounding), MCU raster order."""
     h, w = pixels.shape
-    q = np.full((8, 8), 8, dtype=np.int64)
-    dc_tbl = _encode_huffman(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_tbl = _encode_huffman(_AC_LUM_BITS, _AC_LUM_VALS)
-
-    bits: list[int] = []
-
-    def put(code: int, ln: int) -> None:
-        bits.extend((code >> k) & 1 for k in range(ln - 1, -1, -1))
-
-    def put_coef(v: int, tbl: dict[int, tuple[int, int]], run: int = -1) -> None:
-        s = 0 if v == 0 else int(abs(v)).bit_length()
-        sym = s if run < 0 else ((run << 4) | s)
-        ln, code = tbl[sym]
-        put(code, ln)
-        if s:
-            put(v if v >= 0 else v + (1 << s) - 1, s)
-
     mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
     padded = np.pad(pixels, ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)), mode="edge")
-    pred = 0
-    chunks: list[bytes] = []
-    n_in_chunk = 0
+    out = []
     for my in range(mcus_y):
         for mx in range(mcus_x):
             blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.float64) - 128.0
-            coef = np.round(_IDCT_M @ blk @ _IDCT_M.T / (q.astype(np.float64))).astype(np.int64)
-            zz = coef.reshape(-1)[_ZIGZAG]
-            put_coef(int(zz[0]) - pred, dc_tbl)
-            pred = int(zz[0])
-            # AC: run-length encode the zigzag tail
-            nz = np.nonzero(zz[1:])[0]
-            k = 0
-            for pos in nz:
-                run = int(pos) - k
-                while run > 15:
-                    ln, code = ac_tbl[0xF0]
-                    put(code, ln)
-                    run -= 16
-                put_coef(int(zz[1 + pos]), ac_tbl, run)
-                k = int(pos) + 1
-            if k < 63:
-                ln, code = ac_tbl[0x00]
-                put(code, ln)
-            n_in_chunk += 1
-            if dri and n_in_chunk == dri and (my, mx) != (mcus_y - 1, mcus_x - 1):
-                bits.extend([1] * (-len(bits) % 8))  # pad chunk with 1s
-                chunks.append(np.packbits(np.array(bits, dtype=np.uint8)).tobytes())
-                bits = []
-                pred = 0
-                n_in_chunk = 0
-    bits.extend([1] * (-len(bits) % 8))
-    chunks.append(np.packbits(np.array(bits, dtype=np.uint8)).tobytes())
+            coef = np.round(_IDCT_M @ blk @ _IDCT_M.T / q.astype(np.float64)).astype(np.int64)
+            out.append(coef.reshape(-1)[_ZIGZAG])
+    return out
 
-    def stuff(data: bytes) -> bytes:
-        return data.replace(b"\xff", b"\xff\x00")
 
-    entropy = bytearray(stuff(chunks[0]))
-    for i, ch in enumerate(chunks[1:]):
-        entropy += bytes([0xFF, 0xD0 + (i % 8)]) + stuff(ch)
+def _toward_zero(v: int, al: int) -> int:
+    """The spec's AC point transform: |v| >> al with the sign restored."""
+    return -((-v) >> al) if v < 0 else v >> al
 
+
+def _put_coef(bw: _BitWriter, v: int, tbl, run: int = -1) -> None:
+    s = 0 if v == 0 else int(abs(v)).bit_length()
+    sym = s if run < 0 else ((run << 4) | s)
+    ln, code = tbl[sym]
+    bw.put(code, ln)
+    if s:
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _jpeg_headers(h: int, w: int, q: np.ndarray, sof_marker: int) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
@@ -444,14 +570,178 @@ def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0) -> bytes:
     zz_q[np.arange(64)] = q.reshape(-1)[_ZIGZAG]
     out = b"\xff\xd8"
     out += seg(0xDB, bytes([0]) + zz_q.tobytes())
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(
         0xC4,
         bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
         + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
     )
-    if dri:
-        out += seg(0xDD, struct.pack(">H", dri))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += bytes(entropy) + b"\xff\xd9"
     return out
+
+
+# flat AC table for the progressive scans: RS symbols 0x00..0xFE (incl. the
+# EOBn run-length codes 0x10..0xE0, which Annex K's BASELINE table doesn't
+# define) at a 9-bit canonical code each — valid (255 fits a DHT count byte),
+# simple, and deliberately not size-optimal
+_AC_FLAT_BITS = [0] * 8 + [255] + [0] * 7
+_AC_FLAT_VALS = list(range(255))
+
+
+def _sos(ss: int, se: int, ah: int, al: int, tables: int = 0x00) -> bytes:
+    body = bytes([1, 1, tables, ss, se, (ah << 4) | al])
+    return bytes([0xFF, 0xDA]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _stuff(data: bytes) -> bytes:
+    return data.replace(b"\xff", b"\xff\x00")
+
+
+def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0, progressive: bool = False) -> bytes:
+    """uint8 (h, w) or (h, w, 1) grayscale → JPEG bytes, quant table all-8s,
+    Annex-K luminance Huffman tables, full FDCT with per-coefficient rounding
+    (``decode_jpeg``'s test/corpus inverse — for 8×8-CONSTANT blocks the
+    round trip is EXACT, see the module docstring). ``dri`` emits a DRI
+    segment and RST markers every ``dri`` MCUs so restart handling is
+    exercised end-to-end (baseline only). ``progressive=True`` emits SOF2
+    with the classic 4-scan layout — DC first (Al=1), AC 1..63 first (Al=1,
+    EOB runs batched across blocks), DC refine, AC refine (correction bits) —
+    which reconstructs the SAME quantized coefficients exactly, so baseline
+    and progressive encodes of one image must decode bit-identically."""
+    if pixels.ndim == 3:
+        pixels = pixels[:, :, 0]
+    if progressive and dri:
+        raise ValueError("progressive encoder does not emit restart intervals")
+    h, w = pixels.shape
+    q = np.full((8, 8), 8, dtype=np.int64)
+    dc_tbl = _encode_huffman(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_tbl = _encode_huffman(_AC_LUM_BITS, _AC_LUM_VALS)
+    blocks = _quantized_blocks(pixels, q)
+
+    if progressive:
+        ac_tbl = _encode_huffman(_AC_FLAT_BITS, _AC_FLAT_VALS)
+        out = bytearray(_jpeg_headers(h, w, q, 0xC2))
+        # the flat AC table (slot class 1, id 1) carries the EOBn symbols
+        flat_dht = bytes([0x11]) + bytes(_AC_FLAT_BITS) + bytes(_AC_FLAT_VALS)
+        out += bytes([0xFF, 0xC4]) + struct.pack(">H", len(flat_dht) + 2) + flat_dht
+        # scan 1: DC first, Al=1 (diffs of dc >> 1, arithmetic shift)
+        bw = _BitWriter()
+        pred = 0
+        for zz in blocks:
+            v = int(zz[0]) >> 1
+            _put_coef(bw, v - pred, dc_tbl)
+            pred = v
+        out += _sos(0, 0, 0, 1) + _stuff(bw.tobytes())
+        # scan 2: AC 1..63 first, Al=1, with EOB-run batching
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(eobrun.bit_length() - 1, 14)
+                ln, code = ac_tbl[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun -= min(eobrun, (1 << (r + 1)) - 1)
+
+        for zz in blocks:
+            vals = [_toward_zero(int(zz[k]), 1) for k in range(1, 64)]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            k = 0
+            for pos in nz:
+                run = pos - k
+                while run > 15:
+                    ln, code = ac_tbl[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                _put_coef(bw, vals[pos], ac_tbl, run)
+                k = pos + 1
+            if k < 63:
+                eobrun = 1
+        flush_eob()
+        out += _sos(1, 63, 0, 1, tables=0x01) + _stuff(bw.tobytes())
+        # scan 3: DC refinement — one raw bit per block
+        bw = _BitWriter()
+        for zz in blocks:
+            bw.put(int(zz[0]) & 1, 1)
+        out += _sos(0, 0, 1, 0) + _stuff(bw.tobytes())
+        # scan 4: AC refinement, Ah=1 → Al=0 (per-block EOB; the decoder's
+        # EOB-mode correction-bit path runs for every block with a tail)
+        bw = _BitWriter()
+        for zz in blocks:
+            pending: list[int] = []
+            r = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if abs(v) >= 2:  # history-nonzero: correction bit
+                    pending.append(abs(v) & 1)
+                elif abs(v) == 1:  # newly significant at this Al
+                    while r > 15:
+                        ln, code = ac_tbl[0xF0]
+                        bw.put(code, ln)
+                        for bit in pending:
+                            bw.put(bit, 1)
+                        pending = []
+                        r -= 16
+                    ln, code = ac_tbl[(r << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if v > 0 else 0, 1)
+                    for bit in pending:
+                        bw.put(bit, 1)
+                    pending = []
+                    r = 0
+                else:
+                    r += 1
+            if r > 0 or pending:
+                ln, code = ac_tbl[0x00]  # EOB (run 1)
+                bw.put(code, ln)
+                for bit in pending:
+                    bw.put(bit, 1)
+        out += _sos(1, 63, 1, 0, tables=0x01) + _stuff(bw.tobytes())
+        return bytes(out) + b"\xff\xd9"
+
+    # baseline: one interleaved DC+AC scan, optional restart intervals
+    chunks: list[bytes] = []
+    bw = _BitWriter()
+    pred = 0
+    n_in_chunk = 0
+    for bi, zz in enumerate(blocks):
+        _put_coef(bw, int(zz[0]) - pred, dc_tbl)
+        pred = int(zz[0])
+        nz = np.nonzero(zz[1:])[0]
+        k = 0
+        for pos in nz:
+            run = int(pos) - k
+            while run > 15:
+                ln, code = ac_tbl[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            _put_coef(bw, int(zz[1 + pos]), ac_tbl, run)
+            k = int(pos) + 1
+        if k < 63:
+            ln, code = ac_tbl[0x00]
+            bw.put(code, ln)
+        n_in_chunk += 1
+        if dri and n_in_chunk == dri and bi != len(blocks) - 1:
+            chunks.append(bw.tobytes())
+            bw = _BitWriter()
+            pred = 0
+            n_in_chunk = 0
+    chunks.append(bw.tobytes())
+
+    entropy = bytearray(_stuff(chunks[0]))
+    for i, ch in enumerate(chunks[1:]):
+        entropy += bytes([0xFF, 0xD0 + (i % 8)]) + _stuff(ch)
+
+    out = bytearray(_jpeg_headers(h, w, q, 0xC0))
+    if dri:
+        out += bytes([0xFF, 0xDD]) + struct.pack(">H", 4) + struct.pack(">H", dri)
+    out += _sos(0, 63, 0, 0) + bytes(entropy) + b"\xff\xd9"
+    return bytes(out)

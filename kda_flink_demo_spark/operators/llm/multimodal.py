@@ -6,7 +6,7 @@ Two decode tiers (this container has no PIL/librosa):
   the raw bytes — oracle-hash-checkable, exercises the full Spark plumbing;
 - ``real_decode=True``: ACTUAL bytes→pixels/samples decoding — PIL/librosa
   when installed, else the dependency-free codecs in ``imaging.py`` (binary
-  PPM/PGM, 8-bit PNG incl. Adam7, uncompressed 24-bit BMP, 8/16/24/32-bit
+  PPM/PGM, full PNG (all depths, Adam7), uncompressed 24-bit BMP, 8/16/24/32-bit
   integer PCM WAV via stdlib ``wave``).
   Formats beyond that set raise NotImplementedError at decode time naming
   the library that would handle them, keeping the gate honest.

@@ -158,7 +158,13 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       fails the 80-row signed-pattern LUT join;
     - docs with ``doc_id % 8 >= 4`` are ADAM7-INTERLACED (each color type
       appears both ways), so progressive reassembly is load-bearing too —
-      oracle-neutral on purpose: interlacing permutes bytes, not pixels.
+      oracle-neutral on purpose: interlacing permutes bytes, not pixels;
+    - BIT DEPTH cycles oracle-neutrally as well: gray/RGB/RGBA docs with
+      ``(doc_id // 8) % 2 == 1`` are written 16-BIT (sample v·257, whose
+      high-byte projection is exactly v), and palette docs cycle depths
+      1/2/4/8 by ``(doc_id // 8) % 4`` (two palette entries fit every
+      depth) — so sub-byte unpacking and the 16-bit path are pinned by the
+      SAME LUT rows, no new oracle needed.
 
     Brightness stays 40 + off + 2.5·popcount(pattern) for every color type
     (equal-channel RGB keeps integer luma == the gray level exactly)."""
@@ -188,6 +194,7 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             palette=pal,
                             filter_per_row=True,
                             interlace=il,
+                            depth=(1, 2, 4, 8)[(d // 8) % 4],
                         )
                     )
                     continue
@@ -198,7 +205,14 @@ def synth_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     lvl = np.concatenate(
                         [np.repeat(lvl, 3, axis=2), np.full_like(lvl, 255)], axis=2
                     )
-                payloads.append(imaging.encode_png(lvl, filter_per_row=True, interlace=il))
+                payloads.append(
+                    imaging.encode_png(
+                        lvl,
+                        filter_per_row=True,
+                        interlace=il,
+                        depth=16 if (d // 8) % 2 else 8,
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     return spread_for_compute(df.select(id_col)).mapInPandas(
@@ -283,7 +297,11 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``image_pattern(doc_id)`` through Huffman decode → dequant → IDCT.
     Docs with ``doc_id % 3 == 0`` are written with a restart interval
     (DRI=2, RST markers every 2 MCUs) so restart handling and DC-predictor
-    resets are load-bearing too."""
+    resets are load-bearing, and docs with ``doc_id % 3 == 1`` are written
+    PROGRESSIVE (SOF2, the classic 4-scan DC-first/AC-first/DC-refine/
+    AC-refine layout) — progressive scans reconstruct the same quantized
+    coefficients exactly, so the change is oracle-neutral and the SAME LUT
+    rows pin successive-approximation decoding."""
 
     def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -299,7 +317,11 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 bits = _bits_msb(image_pattern(d)).reshape(8, 8)
                 lvl = np.where(bits == 1, 200 + off, 40 + off).astype(np.uint8)
                 big = np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1)
-                payloads.append(jpeg.encode_jpeg_gray(big, dri=2 if d % 3 == 0 else 0))
+                payloads.append(
+                    jpeg.encode_jpeg_gray(
+                        big, dri=2 if d % 3 == 0 else 0, progressive=d % 3 == 1
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     return spread_for_compute(df.select(id_col)).mapInPandas(

@@ -195,11 +195,54 @@ def test_color_420_flat_pinned_by_independent_jfif_math():
 # ---------------------------------------------------------------------------
 
 
-def test_progressive_gates_naming_pil():
+def test_arithmetic_coding_gates_naming_pil():
     b = jpeg.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
-    b2 = b.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    b2 = b.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF0 -> SOF9 (arith. seq.)
     with pytest.raises(NotImplementedError, match="PIL"):
         jpeg.decode_jpeg(b2)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """The strongest cross-layer pin available without a C library: baseline
+    and progressive encodes carry the SAME quantized coefficients, so their
+    decodes must agree bit-for-bit — on random images (dense AC, refinement
+    correction bits), gradients (long EOB runs), and constants (maximal
+    EOBRUN batching)."""
+    rng = np.random.default_rng(7)
+    cases = [rng.integers(0, 256, (h, w)).astype(np.uint8) for h, w in
+             [(8, 8), (24, 40), (17, 9)]]
+    cases.append(np.tile((np.arange(64) * 4 % 256).astype(np.uint8), (32, 1)))
+    cases.append(np.full((40, 40), 177, dtype=np.uint8))
+    for px in cases:
+        bp = jpeg.encode_jpeg_gray(px, progressive=True)
+        assert bp.count(b"\xff\xc2") == 1 and bp.count(b"\xff\xda") == 4
+        assert np.array_equal(
+            jpeg.decode_jpeg(bp)[3], jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))[3]
+        )
+
+
+def test_progressive_flat_blocks_exact():
+    rng = np.random.default_rng(8)
+    levels = rng.integers(0, 256, (3, 4))
+    px = np.repeat(np.repeat(levels, 8, 0), 8, 1).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px, progressive=True))[3]
+    assert np.array_equal(out[:, :, 0], px)
+
+
+def test_progressive_truncated_scan_quarantines(spark):
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    good = jpeg.encode_jpeg_gray(np.full((16, 16), 50, dtype=np.uint8), progressive=True)
+    df = spark.createDataFrame(
+        [(0, good), (1, good[: len(good) * 2 // 3])], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r["modality"] for r in sniff_media_features(df).collect()}
+    assert got == {0: "image", 1: "corrupt"}
 
 
 def test_12bit_gates_naming_pil():
@@ -245,7 +288,9 @@ def _synth_jpeg_payload(d: int) -> bytes:
     ).reshape(8, 8)
     lvl = np.where(bits == 1, 200 + off, 40 + off).astype(np.uint8)
     big = np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1)
-    return jpeg.encode_jpeg_gray(big, dri=2 if d % 3 == 0 else 0)
+    return jpeg.encode_jpeg_gray(
+        big, dri=2 if d % 3 == 0 else 0, progressive=d % 3 == 1
+    )
 
 
 def test_jpeg_corpus_hashes_to_designed_patterns():

@@ -138,6 +138,46 @@ def test_roundtrip_fuzz(w, h, c, fpr, interlace, seed):
     assert (ww, hh, cc) == (w, h, c) and np.array_equal(out, px)
 
 
+@pytest.mark.parametrize("depth,step", [(1, 255), (2, 85), (4, 17)])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_subbyte_gray_roundtrip(depth, step, interlace):
+    rng = np.random.default_rng(depth)
+    vals = (rng.integers(0, 1 << depth, size=(9, 17, 1)) * step).astype(np.uint8)
+    b = imaging.encode_png(
+        vals, color_type=0, depth=depth, interlace=interlace, filter_per_row=True
+    )
+    w, h, c, out = imaging.decode_png(b)
+    assert (w, h, c) == (17, 9, 1) and np.array_equal(out, vals)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette_roundtrip(depth):
+    rng = np.random.default_rng(depth + 10)
+    n = 1 << depth
+    pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(7, 11, 1)).astype(np.uint8)
+    b = imaging.encode_png(idx, color_type=3, palette=pal, depth=depth, interlace=True)
+    w, h, c, out = imaging.decode_png(b)
+    assert (w, h, c) == (11, 7, 3) and np.array_equal(out, pal[idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_16bit_roundtrips_via_high_byte(c):
+    rng = np.random.default_rng(c + 20)
+    px = rng.integers(0, 256, size=(6, 8, c), dtype=np.uint8)
+    b = imaging.encode_png(px, depth=16, filter_per_row=True, interlace=True)
+    w, h, cc, out = imaging.decode_png(b)
+    assert (w, h, cc) == (8, 6, c) and np.array_equal(out, px)
+
+
+def test_invalid_depth_color_combo_is_value_error():
+    # depth 2 RGB and depth 16 palette are spec-invalid -> corrupt, not gated
+    with pytest.raises(ValueError, match="depth"):
+        imaging.decode_png(_png((2, 2, 2, 2, 0, 0, 0), b""))
+    with pytest.raises(ValueError, match="depth"):
+        imaging.decode_png(_png((2, 2, 16, 3, 0, 0, 0), b""))
+
+
 def test_decode_image_dispatches_png():
     px = np.full((4, 4, 3), 77, dtype=np.uint8)
     w, h, c, out = imaging.decode_image(imaging.encode_png(px))
@@ -160,11 +200,6 @@ def test_gray_alpha_luma_is_channel_zero():
 # ---------------------------------------------------------------------------
 # Honest gates and quarantine
 # ---------------------------------------------------------------------------
-
-
-def test_16bit_depth_gates_naming_pil():
-    with pytest.raises(NotImplementedError, match="PIL"):
-        imaging.decode_png(_png((2, 2, 16, 0, 0, 0, 0), b""))
 
 
 def test_adam7_roundtrip_and_plain_equivalence():
@@ -271,14 +306,16 @@ def _synth_png_payload(d: int) -> bytes:
         pal = np.array([[lo] * 3, [hi] * 3], dtype=np.uint8)
         return imaging.encode_png(
             big[:, :, None].astype(np.uint8), color_type=3, palette=pal,
-            filter_per_row=True, interlace=il,
+            filter_per_row=True, interlace=il, depth=(1, 2, 4, 8)[(d // 8) % 4],
         )
     lvl = np.where(big == 1, hi, lo).astype(np.uint8)[:, :, None]
     if m == 1:
         lvl = np.repeat(lvl, 3, axis=2)
     elif m == 3:
         lvl = np.concatenate([np.repeat(lvl, 3, axis=2), np.full_like(lvl, 255)], axis=2)
-    return imaging.encode_png(lvl, filter_per_row=True, interlace=il)
+    return imaging.encode_png(
+        lvl, filter_per_row=True, interlace=il, depth=16 if (d // 8) % 2 else 8
+    )
 
 
 def test_synth_pngs_kernel_matches_local_replica(spark):
