@@ -660,20 +660,110 @@ def encode_gif(
     return bytes(out)
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """256-entry μ-law byte → linear PCM16 table (G.711 decode expansion:
+    invert, split sign/exponent/mantissa, ((m<<3)+0x84)<<e − 0x84)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law byte → linear PCM16 table (G.711: XOR 0x55, segment 0
+    is (m<<4)+8, segment s≥1 is ((m<<4)+0x108)<<(s−1))."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = (a & 0x80) != 0
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    mag = np.where(
+        exponent == 0, (mantissa << 4) + 8, ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0)
+    )
+    return np.where(sign, mag, -mag)
+
+
+def _g711_encode(samples16: np.ndarray, law: str) -> bytes:
+    """Linear PCM16 → G.711 bytes (the corpus/test inverse): nearest-table
+    inverse of the decode expansion — exact on values the law can represent."""
+    table = _g711_ulaw_table() if law == "ulaw" else _g711_alaw_table()
+    order = np.argsort(table)
+    sorted_vals = table[order]
+    idx = np.searchsorted(sorted_vals, samples16)
+    idx = np.clip(idx, 0, 255)
+    lo = np.clip(idx - 1, 0, 255)
+    pick = np.where(
+        np.abs(sorted_vals[idx] - samples16) <= np.abs(sorted_vals[lo] - samples16),
+        idx,
+        lo,
+    )
+    return order[pick].astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(samples16: np.ndarray, law: str, sr: int = 8000) -> bytes:
+    """PCM16 samples → a μ-law (fmt tag 7) or A-law (tag 6) mono RIFF/WAVE —
+    hand-assembled because stdlib ``wave`` writes PCM only."""
+    data = _g711_encode(samples16.astype(np.int64), law)
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", tag, 1, sr, sr, 1, 8)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Manual RIFF walk for the G.711 formats stdlib ``wave`` refuses: fmt
+    tag 6 (A-law) / 7 (μ-law), 8-bit companded samples expanded through the
+    256-entry tables and normalized by PCM16 full scale."""
+    off = 12
+    tag = ch = sr = None
+    data = None
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        size = struct.unpack_from("<I", b, off + 4)[0]
+        body = b[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, sr = struct.unpack_from("<HHI", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)
+    if tag not in (6, 7) or data is None or not ch:
+        raise NotImplementedError(
+            "non-PCM WAV codec requires librosa/soundfile (pure path reads "
+            "integer PCM and G.711 mu-law/A-law)"
+        )
+    table = _g711_ulaw_table() if tag == 7 else _g711_alaw_table()
+    samples = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    return sr, len(samples) // ch, ch, samples
+
+
 def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """bytes → (sample_rate, n_frames, channels, float64 samples in [-1, 1)).
 
     Stdlib ``wave`` handles integer PCM WAV without librosa, at every sample
     width the format defines: 8-bit (unsigned, center 128), 16/24/32-bit
     (signed little-endian) — each normalized by its own full-scale so the
-    SAME waveform fingerprints identically at any width. Non-PCM codecs
-    (μ-law, float, MP3-in-WAV) are rejected by ``wave`` itself; non-RIFF
-    payloads raise the honest librosa gate."""
+    SAME waveform fingerprints identically at any width. G.711 μ-law/A-law
+    (fmt tags 7/6), which ``wave`` refuses, expand through 256-entry tables
+    in a manual RIFF walk (``_decode_wav_g711``; tables pinned byte-for-byte
+    against ``audioop``). Other non-PCM codecs (IEEE float, MP3-in-WAV) and
+    non-RIFF payloads raise the honest librosa gate."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "non-WAV audio payload requires librosa/soundfile (pure-python "
             "path reads integer PCM WAV via the stdlib)"
         )
+    try:
+        return _decode_wav_pcm(b)
+    except wave.Error:
+        # stdlib wave refuses non-PCM fmt tags; G.711 gets its own walk
+        return _decode_wav_g711(b)
+
+
+def _decode_wav_pcm(b: bytes) -> tuple[int, int, int, np.ndarray]:
     with wave.open(io.BytesIO(b)) as wf:
         sw = wf.getsampwidth()
         sr = wf.getframerate()

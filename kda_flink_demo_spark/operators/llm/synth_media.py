@@ -331,14 +331,17 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(…, doc_id, …) → (doc_id, payload): the SAME designed energy envelope
-    as ``synth_wavs`` at a SAMPLE WIDTH cycling 8/16/24/32-bit by
-    ``doc_id % 4`` — so the fingerprint must equal ``audio_pattern(doc_id)``
-    VERBATIM through every integer-PCM decode path (unsigned-center-128
-    8-bit, signed LE 16/32-bit, sign-extended 24-bit triplets). Window
+    as ``synth_wavs`` in a CONTAINER/CODEC cycling by ``doc_id % 6`` —
+    8/16/24/32-bit integer PCM, then G.711 μ-law and A-law — so the
+    fingerprint must equal ``audio_pattern(doc_id)`` VERBATIM through every
+    audio decode path (unsigned-center-128 8-bit, signed LE 16/32-bit,
+    sign-extended 24-bit triplets, and both companding expansions: the
+    envelope thresholds at the MEDIAN window energy, which any monotone
+    amplitude mapping — G.711 included — preserves exactly). Window
     amplitudes keep the 10:1-ish high/low split scaled to each width's full
     scale (volume factor s = 1 + doc_id//20 % 4 still cancels through the
     median threshold); exactly 32 high windows by the codeword design, so
-    the median separates the two energy levels at any width."""
+    the median separates the two energy levels in every codec."""
 
     def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io as _io
@@ -346,6 +349,8 @@ def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         import numpy as np
         import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
 
         # (hi, lo) raw amplitudes per sample width; 8-bit is unsigned around
         # its 128 midpoint, the rest are positive signed values
@@ -355,7 +360,17 @@ def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for d in pdf[id_col]:
                 d = int(d)
                 s = 1 + (d // N_GROUPS % 4)
-                sw = d % 4 + 1
+                m6 = d % 6
+                if m6 >= 4:  # G.711 companded (16-bit-scale amplitudes)
+                    amp = np.where(
+                        _bits_msb(audio_pattern(d)) == 1, 3000 * s, 300 * s
+                    )
+                    vals = np.repeat(amp.astype(np.int64), 32)
+                    payloads.append(
+                        imaging.encode_wav_g711(vals, "ulaw" if m6 == 4 else "alaw")
+                    )
+                    continue
+                sw = m6 + 1
                 hi, lo = amps[sw]
                 amp = np.where(_bits_msb(audio_pattern(d)) == 1, hi * s, lo * s)
                 vals = np.repeat(amp.astype(np.int64), 32)  # 64 windows × 32

@@ -74,12 +74,16 @@ AMPS = {1: (25, 2), 2: (3000, 300), 3: (300_000, 30_000), 4: (80_000_000, 8_000_
 def _synth_width_payload(d: int) -> bytes:
     """Driver-side replica of synth_media.synth_wavs_widths' per-doc kernel."""
     s = 1 + (d // 20 % 4)
-    sw = d % 4 + 1
-    hi, lo = AMPS[sw]
     bits = np.array(
         [(synth_media.audio_pattern(d) >> (63 - k)) & 1 for k in range(64)],
         dtype=np.uint8,
     )
+    m6 = d % 6
+    if m6 >= 4:
+        vals = np.repeat(np.where(bits == 1, 3000 * s, 300 * s).astype(np.int64), 32)
+        return imaging.encode_wav_g711(vals, "ulaw" if m6 == 4 else "alaw")
+    sw = m6 + 1
+    hi, lo = AMPS[sw]
     amp = np.where(bits == 1, hi * s, lo * s)
     vals = np.repeat(amp.astype(np.int64), 32)
     if sw == 1:
@@ -100,7 +104,60 @@ def _synth_width_payload(d: int) -> bytes:
 def test_every_width_fingerprints_to_the_designed_pattern():
     for d in range(0, 120):
         got = int(pack_bits_i64(audio_hash_bits(_synth_width_payload(d))[None, :])[0])
-        assert got & (2**64 - 1) == synth_media.audio_pattern(d), (d, d % 4 + 1)
+        assert got & (2**64 - 1) == synth_media.audio_pattern(d), (d, d % 6)
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law / A-law (stdlib wave refuses non-PCM; the manual RIFF walk +
+# 256-entry expansion tables handle it)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_tables_match_audioop_exactly():
+    """External pin: Python 3.11 still ships audioop — both 256-entry
+    expansion tables must match its G.711 decode byte-for-byte."""
+    audioop = pytest.importorskip("audioop")
+    ul = imaging._g711_ulaw_table()
+    al = imaging._g711_alaw_table()
+    for i in range(256):
+        assert ul[i] == np.frombuffer(audioop.ulaw2lin(bytes([i]), 2), "<i2")[0]
+        assert al[i] == np.frombuffer(audioop.alaw2lin(bytes([i]), 2), "<i2")[0]
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_container_roundtrip_within_companding_error(law):
+    rng = np.random.default_rng(1)
+    s16 = rng.integers(-30000, 30000, 1024).astype(np.int64)
+    sr, nf, ch, out = imaging.decode_wav(imaging.encode_wav_g711(s16, law))
+    assert (sr, nf, ch) == (8000, 1024, 1)
+    assert np.abs(out * 32768 - s16).max() < 2048  # largest G.711 segment step
+
+
+def test_g711_sniff_routes_as_audio(spark):
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    vals = np.repeat(np.array([3000, 300] * 32, dtype=np.int64), 32)
+    rows = [
+        (0, imaging.encode_wav_g711(vals, "ulaw")),
+        (1, imaging.encode_wav_g711(vals, "alaw")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["modality"], r["channels"]) for r in
+           sniff_media_features(df).collect()}
+    assert got == {0: ("audio", 1), 1: ("audio", 1)}
+
+
+def test_unknown_fmt_tag_gates_naming_librosa():
+    """IEEE-float WAV (fmt tag 3): stdlib wave refuses it and the G.711 walk
+    must gate honestly rather than misparse."""
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 8) + bytes(8)
+    )
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="librosa"):
+        imaging.decode_wav(b)
 
 
 def test_synth_wavs_widths_kernel_matches_local_replica(spark):
