@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "wav_width_ahash_values",
     "gif_ahash_values",
     "jpeg_ahash_values",
+    "mjpeg_video_ahash_values",
 ]
 
 # Standing-artifact cost split (operators/llm/standing.py): BUILD rows must

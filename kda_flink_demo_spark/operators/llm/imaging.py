@@ -715,11 +715,12 @@ def encode_wav_g711(samples16: np.ndarray, law: str, sr: int = 8000) -> bytes:
 
 
 def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Manual RIFF walk for the G.711 formats stdlib ``wave`` refuses: fmt
-    tag 6 (A-law) / 7 (μ-law), 8-bit companded samples expanded through the
-    256-entry tables and normalized by PCM16 full scale."""
+    """Manual RIFF walk for the codecs stdlib ``wave`` refuses: G.711 fmt
+    tag 6 (A-law) / 7 (μ-law) — 8-bit companded samples expanded through the
+    256-entry tables and normalized by PCM16 full scale — and IEEE float
+    (tag 3, 32- or 64-bit), which is already normalized samples on disk."""
     off = 12
-    tag = ch = sr = None
+    tag = ch = sr = bits = None
     data = None
     while off + 8 <= len(b):
         cid = b[off : off + 4]
@@ -727,16 +728,25 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
         body = b[off + 8 : off + 8 + size]
         if cid == b"fmt ":
             tag, ch, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
         elif cid == b"data":
             data = body
         off += 8 + size + (size & 1)
-    if tag not in (6, 7) or data is None or not ch:
+    if data is None or not ch:
+        raise ValueError("WAV missing fmt/data chunks")
+    if tag == 3 and bits in (32, 64):
+        dt = "<f4" if bits == 32 else "<f8"
+        samples = np.frombuffer(data[: len(data) // (bits // 8) * (bits // 8)], dtype=dt).astype(
+            np.float64
+        )
+    elif tag in (6, 7):
+        table = _g711_ulaw_table() if tag == 7 else _g711_alaw_table()
+        samples = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    else:
         raise NotImplementedError(
             "non-PCM WAV codec requires librosa/soundfile (pure path reads "
-            "integer PCM and G.711 mu-law/A-law)"
+            "integer PCM, IEEE float, and G.711 mu-law/A-law)"
         )
-    table = _g711_ulaw_table() if tag == 7 else _g711_alaw_table()
-    samples = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
     return sr, len(samples) // ch, ch, samples
 
 
@@ -813,10 +823,11 @@ def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
     """bytes → (width, height, fps, [uint8 (h, w, 3) RGB frames]).
 
     Minimal RIFF/AVI reader for UNCOMPRESSED 24-bit DIB video ('00db'/'00dc'
-    chunks with BI_RGB data) — the one container a pyav/ffmpeg-free reader can
-    do faithfully, completing the modality set next to PPM/PGM/BMP (images)
-    and PCM WAV (audio). Compressed codecs raise NotImplementedError naming
-    the library that would handle them, keeping the gate honest."""
+    chunks with BI_RGB data) and MOTION-JPEG ('MJPG' biCompression — every
+    frame chunk is a standalone JPEG through ``decode_jpeg``, grayscale
+    frames expanded to RGB), completing the modality set next to the image
+    and audio codecs. Other codecs raise NotImplementedError naming the
+    library that would handle them, keeping the gate honest."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise NotImplementedError(
             "non-AVI video payload requires pyav/ffmpeg (pure-python path "
@@ -858,10 +869,17 @@ def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
                 bpp, v_w, v_h = bpp_v, w_v, h_v
                 expect_video_strf = False
             elif cid[2:4] in (b"db", b"dc") and cid[:2] == video_stream:
+                if compression == 0x47504A4D:  # 'MJPG': each chunk is a JPEG
+                    from kda_flink_demo_spark.operators.llm import jpeg
+
+                    _fw, _fh, fc, px = jpeg.decode_jpeg(b[body:body_end])
+                    frames.append(px if fc == 3 else np.repeat(px, 3, axis=2))
+                    off = body_end + (size & 1)
+                    continue
                 if bpp != 24 or compression != 0:
                     raise NotImplementedError(
                         "compressed AVI streams require pyav/ffmpeg (pure "
-                        "path reads uncompressed 24-bit DIB frames only)"
+                        "path reads uncompressed 24-bit DIB and Motion-JPEG)"
                     )
                 # decode with the vids stream's strf geometry (BMP semantics:
                 # positive height ⇒ bottom-up rows), falling back to avih dims
@@ -879,6 +897,45 @@ def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
         raise ValueError("AVI missing avih main header")
     fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
     return width, height, fps, frames
+
+
+def encode_avi_mjpeg(gray_frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """[(h, w) uint8 grayscale] → Motion-JPEG RIFF AVI bytes: every frame is
+    a standalone baseline JPEG in a '00dc' chunk, strf biCompression 'MJPG'
+    (``decode_avi``'s compressed-path inverse; used by tests and the
+    synthetic media corpus)."""
+    from kda_flink_demo_spark.operators.llm import jpeg
+
+    if not gray_frames:
+        raise ValueError("need at least one frame")
+    h, w = gray_frames[0].shape[0], gray_frames[0].shape[1]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    payloads = [jpeg.encode_jpeg_gray(f) for f in gray_frames]
+    max_sz = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, max_sz * fps, 0, 0x10, len(payloads), 0, 1,
+        max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+        max_sz, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, max_sz, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:

@@ -329,6 +329,42 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_mjpeg_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(…, doc_id, …) → (doc_id, payload): the pattern-video corpus in
+    MOTION-JPEG — every frame a standalone baseline JPEG inside an 'MJPG'
+    AVI, so a COMPRESSED video codec rides the real multi-frame decode path.
+    Frames are 64×64 (the 8×8 pattern upscaled 8×, so every pattern bit is
+    an 8×8-CONSTANT JPEG block — DC-only, hence EXACT through the lossy
+    codec), with per-frame brightness offsets the hash ignores and the same
+    minority of bit-INVERTED frames as ``synth_pattern_videos``
+    (``doc_id % 5 + 2`` frames, every third inverted) — so the temporal
+    MAJORITY fingerprint must equal ``image_pattern(doc_id)`` VERBATIM."""
+
+    def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kda_flink_demo_spark.operators.llm import imaging
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                bits = _bits_msb(image_pattern(d)).reshape(8, 8)
+                frames = []
+                for i in range(d % 5 + 2):
+                    fb = (1 - bits) if i % 3 == 2 else bits
+                    off = (i * 7 + d) % 8 * 5
+                    lvl = np.where(fb == 1, 200 + off, 40 + off).astype(np.uint8)
+                    frames.append(np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1))
+                payloads.append(imaging.encode_avi_mjpeg(frames, fps=10))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread_for_compute(df.select(id_col)).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
 def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(…, doc_id, …) → (doc_id, payload): the SAME designed energy envelope
     as ``synth_wavs`` in a CONTAINER/CODEC cycling by ``doc_id % 6`` —

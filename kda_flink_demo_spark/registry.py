@@ -64,17 +64,16 @@ def register(name: str, oracle: str | None, helper: bool = False):
 _DRIVER_PRIORITY: list[str] = [
     # reference-parity core (windows / projections / aggs / relational) —
     # the flagship Flink-parity rows stay permanently pinned
-    "tumbling_1m",
     # Round-10 curation (r09 VERDICT directive 1: drain ALL 41 r06-stale rows
-    # this round): every pin except the flagship itself sits out for exactly
-    # one round — "filter_predicates", "projection_json_cast",
-    # "ts_parse_fallback", "sliding_range_30m", "hopping_2m_1m" and
-    # "tumbling_offset_30s" are all r09-green — so the window is 1 pin + 8
-    # never-checked round-10 rows (video_ahash_index_build /
-    # video_ingest_gate / media_ingest_profile / png_ahash_values /
-    # png_sniff_features / wav_width_ahash_values / gif_ahash_values /
-    # jpeg_ahash_values, which sort first automatically) + all 41 r06 rows =
-    # exactly 50. Re-pin the six in r11.
+    # this round): EVERY pin sits out for exactly one round — all seven
+    # ("tumbling_1m", "tumbling_offset_30s", "hopping_2m_1m",
+    # "sliding_range_30m", "projection_json_cast", "ts_parse_fallback",
+    # "filter_predicates") are r09-green — so the window is 9 never-checked
+    # round-10 rows (video_ahash_index_build / video_ingest_gate /
+    # media_ingest_profile / png_ahash_values / png_sniff_features /
+    # wav_width_ahash_values / gif_ahash_values / jpeg_ahash_values /
+    # mjpeg_video_ahash_values, which sort first automatically) + all 41 r06
+    # rows = exactly 50. Re-pin the seven flagships in r11.
 ]
 
 _DRIVER_WINDOW = 50

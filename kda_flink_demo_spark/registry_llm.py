@@ -1640,6 +1640,22 @@ def q_gif_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mjpeg_video_ahash_values", _AHASH_VALUES_ORACLE)
+def q_mjpeg_video_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPRESSED video codec through the real multi-frame decode path,
+    externally value-pinned (round 10): Motion-JPEG AVIs — every frame a
+    standalone baseline JPEG in an 'MJPG' chunk — through ``video_ahash``'s
+    temporal-MAJORITY fingerprint. The corpus upscales each pattern bit to
+    an 8×8-CONSTANT JPEG block (DC-only ⇒ exact through the lossy codec) and
+    keeps the designed minority of inverted frames, so every 64-bit
+    fingerprint must equal ``image_pattern(doc_id)`` against the same
+    signed-pattern LUT — reached through RIFF walk → per-frame JPEG Huffman
+    decode → IDCT → gray→RGB expansion → per-frame hash → majority vote."""
+    return image_dedup.video_ahash(
+        synth_media.synth_mjpeg_videos(load_table(spark, sf_dir, "documents"))
+    )
+
+
 @register("jpeg_ahash_values", _AHASH_VALUES_ORACLE)
 def q_jpeg_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE JPEG through the real-decode path, externally value-pinned

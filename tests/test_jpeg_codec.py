@@ -276,6 +276,63 @@ def test_decode_image_dispatches_jpeg():
 
 
 # ---------------------------------------------------------------------------
+# Motion-JPEG AVI: a compressed VIDEO codec through the pure decode path
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrips_flat_frames_exactly():
+    rng = np.random.default_rng(9)
+    levels = rng.integers(0, 256, (3, 2, 2))
+    frames = [np.repeat(np.repeat(lv, 8, 0), 8, 1).astype(np.uint8) for lv in levels]
+    w, h, fps, out = imaging.decode_avi(imaging.encode_avi_mjpeg(frames, fps=10))
+    assert (w, h, fps, len(out)) == (16, 16, 10.0, 3)
+    for f_in, f_out in zip(frames, out):
+        assert f_out.shape == (16, 16, 3)
+        assert all(np.array_equal(f_out[:, :, ch], f_in) for ch in range(3))
+
+
+def test_mjpeg_unknown_codec_still_gates():
+    f = np.zeros((8, 8), dtype=np.uint8)
+    b = imaging.encode_avi_mjpeg([f]).replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="pyav"):
+        imaging.decode_avi(b)
+
+
+def _synth_mjpeg_payload(d: int) -> bytes:
+    bits = np.array(
+        [(synth_media.image_pattern(d) >> (63 - k)) & 1 for k in range(64)],
+        dtype=np.uint8,
+    ).reshape(8, 8)
+    frames = []
+    for i in range(d % 5 + 2):
+        fb = (1 - bits) if i % 3 == 2 else bits
+        off = (i * 7 + d) % 8 * 5
+        lvl = np.where(fb == 1, 200 + off, 40 + off).astype(np.uint8)
+        frames.append(np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1))
+    return imaging.encode_avi_mjpeg(frames, fps=10)
+
+
+def test_mjpeg_corpus_majority_fingerprints_to_designed_patterns():
+    from kda_flink_demo_spark.operators.llm.image_dedup import video_hash_bits
+
+    for d in (0, 1, 2, 3, 4, 23, 57, 84):
+        got = int(pack_bits_i64(video_hash_bits(_synth_mjpeg_payload(d))[None, :])[0])
+        assert got & (2**64 - 1) == synth_media.image_pattern(d), d
+
+
+def test_synth_mjpeg_videos_kernel_matches_local_replica(spark):
+    from tests.conftest import SF_DIR
+
+    from kda_flink_demo_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(25)
+    rows = synth_media.synth_mjpeg_videos(docs).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert bytes(r["payload"]) == _synth_mjpeg_payload(int(r["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
 # Corpus parity (driver-side twin of the jpeg_ahash_values LUT pin)
 # ---------------------------------------------------------------------------
 

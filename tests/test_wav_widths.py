@@ -147,17 +147,28 @@ def test_g711_sniff_routes_as_audio(spark):
     assert got == {0: ("audio", 1), 1: ("audio", 1)}
 
 
-def test_unknown_fmt_tag_gates_naming_librosa():
-    """IEEE-float WAV (fmt tag 3): stdlib wave refuses it and the G.711 walk
-    must gate honestly rather than misparse."""
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+def _raw_wav(tag: int, bits: int, data: bytes, ch: int = 1, sr: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", tag, ch, sr, sr * bits // 8, bits // 8, bits)
     body = (
         b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", 8) + bytes(8)
+        + b"data" + struct.pack("<I", len(data)) + data
     )
-    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize("bits,dt", [(32, "<f4"), (64, "<f8")])
+def test_ieee_float_wav_decodes_verbatim(bits, dt):
+    vals = np.array([0.5, -0.25, 0.0625, -1.0], dtype=dt)
+    sr, nf, ch, out = imaging.decode_wav(_raw_wav(3, bits, vals.tobytes()))
+    assert (sr, nf, ch) == (8000, 4, 1)
+    assert np.array_equal(out, vals.astype(np.float64))
+
+
+def test_adpcm_fmt_tag_gates_naming_librosa():
+    """MS-ADPCM (fmt tag 2): stdlib wave refuses it and the manual walk must
+    gate honestly rather than misparse."""
     with pytest.raises(NotImplementedError, match="librosa"):
-        imaging.decode_wav(b)
+        imaging.decode_wav(_raw_wav(2, 4, bytes(16)))
 
 
 def test_synth_wavs_widths_kernel_matches_local_replica(spark):
