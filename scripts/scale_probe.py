@@ -473,6 +473,10 @@ def main() -> None:
     bench("gif_ahash_values", _imgd.image_ahash(_synth.synth_gifs(media_docs)))
     bench("jpeg_ahash_values", _imgd.image_ahash(_synth.synth_jpegs(media_docs)))
     bench("wav_width_ahash_values", _imgd.audio_ahash(_synth.synth_wavs_widths(media_docs)))
+    bench(
+        "mjpeg_video_ahash_values",
+        _imgd.video_ahash(_synth.synth_mjpeg_videos(media_docs)),
+    )
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))
