@@ -756,11 +756,12 @@ def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
     Stdlib ``wave`` handles integer PCM WAV without librosa, at every sample
     width the format defines: 8-bit (unsigned, center 128), 16/24/32-bit
     (signed little-endian) — each normalized by its own full-scale so the
-    SAME waveform fingerprints identically at any width. G.711 μ-law/A-law
-    (fmt tags 7/6), which ``wave`` refuses, expand through 256-entry tables
-    in a manual RIFF walk (``_decode_wav_g711``; tables pinned byte-for-byte
-    against ``audioop``). Other non-PCM codecs (IEEE float, MP3-in-WAV) and
-    non-RIFF payloads raise the honest librosa gate."""
+    SAME waveform fingerprints identically at any width. Formats ``wave``
+    refuses take a manual RIFF walk (``_decode_wav_g711``): G.711
+    μ-law/A-law (fmt tags 7/6) expand through 256-entry tables pinned
+    byte-for-byte against ``audioop``, and IEEE float (tag 3, 32/64-bit) is
+    read verbatim. Other non-PCM codecs (ADPCM, MP3-in-WAV) and non-RIFF
+    payloads raise the honest librosa gate."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "non-WAV audio payload requires librosa/soundfile (pure-python "

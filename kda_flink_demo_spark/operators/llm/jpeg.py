@@ -150,6 +150,10 @@ class _BitReader:
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 16:  # legal JPEG magnitudes stop at 16 bits; the 32-bit
+            # buffer only guarantees 25 valid bits — a corrupt DHT value
+            # must error, not silently drop the oldest bits
+            raise ValueError(f"bad JPEG bit-read width {n}")
         self._fill(n)
         if self.byte_pos * 8 - self.nbits + n > self.limit:
             raise ValueError("truncated JPEG entropy stream")
@@ -225,10 +229,15 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
     dri = 0
     progressive = False
     scans: list[dict] = []
+    lut_cache: dict[int, tuple[bytes, bytes]] = {}
     off = 2
     while off + 4 <= len(b):
         if b[off] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — a padding 0xFF must not be taken as the marker code itself
+        while b[off + 1] == 0xFF and off + 4 <= len(b):
+            off += 1
         marker = b[off + 1]
         off += 2
         if marker == 0xD9:  # EOI
@@ -288,6 +297,21 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 b[p] == 0xFF and b[p + 1] != 0x00 and not (0xD0 <= b[p + 1] <= 0xD7)
             ):
                 p += 1
+            # LUTs only for the tables this scan's components reference,
+            # memoized on table identity — unchanged tables across a
+            # multi-scan progressive file are expanded once, not per SOS
+            needed = set()
+            for _ci, td, ta in in_scan:
+                needed.add((0, td))
+                needed.add((1, ta))
+            scan_luts = {}
+            for key in needed:
+                tbl = huff.get(key)
+                if tbl is None:
+                    continue  # e.g. DC-refine scans never read the DC table
+                if id(tbl) not in lut_cache:
+                    lut_cache[id(tbl)] = _huffman_lut(tbl)
+                scan_luts[key] = lut_cache[id(tbl)]
             scans.append(
                 {
                     "comps": in_scan,
@@ -297,7 +321,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                     "al": ahal & 0x0F,
                     "chunks": _unstuff_chunks(b[off + ln : p]),
                     "dri": dri,
-                    "luts": {key: _huffman_lut(tbl) for key, tbl in huff.items()},
+                    "luts": scan_luts,
                 }
             )
             off = p
@@ -350,9 +374,59 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
     raise NotImplementedError("JPEG with component counts beyond 1/3 requires PIL")
 
 
+def _scan_lut(scan, key):
+    lut = scan["luts"].get(key)
+    if lut is None:
+        raise ValueError(f"JPEG scan references undefined Huffman table {key}")
+    return lut
+
+
+def _decode_seq_block(reader, zz, pred, dc_lut, ac_lut) -> int:
+    """One sequential (DC+AC) data unit; returns the updated DC predictor."""
+    s = reader.read_symbol(dc_lut)
+    pred += _extend(reader.read_bits(s), s)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.read_symbol(ac_lut)
+        r, sz = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _extend(reader.read_bits(sz), sz)
+        k += 1
+    return pred
+
+
 def _decode_baseline_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
-    """One interleaved baseline scan (Ss=0..Se=63) into the coefficient grids."""
-    luts = scan["luts"]
+    """One sequential scan (Ss=0..Se=63) into the coefficient grids: multi-
+    component scans interleave v×h data units per component over the MCU
+    grid; a single-component scan is NON-interleaved (T.81 A.2.2 — one data
+    unit per MCU, raster order over the component's TRUE block counts, not
+    the MCU-padded grid)."""
+    if len(scan["comps"]) == 1:
+        ci, td, ta = scan["comps"][0]
+        c = comps[ci]
+        dc_lut, ac_lut = _scan_lut(scan, (0, td)), _scan_lut(scan, (1, ta))
+        blocks = [coef[ci][by, bx] for by in range(c["bh"]) for bx in range(c["bw"])]
+        per_chunk = scan["dri"] if scan["dri"] else len(blocks)
+        bi = 0
+        for chunk in scan["chunks"]:
+            if bi >= len(blocks):
+                break
+            reader = _BitReader(chunk)
+            pred = 0
+            for _ in range(min(per_chunk, len(blocks) - bi)):
+                pred = _decode_seq_block(reader, blocks[bi], pred, dc_lut, ac_lut)
+                bi += 1
+        if bi != len(blocks):
+            raise ValueError("JPEG entropy stream ended before all MCUs")
+        return
     n_mcus = mcus_x * mcus_y
     per_chunk = scan["dri"] if scan["dri"] else n_mcus
     mcu = 0
@@ -365,27 +439,16 @@ def _decode_baseline_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
             my, mx = divmod(mcu, mcus_x)
             for ci, td, ta in scan["comps"]:
                 c = comps[ci]
-                dc_lut, ac_lut = luts[(0, td)], luts[(1, ta)]
+                dc_lut, ac_lut = _scan_lut(scan, (0, td)), _scan_lut(scan, (1, ta))
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
-                        s = reader.read_symbol(dc_lut)
-                        pred[ci] += _extend(reader.read_bits(s), s)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(ac_lut)
-                            r, sz = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows block")
-                            zz[k] = _extend(reader.read_bits(sz), sz)
-                            k += 1
+                        pred[ci] = _decode_seq_block(
+                            reader,
+                            coef[ci][my * c["v"] + by, mx * c["h"] + bx],
+                            pred[ci],
+                            dc_lut,
+                            ac_lut,
+                        )
             mcu += 1
     if mcu != n_mcus:
         raise ValueError("JPEG entropy stream ended before all MCUs")
@@ -417,7 +480,7 @@ def _decode_progressive_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
                         for bx in range(c["h"]):
                             zz = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
                             if ah == 0:  # first DC scan
-                                s = reader.read_symbol(luts[(0, td)])
+                                s = reader.read_symbol(_scan_lut(scan, (0, td)))
                                 pred[ci] += _extend(reader.read_bits(s), s)
                                 zz[0] = pred[ci] << al
                             else:  # DC refinement: one raw bit
@@ -432,7 +495,7 @@ def _decode_progressive_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
         raise ValueError("progressive AC scan must be single-component")
     ci, _td, ta = scan["comps"][0]
     c = comps[ci]
-    ac_lut = luts[(1, ta)]
+    ac_lut = _scan_lut(scan, (1, ta))
     blocks = [
         coef[ci][by, bx] for by in range(c["bh"]) for bx in range(c["bw"])
     ]

@@ -510,9 +510,11 @@ SNIFF_SCHEMA = (
 def sniff_media_features(df: DataFrame) -> DataFrame:
     """Mixed-format media scan: a real lake's payload column is never one
     format, so the decode stage DISPATCHES on magic bytes per row — PPM/PGM/
-    PNG/BMP → image features (geometry + integer-luma brightness), WAV → audio
-    features (duration + rms), AVI → video features (geometry + duration) —
-    into one unified nullable feature schema with a ``modality`` tag.
+    PNG/GIF/JPEG/BMP → image features (geometry + integer-luma brightness),
+    WAV → audio features (duration + rms), AVI → video features (geometry +
+    duration) — into one unified nullable feature schema with a ``modality``
+    tag (the dispatch kernel is ``_profile_row``, shared with the fused
+    ingest profile).
     Unrecognized payloads land as modality='unknown' and recognized-but-
     undecodable ones (truncated header, compressed codec) as 'corrupt' —
     quarantine rows, not exceptions: one exotic file must not kill a 100 TB
@@ -525,41 +527,19 @@ def sniff_media_features(df: DataFrame) -> DataFrame:
     stages it composes."""
 
     def _sniff(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import math
-
         import pandas as pd
 
-        from kda_flink_demo_spark.operators.llm import imaging
-
-        def row(b: bytes):
-            try:
-                if (
-                    b[:2] in (b"P6", b"P5")
-                    or b[:2] == b"BM"
-                    or b[:2] == b"\xff\xd8"
-                    or b[:8] == imaging.PNG_SIGNATURE
-                    or b[:6] in (b"GIF87a", b"GIF89a")
-                ):
-                    w, h, c, px = imaging.decode_image(b)
-                    mean = imaging.grayscale_mean(px)
-                    return ("image", w, h, c, None, math.floor(mean * 1e4 + 0.5) / 1e4, None)
-                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    sr, nf, ch, samples = imaging.decode_wav(b)
-                    dur = math.floor(nf / sr * 1e4 + 0.5) / 1e4 if sr else None
-                    return ("audio", None, None, ch, dur, None, imaging.rms_of(samples))
-                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    w, h, fps, frames = imaging.decode_avi(b)
-                    dur = math.floor(len(frames) / fps * 1e4 + 0.5) / 1e4 if fps else None
-                    return ("video", w, h, 3, dur, None, None)
-            except Exception:  # noqa: BLE001 — quarantine, never kill the scan
-                return ("corrupt", None, None, None, None, None, None)
-            return ("unknown", None, None, None, None, None, None)
+        from kda_flink_demo_spark.operators.llm.multimodal import _profile_row
 
         for pdf in batches:
             recs = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                m, w, h, c, dur, bright, rms = row(b)
+                # ONE dispatch kernel for sniff and the fused profile
+                # (want_bits=False skips the fingerprint math) — the two
+                # operators stay identical by construction, not by parallel
+                # maintenance (round-10 review finding)
+                m, w, h, c, dur, bright, rms, _ = _profile_row(b, want_bits=False)
                 recs.append((int(doc_id), m, w, h, c, dur, bright, rms, len(b)))
             out = pd.DataFrame(
                 recs,
@@ -582,12 +562,15 @@ def sniff_media_features(df: DataFrame) -> DataFrame:
 PROFILE_SCHEMA = SNIFF_SCHEMA + ", ahash long"
 
 
-def _profile_row(b: bytes):
+def _profile_row(b: bytes, want_bits: bool = True):
     """One payload → (modality, width, height, channels, duration_sec,
-    brightness, rms, fingerprint-bits|None): the fused dispatch-decode-once
-    kernel body. Module-level (not a worker closure) so the quarantine
-    contract — ANY byte string yields a row, never an exception — is
-    driver-side fuzzable (hypothesis over arbitrary/corrupted payloads)."""
+    brightness, rms, fingerprint-bits|None): the ONE dispatch-decode-once
+    kernel body behind both ``sniff_media_features`` (``want_bits=False`` —
+    features only, no fingerprint math) and ``media_ingest_profile``, so the
+    two operators cannot drift apart format-by-format. Module-level (not a
+    worker closure) so the quarantine contract — ANY byte string yields a
+    row, never an exception — is driver-side fuzzable (hypothesis over
+    arbitrary/corrupted payloads)."""
     import math
 
     from kda_flink_demo_spark.operators.llm import imaging
@@ -610,7 +593,7 @@ def _profile_row(b: bytes):
             return (
                 "image", w, h, c, None,
                 math.floor(mean * 1e4 + 0.5) / 1e4, None,
-                image_bits_from_pixels(px, c),
+                image_bits_from_pixels(px, c) if want_bits else None,
             )
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             sr, nf, ch, samples = imaging.decode_wav(b)
@@ -618,12 +601,12 @@ def _profile_row(b: bytes):
             return (
                 "audio", None, None, ch, dur, None,
                 imaging.rms_of(samples),
-                audio_bits_from_samples(samples),
+                audio_bits_from_samples(samples) if want_bits else None,
             )
         if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
             w, h, fps, frames = imaging.decode_avi(b)
             dur = math.floor(len(frames) / fps * 1e4 + 0.5) / 1e4 if fps else None
-            bits = video_bits_from_frames(frames) if frames else None
+            bits = video_bits_from_frames(frames) if frames and want_bits else None
             return ("video", w, h, 3, dur, None, None, bits)
     except Exception:  # noqa: BLE001 — quarantine, never kill the scan
         return ("corrupt", None, None, None, None, None, None, None)

@@ -276,6 +276,80 @@ def test_decode_image_dispatches_jpeg():
 
 
 # ---------------------------------------------------------------------------
+# Spec-validity regressions (round-10 review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    they must not be taken as the marker code."""
+    px = np.full((16, 16), 123, dtype=np.uint8)
+    b = jpeg.encode_jpeg_gray(px)
+    i = b.index(b"\xff\xdb")  # pad before DQT and before SOS
+    b2 = b[:i] + b"\xff\xff\xff" + b[i:]
+    j = b2.index(b"\xff\xda")
+    b3 = b2[:j] + b"\xff" + b2[j:]
+    assert np.array_equal(jpeg.decode_jpeg(b3)[3][:, :, 0], px)
+
+
+def test_noninterleaved_sequential_scans_decode_correctly():
+    """A spec-valid sequential JPEG may write each component in its OWN scan
+    (non-interleaved: one data unit per MCU, raster order over the
+    component's true block counts). Build the 4:2:0 flat color file as three
+    single-component scans and require pixel equality with the interleaved
+    twin."""
+    yv, cbv, crv = 120, 90, 180
+    dc = jpeg._encode_huffman(jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS)
+    ac = jpeg._encode_huffman(jpeg._AC_LUM_BITS, jpeg._AC_LUM_VALS)
+
+    def scan_bytes(n_blocks: int, dcv: int) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for _ in range(n_blocks):
+            diff = dcv - 128 - pred
+            s = 0 if diff == 0 else int(abs(diff)).bit_length()
+            ln, code = dc[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            pred = dcv - 128
+            ln, code = ac[0x00]
+            bw.put(code, ln)
+        return bw.bytes().replace(b"\xff", b"\xff\x00")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    q = np.full(64, 8, dtype=np.uint8)
+    out = b"\xff\xd8" + seg(0xDB, bytes([0]) + q.tobytes())
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(jpeg._DC_LUM_BITS) + bytes(jpeg._DC_LUM_VALS)
+        + bytes([0x10]) + bytes(jpeg._AC_LUM_BITS) + bytes(jpeg._AC_LUM_VALS),
+    )
+    # Y: 2x2 = 4 blocks in ITS OWN scan; then Cb; then Cr (1 block each)
+    for cid, n_blocks, v in [(1, 4, yv), (2, 1, cbv), (3, 1, crv)]:
+        out += seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0])) + scan_bytes(n_blocks, v)
+    out += b"\xff\xd9"
+    w, h, c, px = jpeg.decode_jpeg(out)
+    assert (w, h, c) == (16, 16, 3)
+    assert np.array_equal(px, jpeg.decode_jpeg(_color_jpeg_flat(yv, cbv, crv))[3])
+
+
+def test_oversized_bit_read_raises_not_garbage():
+    """A corrupt DHT can define magnitude values past any legal width; the
+    bit reader must error rather than silently drop high bits."""
+    r = jpeg._BitReader(b"\xaa" * 8)
+    with pytest.raises(ValueError, match="width"):
+        r.read_bits(26)
+
+
+# ---------------------------------------------------------------------------
 # Motion-JPEG AVI: a compressed VIDEO codec through the pure decode path
 # ---------------------------------------------------------------------------
 
