@@ -332,14 +332,37 @@ def test_profile_row_never_raises_property():
         wf.setframerate(8000)
         wf.writeframes(b"\x00\x10" * 256)
     real_wav = buf.getvalue()
-    reals = [real_img, real_avi, real_wav]
-    magics = [b"P6", b"P5", b"BM", b"RIFF", b"RIFF1234WAVE", b"RIFF1234AVI "]
+    # round-10 formats: corruptions must quarantine through the NEW decoders
+    # too (PNG incl. interlace+palette, GIF/LZW, baseline + progressive JPEG,
+    # Motion-JPEG AVI, G.711)
+    from kda_flink_demo_spark.operators.llm import jpeg as _jpeg
+
+    pal = np.array([[45] * 3, [205] * 3], dtype=np.uint8)
+    real_png = imaging.encode_png(
+        big[:, :, None], color_type=3, palette=pal, filter_per_row=True, interlace=True
+    )
+    real_gif = imaging.encode_gif([(big > 128).astype(np.uint8)], pal, interlace=True)
+    big8 = np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1).astype(np.uint8)
+    real_jpg = _jpeg.encode_jpeg_gray(big8, dri=2)
+    real_pjpg = _jpeg.encode_jpeg_gray(big8, progressive=True)
+    real_mjpg = imaging.encode_avi_mjpeg([big8, 255 - big8], fps=10)
+    real_g711 = imaging.encode_wav_g711(
+        np.repeat(np.array([3000, 300] * 32, dtype=np.int64), 32), "ulaw"
+    )
+    reals = [
+        real_img, real_avi, real_wav,
+        real_png, real_gif, real_jpg, real_pjpg, real_mjpg, real_g711,
+    ]
+    magics = [
+        b"P6", b"P5", b"BM", b"RIFF", b"RIFF1234WAVE", b"RIFF1234AVI ",
+        imaging.PNG_SIGNATURE, b"GIF89a", b"\xff\xd8", b"\xff\xd8\xff\xc2",
+    ]
 
     @settings(max_examples=300, deadline=None)
     @given(
         mode=st.sampled_from(["noise", "truncate", "corrupt", "magic+noise"]),
         data=st.binary(min_size=0, max_size=64),
-        pick=st.integers(min_value=0, max_value=2),
+        pick=st.integers(min_value=0, max_value=8),
         cut=st.integers(min_value=0, max_value=4200),
         pos=st.integers(min_value=0, max_value=4200),
     )
