@@ -714,6 +714,110 @@ def encode_wav_g711(samples16: np.ndarray, law: str, sr: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA-ADPCM (G.726-family) tables: per-nibble step-index delta and the
+# 89-entry quantizer step ladder
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA-ADPCM nibble → (new predictor, new step index)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble])))
+    return pred, index
+
+
+def encode_wav_ima_adpcm(samples16: np.ndarray, sr: int = 8000, block_align: int = 256) -> bytes:
+    """PCM16 samples → a mono IMA-ADPCM RIFF/WAVE (fmt tag 0x11): per block,
+    a 4-byte header (first sample verbatim + step index) then 4-bit nibbles,
+    each chosen greedily against the decoder's own reconstruction — the
+    test/corpus inverse of ``_decode_wav_adpcm``."""
+    vals = samples16.astype(np.int64)
+    spb = (block_align - 4) * 2 + 1  # header sample + 2 nibbles/byte
+    out = bytearray()
+    index = 0
+    i = 0
+    while i < len(vals):
+        block = vals[i : i + spb]
+        i += spb
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for v in block[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(v) - pred
+            n = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            pred, index = _ima_step(pred, index, n)
+            nibbles.append(n)
+        nibbles += [0] * (-len(nibbles) % 2)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        out += b"\x00" * (block_align - 4 - len(nibbles) // 2)
+    fact = struct.pack("<I", len(vals))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sr, sr * block_align // spb, block_align, 4, 2, spb)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_adpcm(b: bytes, block_align: int, n_samples: int | None) -> np.ndarray:
+    """Mono IMA-ADPCM data blocks → float64 samples in [-1, 1): per block the
+    4-byte header carries the first sample and step index, then two nibbles
+    per byte (low first) through the adaptive quantizer."""
+    off = 12
+    data = None
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        size = struct.unpack_from("<I", b, off + 4)[0]
+        if cid == b"data":
+            data = b[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("ADPCM WAV missing data chunk")
+    out: list[int] = []
+    for boff in range(0, len(data) - 3, block_align):
+        block = data[boff : boff + block_align]
+        pred, index = struct.unpack_from("<hB", block, 0)
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_step(pred, index, nibble)
+                out.append(pred)
+    if n_samples is not None:
+        out = out[:n_samples]
+    return np.array(out, dtype=np.float64) / 32768.0
+
+
 def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """Manual RIFF walk for the codecs stdlib ``wave`` refuses: G.711 fmt
     tag 6 (A-law) / 7 (μ-law) — 8-bit companded samples expanded through the
@@ -721,6 +825,8 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     (tag 3, 32- or 64-bit), which is already normalized samples on disk."""
     off = 12
     tag = ch = sr = bits = None
+    block_align = 0
+    n_samples = None
     data = None
     while off + 8 <= len(b):
         cid = b[off : off + 4]
@@ -728,12 +834,17 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
         body = b[off + 8 : off + 8 + size]
         if cid == b"fmt ":
             tag, ch, sr = struct.unpack_from("<HHI", body, 0)
-            bits = struct.unpack_from("<H", body, 14)[0]
+            block_align, bits = struct.unpack_from("<HH", body, 12)
+        elif cid == b"fact":
+            n_samples = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             data = body
         off += 8 + size + (size & 1)
     if data is None or not ch:
         raise ValueError("WAV missing fmt/data chunks")
+    if tag == 0x11 and ch == 1 and block_align >= 8:  # mono IMA-ADPCM
+        samples = _decode_wav_adpcm(b, block_align, n_samples)
+        return sr, len(samples), 1, samples
     if tag == 3 and bits in (32, 64):
         dt = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(data[: len(data) // (bits // 8) * (bits // 8)], dtype=dt).astype(
@@ -745,7 +856,7 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     else:
         raise NotImplementedError(
             "non-PCM WAV codec requires librosa/soundfile (pure path reads "
-            "integer PCM, IEEE float, and G.711 mu-law/A-law)"
+            "integer PCM, IEEE float, G.711 mu-law/A-law, and mono IMA-ADPCM)"
         )
     return sr, len(samples) // ch, ch, samples
 

@@ -78,9 +78,11 @@ def _synth_width_payload(d: int) -> bytes:
         [(synth_media.audio_pattern(d) >> (63 - k)) & 1 for k in range(64)],
         dtype=np.uint8,
     )
-    m6 = d % 6
+    m6 = d % 7
     if m6 >= 4:
         vals = np.repeat(np.where(bits == 1, 3000 * s, 300 * s).astype(np.int64), 32)
+        if m6 == 6:
+            return imaging.encode_wav_ima_adpcm(vals)
         return imaging.encode_wav_g711(vals, "ulaw" if m6 == 4 else "alaw")
     sw = m6 + 1
     hi, lo = AMPS[sw]
@@ -104,7 +106,7 @@ def _synth_width_payload(d: int) -> bytes:
 def test_every_width_fingerprints_to_the_designed_pattern():
     for d in range(0, 120):
         got = int(pack_bits_i64(audio_hash_bits(_synth_width_payload(d))[None, :])[0])
-        assert got & (2**64 - 1) == synth_media.audio_pattern(d), (d, d % 6)
+        assert got & (2**64 - 1) == synth_media.audio_pattern(d), (d, d % 7)
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +166,54 @@ def test_ieee_float_wav_decodes_verbatim(bits, dt):
     assert np.array_equal(out, vals.astype(np.float64))
 
 
-def test_adpcm_fmt_tag_gates_naming_librosa():
-    """MS-ADPCM (fmt tag 2): stdlib wave refuses it and the manual walk must
-    gate honestly rather than misparse."""
+def test_ms_adpcm_fmt_tag_gates_naming_librosa():
+    """MS-ADPCM (fmt tag 2, a DIFFERENT predictor family from IMA): stdlib
+    wave refuses it and the manual walk must gate honestly, not misparse."""
     with pytest.raises(NotImplementedError, match="librosa"):
         imaging.decode_wav(_raw_wav(2, 4, bytes(16)))
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM (fmt tag 0x11): adaptive 4-bit quantization, block headers
+# ---------------------------------------------------------------------------
+
+
+def test_ima_nibble_codec_matches_audioop_exactly():
+    """External pin: decode audioop's own IMA/DVI nibble stream with our
+    step function — every reconstructed sample must match audioop's decoder
+    bit-for-bit (same tables, same clamping, same index walk)."""
+    audioop = pytest.importorskip("audioop")
+    t = np.arange(2048)
+    s16 = (9000 * np.sin(t / 17) + 2500 * np.sin(t / 5)).astype("<i2")
+    adp, _ = audioop.lin2adpcm(s16.tobytes(), 2, None)
+    ref = np.frombuffer(audioop.adpcm2lin(adp, 2, None)[0], dtype="<i2")
+    pred, index = 0, 0
+    ours = []
+    for byte in adp:  # audioop packs the HIGH nibble first
+        for nib in (byte >> 4, byte & 0x0F):
+            pred, index = imaging._ima_step(pred, index, nib)
+            ours.append(pred)
+    assert np.array_equal(np.array(ours[: len(ref)]), ref)
+
+
+def test_ima_adpcm_container_roundtrip_bounded():
+    t = np.arange(4096)
+    s16 = (10000 * np.sin(t / 20) + 3000 * np.sin(t / 7)).astype(np.int64)
+    sr, nf, ch, out = imaging.decode_wav(imaging.encode_wav_ima_adpcm(s16))
+    assert (sr, nf, ch) == (8000, 4096, 1)
+    # adaptive quantization tracks a smooth waveform within ~few steps
+    assert float(np.sqrt(np.mean((out * 32768 - s16) ** 2))) < 600
+
+
+def test_ima_adpcm_sniff_routes_as_audio(spark):
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    vals = np.repeat(np.array([3000, 300] * 32, dtype=np.int64), 32)
+    df = spark.createDataFrame(
+        [(0, imaging.encode_wav_ima_adpcm(vals))], "doc_id long, payload binary"
+    )
+    [r] = sniff_media_features(df).collect()
+    assert (r["modality"], r["channels"]) == ("audio", 1)
 
 
 def test_synth_wavs_widths_kernel_matches_local_replica(spark):
