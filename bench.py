@@ -239,6 +239,13 @@ for _b, _consumers in _BUILD_BEFORE.items():
             f"bench ordering: build query {_b} must precede consumer {_c}"
         )
 
+# Deliberate quadratic exact baselines (r10 VERDICT directive 6): they exist
+# to VERIFY their scale twins (dedup_minhash_lsh / dedup_simhash), pay the
+# all-pairs cost by design, and grow with fixture size — so they are benched
+# but reported in a separate `verification_baselines` bucket and EXCLUDED from
+# the headline total, which must track scale-path queries only.
+VERIFICATION_BASELINES = {"dedup_ngram_jaccard", "dedup_simhash_report"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -306,7 +313,10 @@ def main() -> None:
     try:
         with open(prior_path) as f:
             prior = json.load(f)
-        prior_times = prior.get("queries", {})
+        # priors before the r11 schema split kept the verification baselines
+        # inside "queries"; after it they live in their own bucket — merge so
+        # outlier detection covers both either way
+        prior_times = {**prior.get("queries", {}), **prior.get("verification_baselines", {})}
         prior_calib = prior.get("calib_sec")
         calib_comparable = (
             calib_sec is not None
@@ -343,6 +353,8 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — the original row stands
                 pass
 
+    baseline_times = {n: t for n, t in times.items() if n in VERIFICATION_BASELINES}
+    times = {n: t for n, t in times.items() if n not in VERIFICATION_BASELINES}
     total = round(sum(times.values()), 3)
 
     # flagship throughput: events rows/sec through the tumbling windowed count
@@ -364,10 +376,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "verification_baselines": baseline_times,
                 "errors": errs,
                 "sf": float(sf),
                 "flagship_rows_per_sec": flagship_rps,
                 "n_queries": len(times),
+                "n_verification_baselines": len(baseline_times),
                 "n_errors": len(errs),
                 "runs_per_query": 2,
                 "calib_sec": calib_sec,
@@ -387,6 +401,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(times),
+                "verification_baselines": baseline_times,
                 "n_errors": len(errs),
                 "err_names": sorted(errs)[:5],
                 "runs_per_query": 2,

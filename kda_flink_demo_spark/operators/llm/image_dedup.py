@@ -431,11 +431,24 @@ def audio_near_dup_pairs(
     return hash_near_dup_pairs(hashes, max_hamming=max_hamming)
 
 
+VIDEO_MAX_FRAMES = 9
+"""Default bounded frame sample for the video fingerprint: ODD (a majority
+vote over an odd count can't tie) and small enough that per-video decode cost
+is a constant, not O(duration) — the r10 scale finding was that the per-frame
+JPEG entropy decode is the heaviest per-row kernel in the repo, so an unbounded
+per-frame walk is dishonest at video-lake scale. Sampling follows
+``imaging.sample_frame_indices`` (deterministic, evenly spaced, pinned), and
+videos with <= 9 frames hash ALL frames — identical to the unbounded
+fingerprint, which keeps every existing oracle/index bit-for-bit unchanged.
+Pass ``max_frames=None`` for the exact full-majority fingerprint."""
+
+
 def video_ahash(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     stride: int = 1,
+    max_frames: int | None = VIDEO_MAX_FRAMES,
 ) -> DataFrame:
     """(id, AVI payload) → (doc_id, ahash): a 64-bit video fingerprint — the
     MAJORITY of the sampled frames' canonical aHash bits (bit b set iff more
@@ -443,14 +456,19 @@ def video_ahash(
     fingerprint robust to a minority of outlier frames (intro cards, corrupt
     frames, scene bumpers) while re-encodes/brightness shifts of the same
     footage collide exactly — the temporal analogue of the image mean
-    threshold. Pure RIFF/AVI decode; compressed codecs raise the honest
-    NotImplementedError naming pyav/ffmpeg. Rides the shared quarter-blocked
-    pair/gate machinery like every (doc_id, ahash) table."""
+    threshold. Per-video cost is BOUNDED: only the ``max_frames`` sampled
+    frame chunks are decoded (container walk stays cheap), so an hour of
+    footage costs the same decode work as a clip. Pure RIFF/AVI decode;
+    compressed codecs raise the honest NotImplementedError naming
+    pyav/ffmpeg. Rides the shared quarter-blocked pair/gate machinery like
+    every (doc_id, ahash) table."""
     if stride < 1:
         # fail at plan-construction time on the driver: stride=0 would die
         # deep inside the Arrow worker with an opaque 'slice step cannot be
         # zero', and a negative stride silently reverses frame order (advice)
         raise ValueError(f"stride must be >= 1, got {stride}")
+    if max_frames is not None and max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1 or None, got {max_frames}")
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -460,7 +478,7 @@ def video_ahash(
             n = len(pdf)
             bitmat = np.zeros((n, 64), dtype=np.uint8)
             for i, b in enumerate(pdf[payload_col]):
-                bitmat[i] = video_hash_bits(bytes(b), stride=stride)
+                bitmat[i] = video_hash_bits(bytes(b), stride=stride, max_frames=max_frames)
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "ahash": pd.Series(pack_bits_i64(bitmat), dtype="int64")}
             )
@@ -468,11 +486,16 @@ def video_ahash(
     return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
 
 
-def video_hash_bits(b: bytes, stride: int = 1) -> "np.ndarray":
-    """One AVI payload → its uint8[64] temporal-majority fingerprint bits."""
+def video_hash_bits(
+    b: bytes, stride: int = 1, max_frames: int | None = VIDEO_MAX_FRAMES
+) -> "np.ndarray":
+    """One AVI payload → its uint8[64] temporal-majority fingerprint bits
+    (decoding only the pinned bounded frame sample)."""
     from kda_flink_demo_spark.operators.llm import imaging
 
-    return video_bits_from_frames(imaging.decode_avi(b)[3][::stride])
+    return video_bits_from_frames(
+        imaging.decode_avi_sampled(b, stride=stride, max_frames=max_frames)[4]
+    )
 
 
 def video_bits_from_frames(frames: list) -> "np.ndarray":

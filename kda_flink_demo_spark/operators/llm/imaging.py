@@ -931,15 +931,16 @@ def _bgr_rows_to_rgb(data: bytes, w: int, h: int, bottom_up: bool = True) -> np.
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
-def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
-    """bytes → (width, height, fps, [uint8 (h, w, 3) RGB frames]).
-
-    Minimal RIFF/AVI reader for UNCOMPRESSED 24-bit DIB video ('00db'/'00dc'
-    chunks with BI_RGB data) and MOTION-JPEG ('MJPG' biCompression — every
-    frame chunk is a standalone JPEG through ``decode_jpeg``, grayscale
-    frames expanded to RGB), completing the modality set next to the image
-    and audio codecs. Other codecs raise NotImplementedError naming the
-    library that would handle them, keeping the gate honest."""
+def _parse_avi(b: bytes):
+    """RIFF/AVI container walk WITHOUT frame decoding: returns
+    (width, height, fps, chunk_ranges, decode_one) where chunk_ranges is the
+    [(start, end)] byte range of every video frame chunk in stream order and
+    decode_one(i) decodes exactly chunk i to an RGB frame. Locating frame
+    chunks is O(container bytes) string scanning; the expensive work (JPEG
+    entropy decode / DIB unpack) happens only for the chunks a caller asks
+    for — that is what makes bounded frame SAMPLING a real cost cap on long
+    videos. Codec gates still fire at parse time (an unsupported codec must
+    raise even if the caller would sample zero frames)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise NotImplementedError(
             "non-AVI video payload requires pyav/ffmpeg (pure-python path "
@@ -952,7 +953,7 @@ def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
     expect_video_strf = False
     v_w = v_h = None  # the vids stream's OWN strf geometry (authoritative)
     bpp = compression = None
-    frames: list[np.ndarray] = []
+    chunk_ranges: list[tuple[int, int]] = []
 
     def walk(off: int, end: int) -> None:
         nonlocal width, height, usec_per_frame, n_streams, video_stream
@@ -981,45 +982,99 @@ def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
                 bpp, v_w, v_h = bpp_v, w_v, h_v
                 expect_video_strf = False
             elif cid[2:4] in (b"db", b"dc") and cid[:2] == video_stream:
-                if compression == 0x47504A4D:  # 'MJPG': each chunk is a JPEG
-                    from kda_flink_demo_spark.operators.llm import jpeg
-
-                    _fw, _fh, fc, px = jpeg.decode_jpeg(b[body:body_end])
-                    frames.append(px if fc == 3 else np.repeat(px, 3, axis=2))
-                    off = body_end + (size & 1)
-                    continue
-                if bpp != 24 or compression != 0:
-                    raise NotImplementedError(
-                        "compressed AVI streams require pyav/ffmpeg (pure "
-                        "path reads uncompressed 24-bit DIB and Motion-JPEG)"
-                    )
-                # decode with the vids stream's strf geometry (BMP semantics:
-                # positive height ⇒ bottom-up rows), falling back to avih dims
-                fw = v_w if v_w else width
-                fh = abs(v_h) if v_h else height
-                frames.append(
-                    _bgr_rows_to_rgb(
-                        b[body:body_end], fw, fh, bottom_up=(v_h is None or v_h > 0)
-                    )
-                )
+                chunk_ranges.append((body, body_end))
             off = body_end + (size & 1)  # RIFF chunks pad to even offsets
 
     walk(12, len(b))
     if width is None:
         raise ValueError("AVI missing avih main header")
+    if chunk_ranges and compression not in (0, 0x47504A4D):
+        raise NotImplementedError(
+            "compressed AVI streams require pyav/ffmpeg (pure "
+            "path reads uncompressed 24-bit DIB and Motion-JPEG)"
+        )
     fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
-    return width, height, fps, frames
+
+    def decode_one(i: int) -> np.ndarray:
+        body, body_end = chunk_ranges[i]
+        if compression == 0x47504A4D:  # 'MJPG': each chunk is a JPEG
+            from kda_flink_demo_spark.operators.llm import jpeg
+
+            _fw, _fh, fc, px = jpeg.decode_jpeg(b[body:body_end])
+            return px if fc == 3 else np.repeat(px, 3, axis=2)
+        if bpp != 24:
+            raise NotImplementedError(
+                "compressed AVI streams require pyav/ffmpeg (pure "
+                "path reads uncompressed 24-bit DIB and Motion-JPEG)"
+            )
+        # decode with the vids stream's strf geometry (BMP semantics:
+        # positive height ⇒ bottom-up rows), falling back to avih dims
+        fw = v_w if v_w else width
+        fh = abs(v_h) if v_h else height
+        return _bgr_rows_to_rgb(
+            b[body:body_end], fw, fh, bottom_up=(v_h is None or v_h > 0)
+        )
+
+    return width, height, fps, chunk_ranges, decode_one
 
 
-def encode_avi_mjpeg(gray_frames: list[np.ndarray], fps: int = 10) -> bytes:
+def decode_avi(b: bytes) -> tuple[int, int, float, list[np.ndarray]]:
+    """bytes → (width, height, fps, [uint8 (h, w, 3) RGB frames]).
+
+    Minimal RIFF/AVI reader for UNCOMPRESSED 24-bit DIB video ('00db'/'00dc'
+    chunks with BI_RGB data) and MOTION-JPEG ('MJPG' biCompression — every
+    frame chunk is a standalone JPEG through ``decode_jpeg``, grayscale
+    frames expanded to RGB), completing the modality set next to the image
+    and audio codecs. Other codecs raise NotImplementedError naming the
+    library that would handle them, keeping the gate honest."""
+    width, height, fps, chunk_ranges, decode_one = _parse_avi(b)
+    return width, height, fps, [decode_one(i) for i in range(len(chunk_ranges))]
+
+
+def sample_frame_indices(n: int, stride: int = 1, max_frames: int | None = None) -> list[int]:
+    """The PINNED frame-sampling rule shared by every bounded video kernel
+    (and mirrored in oracle closed forms): stride first (indices 0, stride,
+    2*stride, ...), then if more than ``max_frames`` remain keep the
+    ``max_frames`` evenly-spaced survivors idx[floor(j*L/k)] for j in 0..k-1
+    (strictly increasing for L > k, always including frame 0). Deterministic,
+    no RNG — the same payload samples the same frames on every executor, so
+    standing indexes and probes stay bit-identical."""
+    idx = list(range(0, n, stride))
+    length = len(idx)
+    if max_frames is not None and length > max_frames:
+        idx = [idx[(j * length) // max_frames] for j in range(max_frames)]
+    return idx
+
+
+def decode_avi_sampled(
+    b: bytes, stride: int = 1, max_frames: int | None = None
+) -> tuple[int, int, float, int, list[np.ndarray]]:
+    """bytes → (width, height, fps, TOTAL frame count, sampled decoded
+    frames). The container walk locates every frame chunk (cheap), but only
+    the ``sample_frame_indices`` selection is actually decoded — the cost cap
+    that keeps per-video work bounded on hour-long footage while geometry,
+    fps and duration (total count / fps) stay exact."""
+    width, height, fps, chunk_ranges, decode_one = _parse_avi(b)
+    n = len(chunk_ranges)
+    frames = [decode_one(i) for i in sample_frame_indices(n, stride, max_frames)]
+    return width, height, fps, n, frames
+
+
+def encode_avi_mjpeg(gray_frames: list[np.ndarray], fps: int = 10, repeat: int = 1) -> bytes:
     """[(h, w) uint8 grayscale] → Motion-JPEG RIFF AVI bytes: every frame is
     a standalone baseline JPEG in a '00dc' chunk, strf biCompression 'MJPG'
     (``decode_avi``'s compressed-path inverse; used by tests and the
-    synthetic media corpus)."""
+    synthetic media corpus). ``repeat`` tiles the frame CYCLE that many times
+    in the movi list (each distinct frame JPEG-encoded once, its chunk bytes
+    reused) — long-footage fixtures for the bounded-sampling scale probes
+    without O(total frames) encode cost; a decoder sees an ordinary
+    ``len(gray_frames) * repeat``-frame stream."""
     from kda_flink_demo_spark.operators.llm import jpeg
 
     if not gray_frames:
         raise ValueError("need at least one frame")
+    if repeat < 1:
+        raise ValueError(f"repeat must be >= 1, got {repeat}")
     h, w = gray_frames[0].shape[0], gray_frames[0].shape[1]
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -1029,15 +1084,16 @@ def encode_avi_mjpeg(gray_frames: list[np.ndarray], fps: int = 10) -> bytes:
         return chunk(b"LIST", ltype + body)
 
     payloads = [jpeg.encode_jpeg_gray(f) for f in gray_frames]
+    n_frames = len(payloads) * repeat
     max_sz = max(len(p) for p in payloads)
     avih = struct.pack(
         "<IIIIIIIIII4I",
-        1_000_000 // fps, max_sz * fps, 0, 0x10, len(payloads), 0, 1,
+        1_000_000 // fps, max_sz * fps, 0, 0x10, n_frames, 0, 1,
         max_sz, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n_frames,
         max_sz, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D, max_sz, 0, 0, 0, 0)
@@ -1045,7 +1101,7 @@ def encode_avi_mjpeg(gray_frames: list[np.ndarray], fps: int = 10) -> bytes:
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads) * repeat
     riff_body = b"AVI " + hdrl + lst(b"movi", movi_body)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 

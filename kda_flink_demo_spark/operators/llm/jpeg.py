@@ -107,6 +107,35 @@ def _encode_huffman(bits: list[int], values: list[int]) -> dict[int, tuple[int, 
     return {v: (ln, c) for (ln, c), v in _build_huffman(bits, values).items()}
 
 
+# Cross-payload memos keyed on table CONTENTS (raw BITS/HUFFVAL bytes): a
+# media scan decodes thousands of frames that share the handful of Annex-K
+# tables, and rebuilding the dict + 65536-entry LUT per frame was ~17% of a
+# flat-corpus decode. Content keys make sharing exact (never id()-based — see
+# decode_jpeg's per-stream cache note); the bound only guards a pathological
+# corpus with unbounded distinct tables.
+_HUFF_MEMO: dict[tuple[bytes, bytes], dict[tuple[int, int], int]] = {}
+_LUT_MEMO: dict[tuple[bytes, bytes], tuple[bytes, bytes]] = {}
+_MEMO_BOUND = 512
+
+
+def _build_huffman_cached(key: tuple[bytes, bytes]) -> dict[tuple[int, int], int]:
+    tbl = _HUFF_MEMO.get(key)
+    if tbl is None:
+        if len(_HUFF_MEMO) >= _MEMO_BOUND:
+            _HUFF_MEMO.clear()
+        tbl = _HUFF_MEMO[key] = _build_huffman(list(key[0]), list(key[1]))
+    return tbl
+
+
+def _huffman_lut_cached(key: tuple[bytes, bytes]) -> tuple[bytes, bytes]:
+    lut = _LUT_MEMO.get(key)
+    if lut is None:
+        if len(_LUT_MEMO) >= _MEMO_BOUND:
+            _LUT_MEMO.clear()
+        lut = _LUT_MEMO[key] = _huffman_lut(_build_huffman_cached(key))
+    return lut
+
+
 def _huffman_lut(table: dict[tuple[int, int], int]) -> tuple[bytes, bytes]:
     """Canonical table → (sym[65536], len[65536]) max-code-length lookup as
     ``bytes`` (byte indexing is a plain-int fetch — the entropy loop is the
@@ -229,7 +258,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
     dri = 0
     progressive = False
     scans: list[dict] = []
-    lut_cache: dict[int, tuple[bytes, bytes]] = {}
+    # Huffman tables resolve through the CONTENT-keyed module memos (raw
+    # BITS/HUFFVAL bytes captured at DHT parse time), never id(): a redefined
+    # DHT slot frees the old dict and a later build can reuse its address, so
+    # an id()-keyed cache would silently serve the OLD table's LUT for a
+    # different table — allocator-dependent wrong pixels on multi-DHT
+    # progressive streams.
+    huff_key: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     off = 2
     while off + 4 <= len(b):
         if b[off] != 0xFF:
@@ -260,8 +295,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                huff[(tc, th)] = _build_huffman(bits, vals)
+                ck = (bytes(seg[p + 1 : p + 17]), bytes(seg[p + 17 : p + 17 + n]))
+                huff[(tc, th)] = _build_huffman_cached(ck)
+                huff_key[(tc, th)] = ck
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
@@ -298,7 +334,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
             ):
                 p += 1
             # LUTs only for the tables this scan's components reference,
-            # memoized on table identity — unchanged tables across a
+            # memoized on table contents — unchanged tables across a
             # multi-scan progressive file are expanded once, not per SOS
             needed = set()
             for _ci, td, ta in in_scan:
@@ -306,12 +342,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 needed.add((1, ta))
             scan_luts = {}
             for key in needed:
-                tbl = huff.get(key)
-                if tbl is None:
+                if key not in huff:
                     continue  # e.g. DC-refine scans never read the DC table
-                if id(tbl) not in lut_cache:
-                    lut_cache[id(tbl)] = _huffman_lut(tbl)
-                scan_luts[key] = lut_cache[id(tbl)]
+                scan_luts[key] = _huffman_lut_cached(huff_key[key])
             scans.append(
                 {
                     "comps": in_scan,
@@ -355,8 +388,21 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
         nat = np.zeros_like(zzs)
         nat[:, _ZIGZAG] = zzs
         deq = nat.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
-        # batched exact IDCT: out[n, x, y] = Σ_u Σ_v M[u,x] deq[n,u,v] M[v,y]
-        blocks = np.einsum("ux,nuv,vy->nxy", _IDCT_M, deq.astype(np.float64), _IDCT_M) + 128.0
+        # batched exact IDCT: out[n, x, y] = Σ_u Σ_v M[u,x] deq[n,u,v] M[v,y].
+        # DC-only blocks (the common case in flat regions) skip the einsum via
+        # (M00*d)*M00 — BIT-IDENTICAL to the einsum's single surviving term
+        # (verified exhaustively over every reachable integer deq00 in
+        # ±600000; d/8.0 is NOT: it differs by 1 ulp on most inputs).
+        flat = ~zzs[:, 1:].any(axis=1)
+        m00 = float(_IDCT_M[0, 0])
+        blocks = np.empty((deq.shape[0], 8, 8), dtype=np.float64)
+        blocks[flat] = ((m00 * deq[flat, 0, 0].astype(np.float64)) * m00)[:, None, None]
+        if not flat.all():
+            nonflat = ~flat
+            blocks[nonflat] = np.einsum(
+                "ux,nuv,vy->nxy", _IDCT_M, deq[nonflat].astype(np.float64), _IDCT_M
+            )
+        blocks += 128.0
         by, bx = coef[ci].shape[0], coef[ci].shape[1]
         plane = (
             blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
@@ -464,6 +510,37 @@ def _decode_progressive_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
     if ss == 0:  # DC scan (se must be 0)
         if se != 0:
             raise ValueError("progressive DC scan with Se != 0")
+        if len(scan["comps"]) == 1:
+            # Ns=1 DC scan is NON-interleaved per T.81 A.2.2: one data unit
+            # per MCU, raster order over the component's TRUE block counts
+            # (bh×bw), never the MCU-padded interleaved grid — the grid walk
+            # permutes/miscounts blocks for subsampled components (the
+            # sequential twin of this bug was fixed in _decode_baseline_scan).
+            ci, td, _ta = scan["comps"][0]
+            c = comps[ci]
+            blocks = [
+                coef[ci][by, bx] for by in range(c["bh"]) for bx in range(c["bw"])
+            ]
+            per_chunk = scan["dri"] if scan["dri"] else len(blocks)
+            bi = 0
+            for chunk in scan["chunks"]:
+                if bi >= len(blocks):
+                    break
+                reader = _BitReader(chunk)
+                pred = 0
+                for _ in range(min(per_chunk, len(blocks) - bi)):
+                    zz = blocks[bi]
+                    if ah == 0:  # first DC scan
+                        s = reader.read_symbol(_scan_lut(scan, (0, td)))
+                        pred += _extend(reader.read_bits(s), s)
+                        zz[0] = pred << al
+                    else:  # DC refinement: one raw bit
+                        if reader.read_bits(1):
+                            zz[0] |= 1 << al
+                    bi += 1
+            if bi != len(blocks):
+                raise ValueError("JPEG entropy stream ended before all blocks")
+            return
         n_mcus = mcus_x * mcus_y
         per_chunk = scan["dri"] if scan["dri"] else n_mcus
         mcu = 0
@@ -743,25 +820,33 @@ def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0, progressive: bool = False
             r = 0
             for k in range(1, 64):
                 v = int(zz[k])
-                if abs(v) >= 2:  # history-nonzero: correction bit
-                    pending.append(abs(v) & 1)
-                elif abs(v) == 1:  # newly significant at this Al
-                    while r > 15:
-                        ln, code = ac_tbl[0xF0]
-                        bw.put(code, ln)
-                        for bit in pending:
-                            bw.put(bit, 1)
-                        pending = []
-                        r -= 16
-                    ln, code = ac_tbl[(r << 4) | 1]
+                if v == 0:
+                    r += 1
+                    continue
+                # ANY nonzero flushes pending ZRLs (with the correction bits
+                # buffered so far) FIRST, as libjpeg's encode_mcu_AC_refine
+                # does — buffering a history-nonzero bit across a deferred
+                # ZRL desyncs the stream when >=16 zeros precede it, because
+                # the decoder only reads correction bits for history-nonzero
+                # coefficients it actually crosses during that ZRL's advance.
+                while r > 15:
+                    ln, code = ac_tbl[0xF0]
                     bw.put(code, ln)
-                    bw.put(1 if v > 0 else 0, 1)
                     for bit in pending:
                         bw.put(bit, 1)
                     pending = []
-                    r = 0
-                else:
-                    r += 1
+                    r -= 16
+                if abs(v) >= 2:  # history-nonzero: buffer correction bit
+                    pending.append(abs(v) & 1)
+                    continue
+                # newly significant at this Al
+                ln, code = ac_tbl[(r << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if v > 0 else 0, 1)
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending = []
+                r = 0
             if r > 0 or pending:
                 ln, code = ac_tbl[0x00]  # EOB (run 1)
                 bw.put(code, ln)

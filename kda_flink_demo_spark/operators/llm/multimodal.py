@@ -604,8 +604,17 @@ def _profile_row(b: bytes, want_bits: bool = True):
                 audio_bits_from_samples(samples) if want_bits else None,
             )
         if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-            w, h, fps, frames = imaging.decode_avi(b)
-            dur = math.floor(len(frames) / fps * 1e4 + 0.5) / 1e4 if fps else None
+            # duration comes from the TOTAL chunk count (exact, cheap walk);
+            # only the pinned bounded sample is decoded for the fingerprint —
+            # the same frames video_ahash hashes, so profile fingerprints stay
+            # bit-identical to the standing index's and per-video decode cost
+            # stays constant on long footage
+            from kda_flink_demo_spark.operators.llm.image_dedup import VIDEO_MAX_FRAMES
+
+            w, h, fps, n_frames, frames = imaging.decode_avi_sampled(
+                b, max_frames=VIDEO_MAX_FRAMES if want_bits else 1
+            )
+            dur = math.floor(n_frames / fps * 1e4 + 0.5) / 1e4 if fps else None
             bits = video_bits_from_frames(frames) if frames and want_bits else None
             return ("video", w, h, 3, dur, None, None, bits)
     except Exception:  # noqa: BLE001 — quarantine, never kill the scan

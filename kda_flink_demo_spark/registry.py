@@ -63,17 +63,19 @@ def register(name: str, oracle: str | None, helper: bool = False):
 # stay locally oracle-verified by tests/test_registry_oracle.py regardless.
 _DRIVER_PRIORITY: list[str] = [
     # reference-parity core (windows / projections / aggs / relational) —
-    # the flagship Flink-parity rows stay permanently pinned
-    # Round-10 curation (r09 VERDICT directive 1: drain ALL 41 r06-stale rows
-    # this round): EVERY pin sits out for exactly one round — all seven
-    # ("tumbling_1m", "tumbling_offset_30s", "hopping_2m_1m",
-    # "sliding_range_30m", "projection_json_cast", "ts_parse_fallback",
-    # "filter_predicates") are r09-green — so the window is 9 never-checked
-    # round-10 rows (video_ahash_index_build / video_ingest_gate /
-    # media_ingest_profile / png_ahash_values / png_sniff_features /
-    # wav_width_ahash_values / gif_ahash_values / jpeg_ahash_values /
-    # mjpeg_video_ahash_values, which sort first automatically) + all 41 r06
-    # rows = exactly 50. Re-pin the seven flagships in r11.
+    # the flagship Flink-parity rows stay PERMANENTLY pinned. They sat out
+    # exactly once (round 10, to drain the 41-row r06-stale cohort in one
+    # window); per the r10 VERDICT directive 1 + ADVICE, they are re-pinned
+    # here and must never again all sit out simultaneously — if a future
+    # round ever needs window slots, STAGGER the sit-outs (≥5 of 7 pinned
+    # every round) instead of draining the whole set.
+    "tumbling_1m",
+    "tumbling_offset_30s",
+    "hopping_2m_1m",
+    "sliding_range_30m",
+    "projection_json_cast",
+    "ts_parse_fallback",
+    "filter_predicates",
 ]
 
 _DRIVER_WINDOW = 50

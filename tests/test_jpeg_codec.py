@@ -341,6 +341,183 @@ def test_noninterleaved_sequential_scans_decode_correctly():
     assert np.array_equal(px, jpeg.decode_jpeg(_color_jpeg_flat(yv, cbv, crv))[3])
 
 
+def _put_dc_diff(bw: _BitWriter, tbl, diff: int) -> None:
+    s = 0 if diff == 0 else int(abs(diff)).bit_length()
+    ln, code = tbl[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jfif_rgb(yv: int, cbv: int, crv: int) -> list[int]:
+    r = round(yv + 1.402 * (crv - 128))
+    g = round(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128))
+    b_ = round(yv + 1.772 * (cbv - 128))
+    return [min(max(v, 0), 255) for v in (r, g, b_)]
+
+
+def test_dht_slot_redefinition_between_scans():
+    """T.81 allows a DHT to REDEFINE a table slot between scans; each scan
+    must decode with the table in force at its SOS. Round-11 regression: the
+    LUT memo was keyed on id(table-dict), so when the old dict was freed and
+    a new _build_huffman dict reused its address, a later scan silently got
+    the OLD table's LUT (allocator-dependent wrong pixels). The memo now
+    keys on the raw BITS/HUFFVAL contents. This file encodes the Y scan
+    with Annex-K slot-0 tables, then redefines BOTH slot-0 tables (reversed
+    DC categories at uniform length 4; a 1-bit-EOB AC table) and encodes the
+    chroma scans with the new tables."""
+    dc1 = jpeg._encode_huffman(jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS)
+    ac1 = jpeg._encode_huffman(jpeg._AC_LUM_BITS, jpeg._AC_LUM_VALS)
+    dc2_bits = [0] * 16
+    dc2_bits[3] = 12  # 12 codes of length 4 (Kraft: 12/16 <= 1)
+    dc2_vals = list(range(11, -1, -1))  # reversed -> codes differ from K.3
+    dc2 = jpeg._encode_huffman(dc2_bits, dc2_vals)
+    ac2_bits = [1] + [0] * 15
+    ac2_vals = [0x00]  # EOB as the single 1-bit code
+    ac2 = jpeg._encode_huffman(ac2_bits, ac2_vals)
+
+    def seq_scan(cid: int, dcvals: list[int], dctbl, actbl) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for v in dcvals:
+            _put_dc_diff(bw, dctbl, (v - 128) - pred)
+            pred = v - 128
+            ln, code = actbl[0x00]
+            bw.put(code, ln)  # EOB
+        ent = bw.bytes().replace(b"\xff", b"\xff\x00")
+        return _seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0])) + ent
+
+    yv, cbv, crv = 120, 90, 180
+    q = np.full(64, 8, dtype=np.uint8)
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0]) + q.tobytes())
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(jpeg._DC_LUM_BITS) + bytes(jpeg._DC_LUM_VALS)
+        + bytes([0x10]) + bytes(jpeg._AC_LUM_BITS) + bytes(jpeg._AC_LUM_VALS),
+    )
+    out += seq_scan(1, [yv] * 4, dc1, ac1)
+    out += _seg(  # redefine BOTH slot-0 tables mid-stream
+        0xC4,
+        bytes([0x00]) + bytes(dc2_bits) + bytes(dc2_vals)
+        + bytes([0x10]) + bytes(ac2_bits) + bytes(ac2_vals),
+    )
+    out += seq_scan(2, [cbv], dc2, ac2)
+    out += seq_scan(3, [crv], dc2, ac2)
+    out += b"\xff\xd9"
+    w, h, c, px = jpeg.decode_jpeg(out)
+    assert (w, h, c) == (16, 16, 3)
+    assert np.all(px.reshape(-1, 3) == _jfif_rgb(yv, cbv, crv))
+
+
+def test_progressive_percomponent_dc_scans_noninterleaved():
+    """Round-11 regression (the progressive twin of the sequential Ns=1 bug):
+    a progressive DC scan with Ns=1 is NON-interleaved per T.81 A.2.2 — one
+    data unit per MCU in raster order over the component's TRUE block counts
+    (bh x bw), not the MCU-padded interleaved grid. 24x8 4:2:0 makes the
+    walks differ (Y true blocks = 1x3; the MCU-grid walk would expect
+    2 MCUs x 4 = 8). Old code raised 'bad JPEG Huffman code' here; padded
+    counts can also coincide and then it is silently wrong."""
+    dc = jpeg._encode_huffman(jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS)
+    yvs = [64, 128, 200]
+    cbv, crv = 90, 180
+    q = np.full(64, 8, dtype=np.uint8)
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0]) + q.tobytes())
+    out += _seg(
+        0xC2,  # SOF2 progressive
+        struct.pack(">BHHB", 8, 8, 24, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    out += _seg(0xC4, bytes([0x00]) + bytes(jpeg._DC_LUM_BITS) + bytes(jpeg._DC_LUM_VALS))
+
+    def dc_scan(cid: int, vals: list[int]) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for v in vals:
+            _put_dc_diff(bw, dc, (v - 128) - pred)
+            pred = v - 128
+        ent = bw.bytes().replace(b"\xff", b"\xff\x00")
+        return _seg(0xDA, bytes([1, cid, 0x00, 0, 0, 0])) + ent
+
+    out += dc_scan(1, yvs)  # Y: 3 true blocks in raster order
+    out += dc_scan(2, [cbv, cbv])  # Cb: bw=2, bh=1
+    out += dc_scan(3, [crv, crv])
+    out += b"\xff\xd9"
+    w, h, c, px = jpeg.decode_jpeg(out)
+    assert (w, h, c) == (24, 8, 3)
+    for i, yv in enumerate(yvs):  # per-Y-block colors pin the block ORDER too
+        blk = px[:, 8 * i : 8 * i + 8, :]
+        assert np.all(blk.reshape(-1, 3) == _jfif_rgb(yv, cbv, crv)), i
+
+
+def test_progressive_interleaved_dc_scan_color():
+    """The Ns=3 progressive DC path (interleaved MCU walk) — the branch the
+    per-component fix must NOT disturb."""
+    dc = jpeg._encode_huffman(jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS)
+    yv, cbv, crv = 120, 90, 180
+    q = np.full(64, 8, dtype=np.uint8)
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0]) + q.tobytes())
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    out += _seg(0xC4, bytes([0x00]) + bytes(jpeg._DC_LUM_BITS) + bytes(jpeg._DC_LUM_VALS))
+    bw = _BitWriter()
+    pred = 0
+    for v in [yv] * 4:  # one MCU: 4 Y blocks then Cb then Cr
+        _put_dc_diff(bw, dc, (v - 128) - pred)
+        pred = v - 128
+    _put_dc_diff(bw, dc, cbv - 128)
+    _put_dc_diff(bw, dc, crv - 128)
+    ent = bw.bytes().replace(b"\xff", b"\xff\x00")
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])) + ent
+    out += b"\xff\xd9"
+    w, h, c, px = jpeg.decode_jpeg(out)
+    assert (w, h, c) == (16, 16, 3)
+    assert np.all(px.reshape(-1, 3) == _jfif_rgb(yv, cbv, crv))
+
+
+def test_ac_refine_zrl_flushes_before_buffering_correction_bits():
+    """Round-11 regression (libjpeg encode_mcu_AC_refine parity): a history-
+    nonzero coefficient (abs >= 2 at Al=0) following >= 16 zeros must flush
+    pending ZRLs BEFORE its correction bit is buffered — deferring the ZRL
+    puts the correction bit where the decoder's run-advance never crosses a
+    history-nonzero slot, desyncing the stream (the old encoder's output made
+    its own decoder raise 'bad refinement magnitude'). Pixel blocks are
+    synthesized from exact quantized coefficients (DC, a +-2/3 at zigzag
+    p >= 18, a +-1 after it) so the structural trigger is guaranteed, then
+    re-verified against the encoder's own quantizer."""
+    q8 = np.full((8, 8), 8, dtype=np.int64)
+    cases = [  # (dc, p, vp, qpos, vq) — found by search, encoder-verified
+        (4, 32, -2, 48, -1),
+        (-5, 19, -3, 20, 1),
+        (2, 38, 2, 51, 1),
+    ]
+    for dc_v, p, vp, qpos, vq in cases:
+        zzq = np.zeros(64, dtype=np.int64)
+        zzq[0], zzq[p], zzq[qpos] = dc_v, vp, vq
+        nat = np.zeros(64)
+        nat[jpeg._ZIGZAG] = zzq
+        px = np.clip(
+            np.round(jpeg._idct_block(nat.reshape(8, 8) * 8.0) + 128.0), 0, 255
+        ).astype(np.uint8)
+        got = jpeg._quantized_blocks(px, q8)[0]
+        assert np.array_equal(got, zzq), "trigger block must survive quantization"
+        assert np.array_equal(
+            jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px, progressive=True))[3],
+            jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))[3],
+        )
+
+
 def test_oversized_bit_read_raises_not_garbage():
     """A corrupt DHT can define magnitude values past any legal width; the
     bit reader must error rather than silently drop high bits."""

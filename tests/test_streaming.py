@@ -1261,6 +1261,93 @@ def test_session_finalize_tws_never_regresses_session_end_on_late_events(spark, 
     assert r.window_end == ts(1300)
 
 
+def test_session_tail_flush_contract(spark, tmp_path):
+    """The terminal-tail contract (README divergence note, r10 verdict
+    directive 7): a key's LAST session stays open at query stop — Spark's
+    watermark never passes the final event, so its timer can never fire and
+    flushing from close() would double-emit on replay. A heartbeat that DOES
+    advance the watermark past last+gap (any later event, any key) flushes
+    the tail exactly once through the normal timer path."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.streaming import protobuf_compat
+    from kda_flink_demo_spark.streaming.jobs import use_rocksdb_state
+    from kda_flink_demo_spark.streaming.session_timer import session_finalize_tws
+
+    if not protobuf_compat.tws_available():
+        pytest.skip("transformWithStateInPandas requires google.protobuf (none shimmable here)")
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    schema = T.StructType(
+        [
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+        ]
+    )
+
+    def run(name, chunks):
+        replay = str(tmp_path / f"replay_{name}")
+        for i, rows in enumerate(chunks):
+            spark.createDataFrame(
+                [(k, ts(s)) for k, s in rows], schema
+            ).coalesce(1).write.parquet(f"{replay}/chunk={i:02d}")
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(replay + "/chunk=*")
+        )
+        out_dir = str(tmp_path / f"out_{name}")
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        use_rocksdb_state(spark)
+        try:
+            q = (
+                session_finalize_tws(stream, gap_seconds=120)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            if prev:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        return {
+            (r.railway_class, r.window_start): (r.window_end, r.railway_class_count)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # without a heartbeat: the in-batch split closes session 1 ({0,10} →
+    # end 130), the tail {200} stays open forever — exactly one emission
+    got = run("no_heartbeat", [[("A", 0), ("A", 10), ("A", 200)]])
+    assert got == {("A", ts(0)): (ts(130), 2)}
+
+    # heartbeats on an UNRELATED key advance the watermark past 200+120:
+    # A's tail flushes exactly once via handleExpiredTimer (batch 3 runs with
+    # batch 2's watermark, so the heartbeat needs a successor batch), and the
+    # heartbeat key's own tail now holds the contract's open slot
+    got = run(
+        "heartbeat",
+        [
+            [("A", 0), ("A", 10), ("A", 200)],
+            [("B", 321)],
+            [("B", 322)],
+        ],
+    )
+    assert got == {
+        ("A", ts(0)): (ts(130), 2),
+        ("A", ts(200)): (ts(320), 1),
+    }
+
+
 def test_distinct_users_tws_mapstate_matches_batch(spark, replay_dir, tmp_path):
     """The MapState member of the TWS family (point containsKey/updateValue
     per user — never an iteration of the whole map): per-key exact distinct
