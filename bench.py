@@ -355,6 +355,21 @@ def main() -> None:
 
     baseline_times = {n: t for n, t in times.items() if n in VERIFICATION_BASELINES}
     times = {n: t for n, t in times.items() if n not in VERIFICATION_BASELINES}
+    # end-of-run WARM calibration (same workload, now-compiled plan): recorded
+    # separately from the cold-start calib_sec the outlier logic keys on —
+    # cold and warm samples are not comparable to each other, but warm-vs-warm
+    # across rounds exposes sustained host drift that one cold sample at t=0
+    # misses (r11 saw three same-code runs span 133.0→147.4 while the cold
+    # calib claimed the slowest run was the fastest host)
+    try:
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
+            {"v": "sum"}
+        ).write.format("noop").mode("overwrite").save()
+        calib_end_warm = round(time.time() - t0, 3)
+    except Exception:  # noqa: BLE001
+        calib_end_warm = None
+
     total = round(sum(times.values()), 3)
 
     # flagship throughput: events rows/sec through the tumbling windowed count
@@ -385,6 +400,7 @@ def main() -> None:
                 "n_errors": len(errs),
                 "runs_per_query": 2,
                 "calib_sec": calib_sec,
+                "calib_end_warm": calib_end_warm,
                 "outlier_rerun": outlier_rerun,
             },
             f,

@@ -44,7 +44,7 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 24,
     checkpoint_every: int = 3,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -52,12 +52,14 @@ def connected_components(
     minimum node id reachable. Nodes not in any pair are absent (singletons are
     implicit).
 
-    Min-label propagation with pointer jumping: rounds ≈ log2(diameter) + 2
-    (measured: diameter 10 → 6 rounds, diameter 100 → 9); near-dup graphs are
-    near-cliques (2–3 rounds). If ``max_iter`` rounds pass without convergence
-    this RAISES instead of silently returning partial labels (which would
-    diverge from any transitive-closure oracle with no signal) — the default
-    20 now covers diameters up to ~2^17.
+    Min-label propagation with pointer jumping from round 4: rounds ≈
+    log2(diameter) + 4 on deep graphs, while near-dup graphs — near-cliques
+    converging in 2–3 rounds — stay entirely on the cheap one-hop path (the
+    jump join is measurable pure overhead there, see the loop comment). If
+    ``max_iter`` rounds pass without convergence this RAISES instead of
+    silently returning partial labels (which would diverge from any
+    transitive-closure oracle with no signal) — the default 24 covers
+    diameters up to ~2^17.
 
     Lineage hygiene for big graphs: the edge list is ``localCheckpoint``-ed once
     (it is re-joined every round), and each round's labels are eagerly
@@ -115,11 +117,16 @@ def connected_components(
         # plain propagation, so converged labels are still exact component
         # minima (property-tested against the DuckDB transitive closure).
         half = labels.join(hinted(neighbor_min), "u", "left")
-        if it == 0:
-            # round 1's labels are the identity mapping — label-of-label is a
-            # no-op there, so the jump join starts in round 2 (saves one
-            # node-sized SMJ on the near-clique graphs that converge in 2–3
-            # rounds, which is the common dedup case)
+        if it < 3:
+            # the jump join only pays off on DEEP graphs: early rounds'
+            # label-of-label shortcuts at most one hop the next neighbor-min
+            # reaches anyway, and near-clique graphs (the common dedup case)
+            # converge in 2–3 one-hop rounds where every jump join is pure
+            # overhead — the r11 cc_probe measured the old it==1 start
+            # costing +22% wall on the sf0.1 image graph for ZERO round
+            # savings. Jumping from round 4 leaves shallow graphs entirely
+            # on the cheap path; deep chains still get O(log d) doubling a
+            # couple of rounds later (max_iter raised to keep ~2^17 headroom)
             new_labels = half.select(
                 "u",
                 F.least("label", "_nmin").alias("label"),

@@ -81,21 +81,34 @@ def main() -> None:
     ).localCheckpoint()  # pair graph materialized once: the probe times CC only
     n_edges = edges.count()
 
-    results: dict[str, dict] = {}
-    for name, fn in [
-        ("pointer_jump", clustering.connected_components),
-        ("one_hop", one_hop_components),
-    ]:
-        best, rounds = None, None
-        for _ in range(2):
-            stats: dict = {}
-            t0 = time.time()
-            out = fn(edges, stats=stats)
-            out.write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-            rounds = stats.get("rounds")
-        results[name] = {"sec": round(best, 3), "rounds": rounds}
+    # calibration (same fixed workload bench.py uses) so cross-run host noise
+    # is visible next to the numbers
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
+        {"v": "sum"}
+    ).write.format("noop").mode("overwrite").save()
+    calib_sec = round(time.time() - t0, 3)
+
+    # one untimed warmup so neither variant pays python-worker/codegen
+    # spin-up, then ABBA ordering so residual drift cancels
+    clustering.connected_components(edges).write.format("noop").mode("overwrite").save()
+    variants = {
+        "pointer_jump": clustering.connected_components,
+        "one_hop": one_hop_components,
+    }
+    samples: dict[str, list[float]] = {n: [] for n in variants}
+    rounds: dict[str, int | None] = {}
+    for name in ["pointer_jump", "one_hop", "one_hop", "pointer_jump"]:
+        stats: dict = {}
+        t0 = time.time()
+        variants[name](edges, stats=stats).write.format("noop").mode("overwrite").save()
+        samples[name].append(time.time() - t0)
+        rounds[name] = stats.get("rounds")
+    results: dict[str, dict] = {
+        name: {"sec": round(min(ts), 3), "rounds": rounds[name]}
+        for name, ts in samples.items()
+    }
+    results["calib_sec"] = calib_sec
 
     # sanity: identical components (order-free comparison via checksum)
     a = clustering.connected_components(edges)
