@@ -101,10 +101,14 @@ def _video_frame_rows(b: bytes, stride: int) -> list[tuple[int, float]]:
 
     from kda_flink_demo_spark.operators.llm import imaging
 
-    _w, _h, _fps, frames = imaging.decode_avi(b)
+    # lazy chunk walk: only every stride-th frame is DECODED (the pre-r11
+    # code decoded all frames and then discarded the skipped ones — at
+    # stride=5 that is 5x wasted entropy-decode work per payload); emitted
+    # rows and their original frame indices are unchanged
+    _w, _h, _fps, n, frames = imaging.decode_avi_sampled(b, stride=stride)
     return [
-        (i, math.floor(imaging.grayscale_mean(frames[i]) / 255.0 * 1e4 + 0.5) / 1e4)
-        for i in range(0, len(frames), stride)
+        (i, math.floor(imaging.grayscale_mean(f) / 255.0 * 1e4 + 0.5) / 1e4)
+        for i, f in zip(range(0, n, stride), frames)
     ]
 
 
