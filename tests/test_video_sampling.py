@@ -50,6 +50,35 @@ def test_sample_frame_indices_pinned():
         assert len(idx) == 9 and all(a < b for a, b in zip(idx, idx[1:])), n
 
 
+def test_sample_frame_indices_properties():
+    """Property sweep of the pinned rule over the full practical domain:
+    result length = min(ceil(n/stride), max_frames), strictly increasing,
+    in-bounds, stride-aligned, frame 0 always first, and a no-op exactly
+    when the strided count is within the bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(0, 5000),
+        stride=st.integers(1, 40),
+        k=st.one_of(st.none(), st.integers(1, 64)),
+    )
+    def check(n, stride, k):
+        idx = imaging.sample_frame_indices(n, stride=stride, max_frames=k)
+        strided = list(range(0, n, stride))
+        if k is None or len(strided) <= k:
+            assert idx == strided
+        else:
+            assert len(idx) == k
+            assert idx[0] == 0
+            assert all(a < b for a, b in zip(idx, idx[1:]))
+            assert all(0 <= i < n and i % stride == 0 for i in idx)
+            assert set(idx) <= set(strided)
+
+    check()
+
+
 def test_decode_avi_sampled_matches_full_decode_at_indices():
     rng = np.random.default_rng(11)
     frames = [
