@@ -247,6 +247,23 @@ for _b, _consumers in _BUILD_BEFORE.items():
 VERIFICATION_BASELINES = {"dedup_ngram_jaccard", "dedup_simhash_report"}
 
 
+def run_calibration(spark) -> float | None:
+    """The ONE machine-speed calibration workload (a fixed grouped aggregate
+    over 200M generated rows, noop sink), shared by the cold t=0 sample, the
+    warm end-of-run sample, and scripts/cc_probe.py — cross-round and
+    cold-vs-warm comparability require the workload to stay byte-identical,
+    so it lives in exactly one place. Returns seconds, or None on failure
+    (calibration must never kill a bench)."""
+    try:
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy(
+            "k"
+        ).agg({"v": "sum"}).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -260,18 +277,11 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # machine-speed calibration: a fixed, data-independent workload (grouped
-    # aggregate over 200M generated rows). Host contention inflates all wall
-    # clocks; dividing query times by (calib_sec / its historical value)
-    # separates engine changes from environment noise across rounds.
-    try:
-        t0 = time.time()
-        spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
-            {"v": "sum"}
-        ).write.format("noop").mode("overwrite").save()
-        calib_sec = round(time.time() - t0, 3)
-    except Exception:  # noqa: BLE001 — calibration must never kill the bench
-        calib_sec = None
+    # machine-speed calibration: a fixed, data-independent workload (see
+    # run_calibration). Host contention inflates all wall clocks; dividing
+    # query times by (calib_sec / its historical value) separates engine
+    # changes from environment noise across rounds.
+    calib_sec = run_calibration(spark)
 
     # helpers() = oracle-less library entries (embedding_pca, dedup_simhash)
     # demoted from the driver's queries() surface but still benched
@@ -361,14 +371,7 @@ def main() -> None:
     # across rounds exposes sustained host drift that one cold sample at t=0
     # misses (r11 saw three same-code runs span 133.0→147.4 while the cold
     # calib claimed the slowest run was the fastest host)
-    try:
-        t0 = time.time()
-        spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
-            {"v": "sum"}
-        ).write.format("noop").mode("overwrite").save()
-        calib_end_warm = round(time.time() - t0, 3)
-    except Exception:  # noqa: BLE001
-        calib_end_warm = None
+    calib_end_warm = run_calibration(spark)
 
     total = round(sum(times.values()), 3)
 

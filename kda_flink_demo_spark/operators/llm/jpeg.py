@@ -111,28 +111,36 @@ def _encode_huffman(bits: list[int], values: list[int]) -> dict[int, tuple[int, 
 # media scan decodes thousands of frames that share the handful of Annex-K
 # tables, and rebuilding the dict + 65536-entry LUT per frame was ~17% of a
 # flat-corpus decode. Content keys make sharing exact (never id()-based — see
-# decode_jpeg's per-stream cache note); the bound only guards a pathological
-# corpus with unbounded distinct tables.
+# decode_jpeg's per-stream cache note). Eviction is LRU (re-insert on hit,
+# pop oldest at the bound), never clear-all: a mixed-source corpus of
+# per-image OPTIMIZED tables is common, not pathological, and a wholesale
+# clear would discard the hot shared entries with the cold ones. Bounds are
+# sized by entry weight: a LUT entry is ~128 KB (two 65536-byte tables), so
+# 64 entries cap the memo at ~8 MB per Python worker; the dict entries are
+# hundreds of bytes, so 512 of them are noise.
 _HUFF_MEMO: dict[tuple[bytes, bytes], dict[tuple[int, int], int]] = {}
 _LUT_MEMO: dict[tuple[bytes, bytes], tuple[bytes, bytes]] = {}
-_MEMO_BOUND = 512
+_HUFF_MEMO_BOUND = 512
+_LUT_MEMO_BOUND = 64
 
 
 def _build_huffman_cached(key: tuple[bytes, bytes]) -> dict[tuple[int, int], int]:
-    tbl = _HUFF_MEMO.get(key)
+    tbl = _HUFF_MEMO.pop(key, None)
     if tbl is None:
-        if len(_HUFF_MEMO) >= _MEMO_BOUND:
-            _HUFF_MEMO.clear()
-        tbl = _HUFF_MEMO[key] = _build_huffman(list(key[0]), list(key[1]))
+        if len(_HUFF_MEMO) >= _HUFF_MEMO_BOUND:
+            _HUFF_MEMO.pop(next(iter(_HUFF_MEMO)))
+        tbl = _build_huffman(list(key[0]), list(key[1]))
+    _HUFF_MEMO[key] = tbl  # (re-)insert at the MRU end
     return tbl
 
 
 def _huffman_lut_cached(key: tuple[bytes, bytes]) -> tuple[bytes, bytes]:
-    lut = _LUT_MEMO.get(key)
+    lut = _LUT_MEMO.pop(key, None)
     if lut is None:
-        if len(_LUT_MEMO) >= _MEMO_BOUND:
-            _LUT_MEMO.clear()
-        lut = _LUT_MEMO[key] = _huffman_lut(_build_huffman_cached(key))
+        if len(_LUT_MEMO) >= _LUT_MEMO_BOUND:
+            _LUT_MEMO.pop(next(iter(_LUT_MEMO)))
+        lut = _huffman_lut(_build_huffman_cached(key))
+    _LUT_MEMO[key] = lut  # (re-)insert at the MRU end
     return lut
 
 

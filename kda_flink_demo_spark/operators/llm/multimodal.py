@@ -609,14 +609,18 @@ def _profile_row(b: bytes, want_bits: bool = True):
             )
         if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
             # duration comes from the TOTAL chunk count (exact, cheap walk);
-            # only the pinned bounded sample is decoded for the fingerprint —
-            # the same frames video_ahash hashes, so profile fingerprints stay
-            # bit-identical to the standing index's and per-video decode cost
-            # stays constant on long footage
+            # only the pinned bounded sample is decoded — the same frames
+            # video_ahash hashes, so profile fingerprints stay bit-identical
+            # to the standing index's and per-video decode cost stays
+            # constant on long footage. want_bits=False decodes the SAME
+            # sample (not fewer): sniff and profile must agree row-for-row on
+            # which payloads quarantine (a corrupt frame inside the sample
+            # must flip BOTH to 'corrupt'), or sniff would wave through
+            # payloads the fingerprint scans then die on
             from kda_flink_demo_spark.operators.llm.image_dedup import VIDEO_MAX_FRAMES
 
             w, h, fps, n_frames, frames = imaging.decode_avi_sampled(
-                b, max_frames=VIDEO_MAX_FRAMES if want_bits else 1
+                b, max_frames=VIDEO_MAX_FRAMES
             )
             dur = math.floor(n_frames / fps * 1e4 + 0.5) / 1e4 if fps else None
             bits = video_bits_from_frames(frames) if frames and want_bits else None

@@ -329,7 +329,7 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def synth_mjpeg_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_mjpeg_videos(df: DataFrame, id_col: str = "doc_id", repeat: int = 1) -> DataFrame:
     """(…, doc_id, …) → (doc_id, payload): the pattern-video corpus in
     MOTION-JPEG — every frame a standalone baseline JPEG inside an 'MJPG'
     AVI, so a COMPRESSED video codec rides the real multi-frame decode path.
@@ -338,7 +338,10 @@ def synth_mjpeg_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     codec), with per-frame brightness offsets the hash ignores and the same
     minority of bit-INVERTED frames as ``synth_pattern_videos``
     (``doc_id % 5 + 2`` frames, every third inverted) — so the temporal
-    MAJORITY fingerprint must equal ``image_pattern(doc_id)`` VERBATIM."""
+    MAJORITY fingerprint must equal ``image_pattern(doc_id)`` VERBATIM.
+    ``repeat`` tiles the frame cycle (chunk reuse, O(cycle) encode cost) —
+    the long-footage fixture for the bounded-sampling scale probe, one
+    parameter instead of a diverging copy of this generator."""
 
     def _gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -357,7 +360,7 @@ def synth_mjpeg_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     off = (i * 7 + d) % 8 * 5
                     lvl = np.where(fb == 1, 200 + off, 40 + off).astype(np.uint8)
                     frames.append(np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1))
-                payloads.append(imaging.encode_avi_mjpeg(frames, fps=10))
+                payloads.append(imaging.encode_avi_mjpeg(frames, fps=10, repeat=repeat))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     return spread_for_compute(df.select(id_col)).mapInPandas(

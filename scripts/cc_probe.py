@@ -81,13 +81,11 @@ def main() -> None:
     ).localCheckpoint()  # pair graph materialized once: the probe times CC only
     n_edges = edges.count()
 
-    # calibration (same fixed workload bench.py uses) so cross-run host noise
+    # calibration (bench.py's single shared workload) so cross-run host noise
     # is visible next to the numbers
-    t0 = time.time()
-    spark.range(200_000_000).selectExpr("id % 1000 AS k", "id AS v").groupBy("k").agg(
-        {"v": "sum"}
-    ).write.format("noop").mode("overwrite").save()
-    calib_sec = round(time.time() - t0, 3)
+    from bench import run_calibration
+
+    calib_sec = run_calibration(spark)
 
     # one untimed warmup so neither variant pays python-worker/codegen
     # spin-up, then ABBA ordering so residual drift cancels

@@ -486,34 +486,10 @@ def main() -> None:
     # scales — the r10 verdict's honest cost cap — where the pre-r11
     # all-frames walk was linear in duration.
     base_docs = load_table(spark, SF_DIR, "documents").select("doc_id")
-
-    def _synth_long(pdf_iter):
-        import numpy as np
-        import pandas as pd
-
-        from kda_flink_demo_spark.operators.llm import imaging as _im
-        from kda_flink_demo_spark.operators.llm.synth_media import _bits_msb, image_pattern
-
-        for pdf in pdf_iter:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                bits = _bits_msb(image_pattern(d)).reshape(8, 8)
-                cycle = []
-                for i in range(d % 5 + 2):
-                    fb = (1 - bits) if i % 3 == 2 else bits
-                    off = (i * 7 + d) % 8 * 5
-                    lvl = np.where(fb == 1, 200 + off, 40 + off).astype(np.uint8)
-                    cycle.append(np.repeat(np.repeat(lvl, 8, axis=0), 8, axis=1))
-                payloads.append(_im.encode_avi_mjpeg(cycle, fps=10, repeat=replicas))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    from kda_flink_demo_spark.functions import spread_for_compute as _spread
-
-    long_corpus = _spread(base_docs).mapInPandas(
-        _synth_long, "doc_id long, payload binary"
+    bench(
+        "mjpeg_long_video_ahash",
+        _imgd.video_ahash(_synth.synth_mjpeg_videos(base_docs, repeat=replicas)),
     )
-    bench("mjpeg_long_video_ahash", _imgd.video_ahash(long_corpus))
 
     rows = {"events": ev.count(), "lineitem": li.count(), "documents": docs.count(), "embeddings": emb.count()}
     print(json.dumps({"replicas": replicas, "rows": rows, "sec": results}))

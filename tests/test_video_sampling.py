@@ -170,6 +170,47 @@ def test_long_video_hash_is_bounded_and_stable():
     assert np.array_equal(long_bits, video_hash_bits(short_b))
 
 
+def test_sniff_and_profile_agree_on_mid_sample_corrupt_frames(spark):
+    """Lockstep contract of the shared _profile_row kernel (r11 review
+    finding): sniff (want_bits=False) must decode the SAME pinned frame
+    sample as the profile, so a corrupt frame inside the sample flips BOTH
+    to 'corrupt' — a sniff that decoded fewer frames would wave through
+    payloads the fingerprint scans then die on. A corrupt frame OUTSIDE the
+    sample is invisible to both (consistent, the documented sampling
+    trade)."""
+    from kda_flink_demo_spark.operators.llm.multimodal import (
+        media_ingest_profile,
+        sniff_media_features,
+    )
+
+    bits = synth_media._bits_msb(synth_media.image_pattern(9)).reshape(8, 8)
+    frames = [_frame(bits)[:, :, 0] for _ in range(12)]
+    good = imaging.encode_avi_mjpeg(frames, fps=10)
+    # 12 frames, k=9 → sampled indices [0,1,2,4,5,6,8,9,10]: 2 is sampled,
+    # 3 is not
+    assert imaging.sample_frame_indices(12, max_frames=9) == [0, 1, 2, 4, 5, 6, 8, 9, 10]
+
+    def corrupt_chunk(b: bytes, frame_idx: int) -> bytes:
+        off = -1
+        for _ in range(frame_idx + 1):
+            off = b.index(b"00dc", off + 1)
+        body = off + 8
+        # zero the SOI marker: decode_jpeg('not a JPEG payload') raises for
+        # exactly this frame, RIFF structure (chunk sizes) stays intact
+        return b[:body] + b"\x00\x00" + b[body + 2 :]
+
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(corrupt_chunk(good, 2))),  # inside the sample
+        (2, bytearray(corrupt_chunk(good, 3))),  # outside the sample
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sniffed = {r.doc_id: r.modality for r in sniff_media_features(df).collect()}
+    profiled = {r.doc_id: r.modality for r in media_ingest_profile(df).collect()}
+    assert sniffed == profiled  # lockstep, row for row
+    assert sniffed == {0: "video", 1: "corrupt", 2: "video"}
+
+
 def test_profile_duration_exact_for_long_videos(spark):
     """The fused profile's duration comes from the TOTAL chunk count (exact
     even when only the sample is decoded): 24 frames at 10 fps = 2.4 s."""
