@@ -668,32 +668,52 @@ def _ac_refine_block(reader, ac_lut, zz, ss, se, al, eobrun) -> int:
 
 
 class _BitWriter:
-    """MSB-first bit writer; packs with 1-bit padding (the spec's fill)."""
+    """MSB-first bit writer; packs with 1-bit padding (the spec's fill).
+    A plain-int bit buffer drained into a bytearray — O(1) per put and
+    bit-identical to the old per-bit list (the encoder is fixture-synthesis
+    cost on every media bench/probe row, and the list writer was ~half of
+    the per-frame encode time)."""
+
+    __slots__ = ("out", "buf", "nbits")
 
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
 
     def put(self, code: int, ln: int) -> None:
-        self.bits.extend((code >> k) & 1 for k in range(ln - 1, -1, -1))
+        self.buf = (self.buf << ln) | (code & ((1 << ln) - 1))
+        self.nbits += ln
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.buf >> self.nbits) & 0xFF)
+        self.buf &= (1 << self.nbits) - 1
 
     def tobytes(self) -> bytes:
-        padded = self.bits + [1] * (-len(self.bits) % 8)
-        return np.packbits(np.array(padded, dtype=np.uint8)).tobytes()
+        if not self.nbits:
+            return bytes(self.out)
+        pad = 8 - self.nbits
+        return bytes(self.out) + bytes([((self.buf << pad) | ((1 << pad) - 1)) & 0xFF])
 
 
 def _quantized_blocks(pixels: np.ndarray, q: np.ndarray) -> list[np.ndarray]:
     """Grayscale pixels → per-block quantized zigzag-order coefficients
-    (full FDCT + per-coefficient rounding), MCU raster order."""
+    (full FDCT + per-coefficient rounding), MCU raster order. Batched via
+    BROADCAST matmul (M @ blocks @ M.T over the leading axis) — the same
+    GEMM per 8×8 slice as the old per-block loop, so the pre-round floats
+    and therefore the rounded coefficients are bit-identical (einsum was
+    rejected: its different summation order can flip exact-half roundings)."""
     h, w = pixels.shape
     mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
     padded = np.pad(pixels, ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)), mode="edge")
-    out = []
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.float64) - 128.0
-            coef = np.round(_IDCT_M @ blk @ _IDCT_M.T / q.astype(np.float64)).astype(np.int64)
-            out.append(coef.reshape(-1)[_ZIGZAG])
-    return out
+    blocks = (
+        padded.astype(np.float64)
+        .reshape(mcus_y, 8, mcus_x, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    ) - 128.0
+    coefs = np.round(_IDCT_M @ blocks @ _IDCT_M.T / q.astype(np.float64)).astype(np.int64)
+    return list(coefs.reshape(-1, 64)[:, _ZIGZAG])
 
 
 def _toward_zero(v: int, al: int) -> int:
