@@ -15,7 +15,10 @@ is a SUPERSET of the registry (r09 verdict directive 3): dedup_ngram_jaccard
 and dedup_simhash_report are benched even though they deliberately pay the
 quadratic exact-pairwise oracle baseline — their scale twins
 (dedup_minhash_lsh / dedup_simhash) are benched alongside, so the pair reads
-as baseline-vs-scale-path, not as a regression.
+as baseline-vs-scale-path, not as a regression. Since r12 the two baselines
+run at sf0.01 (`verification_baselines_sf`): their cost is all-pairs fixture
+growth by design and re-measuring it at sf0.1 spent ~10 s/round on a known
+quadratic (r11 directive 7).
 """
 
 from __future__ import annotations
@@ -280,21 +283,52 @@ def main() -> None:
     # machine-speed calibration: a fixed, data-independent workload (see
     # run_calibration). Host contention inflates all wall clocks; dividing
     # query times by (calib_sec / its historical value) separates engine
-    # changes from environment noise across rounds.
+    # changes from environment noise across rounds. calib_sec is the COLD
+    # t=0 sample (kept for cross-round compatibility); the host also
+    # throttles under SUSTAINED load, so one t=0 sample cannot see mid-run
+    # drift (r11 verdict directive 3) — a WARM calib_series is re-sampled
+    # every CALIB_EVERY queries and outlier detection normalizes each query
+    # by its NEAREST warm sample, not the run-global one.
     calib_sec = run_calibration(spark)
+    calib_series: list[dict] = []
+
+    def sample_calib(at_query: int) -> None:
+        s = run_calibration(spark)
+        if s is not None:
+            calib_series.append({"at_query": at_query, "sec": s})
+
+    CALIB_EVERY = 30
+    sample_calib(0)  # warm t=0 anchor (the cold sample above compiled the plan)
+
+    def local_calib(query_index: int) -> float | None:
+        best = None
+        for s in calib_series:
+            if best is None or abs(s["at_query"] - query_index) < abs(
+                best["at_query"] - query_index
+            ):
+                best = s
+        return best["sec"] if best else None
 
     # helpers() = oracle-less library entries (embedding_pca, dedup_simhash)
     # demoted from the driver's queries() surface but still benched
     qs = {**registry.helpers(), **registry.queries()}
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    query_index: dict[str, int] = {}
+    # the two quadratic verification baselines run at sf0.01 (see below), so
+    # the main sf0.1 loop skips them — their cost is fixture-size-driven by
+    # design and was ~10 s of every round's wall clock (r11 directive 7)
+    main_queries = [n for n in BENCH_QUERIES if n not in VERIFICATION_BASELINES]
+    for i, name in enumerate(main_queries):
         # uniform min-of-2 for every query (first run pays codegen/python-worker
         # spin-up) — r04's conditional third run for the >2 s tail biased the
         # headline total downward vs earlier rounds; uniform count keeps
         # cross-round totals comparable. Per-query fault isolation: one broken
         # query costs one row, never the round (r04's sliding exception killed
         # the whole bench and left no numbers).
+        if i and i % CALIB_EVERY == 0:
+            sample_calib(i)
+        query_index[name] = i
         best = None
         try:
             for _ in range(2):
@@ -308,41 +342,87 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record and keep benching
             errs[name] = f"{type(e).__name__}: {e}"[:300]
 
-    # Outlier re-runs (r08 verdict #2, widened by r09 directive 4 + advice):
-    # BENCH_r08 shipped two transient host-contention spikes as engine numbers
-    # because both bad samples survived min-of-2. Against the PREVIOUS
-    # committed bench_full.json (calib within 15%), any query now >1.5× its
-    # prior time IN MACHINE-NORMALIZED TERMS (the threshold scales by
-    # calib_sec/prior_calib, so a uniformly slower host doesn't shift the
-    # effective cutoff — r09 advice) gets ONE later re-run recorded separately
-    # in `outlier_rerun`. The headline min-of-2 methodology is unchanged, but
-    # no >1.5× normalized jump ships unexplained. Re-runs are capped at the 8
-    # worst ratios so a globally-contended round can't double the bench.
+    # Quadratic verification baselines: still benched EVERY round (the bucket
+    # stays in the schema) but at sf0.01 — they exist to verify their scale
+    # twins, their cost is all-pairs fixture growth, and sf0.1 re-measurement
+    # added ~10 s/round of known-quadratic signal. The recorded sf makes the
+    # numbers self-describing; cross-round comparison is valid within equal
+    # verification_baselines_sf only.
+    sib = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    baselines_dir = sib if os.path.isdir(sib) else sf_dir
+    baseline_times: dict[str, float] = {}
+    for name in VERIFICATION_BASELINES:
+        best = None
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, baselines_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            baseline_times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            errs[name] = f"{type(e).__name__}: {e}"[:300]
+    baselines_sf = float(baselines_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    # end-of-run WARM sample joins the series: warm-vs-warm across rounds
+    # exposes sustained host drift a cold t=0 sample misses (r11 saw three
+    # same-code runs span 133.0→147.4 while the cold calib claimed the
+    # slowest run was the fastest host)
+    sample_calib(len(main_queries))
+    calib_end_warm = calib_series[-1]["sec"] if calib_series else None
+
+    # Outlier re-runs (r08 verdict #2, widened by r09 directive 4 + advice,
+    # localized by r11 directive 3): BENCH_r08 shipped transient
+    # host-contention spikes as engine numbers; r11's single t=0 calib then
+    # missed MID-RUN throttling and flagged late-run rows as false-positive
+    # outliers. Against the PREVIOUS committed bench_full.json, any query now
+    # >1.5× its prior time IN MACHINE-NORMALIZED TERMS gets ONE later re-run
+    # recorded separately in `outlier_rerun` — where the normalization is by
+    # the query's NEAREST warm calib sample over the prior run's warm
+    # reference, so a host that slows down halfway through the run rescales
+    # the late rows' thresholds instead of flagging them. The headline
+    # min-of-2 methodology is unchanged; no >1.5× normalized jump ships
+    # unexplained. Re-runs are capped at the 8 worst ratios so a globally-
+    # contended round can't double the bench.
     outlier_rerun: dict[str, dict[str, float]] = {}
     prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+
+    def _median(xs: list[float]) -> float | None:
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if xs else None
+
     try:
         with open(prior_path) as f:
             prior = json.load(f)
-        # priors before the r11 schema split kept the verification baselines
-        # inside "queries"; after it they live in their own bucket — merge so
-        # outlier detection covers both either way
-        prior_times = {**prior.get("queries", {}), **prior.get("verification_baselines", {})}
-        prior_calib = prior.get("calib_sec")
+        prior_times = dict(prior.get("queries", {}))
+        # prior warm reference: median of its calib_series when present
+        # (schema >= 3), else the old single cold calib_sec — one transition
+        # round of slightly-off normalization, self-correcting next round
+        prior_ref = (
+            _median([s["sec"] for s in prior.get("calib_series", [])])
+            or prior.get("calib_sec")
+        )
+        cur_ref = _median([s["sec"] for s in calib_series])
         calib_comparable = (
-            calib_sec is not None
-            and prior_calib
-            and abs(calib_sec - prior_calib) / prior_calib <= 0.15
+            cur_ref is not None
+            and prior_ref
+            and abs(cur_ref - prior_ref) / prior_ref <= 0.15
         )
     except (OSError, ValueError):
-        prior_times, calib_comparable = {}, False
+        prior_times, prior_ref, calib_comparable = {}, None, False
     if calib_comparable:
-        calib_scale = calib_sec / prior_calib
+        def norm_scale(name: str) -> float:
+            lc = local_calib(query_index.get(name, 0))
+            return (lc / prior_ref) if lc else 1.0
+
         flagged = sorted(
             (
-                (t / (prior_times[name] * calib_scale), name, t)
+                (t / (prior_times[name] * norm_scale(name)), name, t)
                 for name, t in times.items()
                 if prior_times.get(name)
-                and t > 1.5 * prior_times[name] * calib_scale
+                and t > 1.5 * prior_times[name] * norm_scale(name)
                 # ignore sub-50ms rows: scheduler jitter dominates them and a
                 # "2×" there is noise, not signal
                 and max(t, prior_times[name]) >= 0.05
@@ -363,16 +443,6 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — the original row stands
                 pass
 
-    baseline_times = {n: t for n, t in times.items() if n in VERIFICATION_BASELINES}
-    times = {n: t for n, t in times.items() if n not in VERIFICATION_BASELINES}
-    # end-of-run WARM calibration (same workload, now-compiled plan): recorded
-    # separately from the cold-start calib_sec the outlier logic keys on —
-    # cold and warm samples are not comparable to each other, but warm-vs-warm
-    # across rounds exposes sustained host drift that one cold sample at t=0
-    # misses (r11 saw three same-code runs span 133.0→147.4 while the cold
-    # calib claimed the slowest run was the fastest host)
-    calib_end_warm = run_calibration(spark)
-
     total = round(sum(times.values()), 3)
 
     # flagship throughput: events rows/sec through the tumbling windowed count
@@ -390,11 +460,21 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(
             {
+                # schema 3 (r12): `value` excludes the verification baselines
+                # (the r11 split — pre-r11 `value` fields included them, so
+                # total-vs-total comparisons across the split must add the
+                # baseline bucket back on the pre-r11 side), baselines run at
+                # `verification_baselines_sf` (sf0.01 since r12), and
+                # `calib_series` records the per-segment warm samples outlier
+                # normalization keys on.
+                "schema_version": 3,
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
+                "value_excludes_verification_baselines": True,
                 "unit": "sec",
                 "queries": times,
                 "verification_baselines": baseline_times,
+                "verification_baselines_sf": baselines_sf,
                 "errors": errs,
                 "sf": float(sf),
                 "flagship_rows_per_sec": flagship_rps,
@@ -403,6 +483,7 @@ def main() -> None:
                 "n_errors": len(errs),
                 "runs_per_query": 2,
                 "calib_sec": calib_sec,
+                "calib_series": calib_series,
                 "calib_end_warm": calib_end_warm,
                 "outlier_rerun": outlier_rerun,
             },
@@ -415,16 +496,19 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "schema_version": 3,
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(times),
                 "verification_baselines": baseline_times,
+                "verification_baselines_sf": baselines_sf,
                 "n_errors": len(errs),
                 "err_names": sorted(errs)[:5],
                 "runs_per_query": 2,
                 "calib_sec": calib_sec,
+                "calib_series": [s["sec"] for s in calib_series],
                 "flagship_rows_per_sec": flagship_rps,
                 "slowest": slowest,
                 "outlier_rerun": dict(list(outlier_rerun.items())[:4]),

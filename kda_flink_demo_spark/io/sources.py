@@ -100,8 +100,13 @@ def kinesis_geojson_stream(
     cluster — ``connector_format`` is "aws-kinesis" for the AWS-maintained
     spark-streaming-sql-kinesis connector or "kinesis" for the Qubole lineage;
     config keys mirror the reference's SourceConfigProperties
-    (/root/reference/README.MD:113-116). Untestable locally — covered by the
-    file-replay source below, which produces the same downstream plan.
+    (/root/reference/README.MD:113-116). No Kinesis endpoint exists locally,
+    but the CONTRACT executes in CI: ``fake_kinesis.FakeKinesisDataSource``
+    registers under the same format name, validates these exact option keys
+    at load time, and drives this function end-to-end through a real
+    micro-batch run (tests/test_kinesis_contract.py) — renaming an option
+    here fails that test. The file-replay source below covers the downstream
+    plan shapes at volume.
     """
     raw = (
         spark.readStream.format(connector_format)

@@ -988,7 +988,12 @@ def _parse_avi(b: bytes):
     walk(12, len(b))
     if width is None:
         raise ValueError("AVI missing avih main header")
-    if chunk_ranges and compression not in (0, 0x47504A4D):
+    # both codec gates fire at PARSE time (not lazily inside decode_one) so a
+    # parse-only caller — or a zero-frame sample plan — rejects an unsupported
+    # stream the same way a full decode would
+    if chunk_ranges and (
+        compression not in (0, 0x47504A4D) or (compression == 0 and bpp != 24)
+    ):
         raise NotImplementedError(
             "compressed AVI streams require pyav/ffmpeg (pure "
             "path reads uncompressed 24-bit DIB and Motion-JPEG)"

@@ -398,9 +398,15 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
         deq = nat.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
         # batched exact IDCT: out[n, x, y] = Σ_u Σ_v M[u,x] deq[n,u,v] M[v,y].
         # DC-only blocks (the common case in flat regions) skip the einsum via
-        # (M00*d)*M00 — BIT-IDENTICAL to the einsum's single surviving term
-        # (verified exhaustively over every reachable integer deq00 in
-        # ±600000; d/8.0 is NOT: it differs by 1 ulp on most inputs).
+        # (M00*d)*M00 — BIT-IDENTICAL to the einsum for ALL integer d, not
+        # just the exhaustively-swept ±600000 range: with every other deq
+        # cell zero, einsum's sum over (u, v) has exactly ONE nonzero term,
+        # M[0,x]·d·M[0,y], accumulated with no additions (adding the 63 exact
+        # zeros cannot perturb a float), and einsum evaluates that term as
+        # the same left-to-right (M00*d)*M00 product — so equality is the
+        # associativity-free identity of one multiplication chain, valid for
+        # any d a (possibly hostile) stream can accumulate. (d/8.0 is NOT
+        # equivalent: it differs by 1 ulp on most inputs.)
         flat = ~zzs[:, 1:].any(axis=1)
         m00 = float(_IDCT_M[0, 0])
         blocks = np.empty((deq.shape[0], 8, 8), dtype=np.float64)
@@ -730,10 +736,19 @@ def _put_coef(bw: _BitWriter, v: int, tbl, run: int = -1) -> None:
         bw.put(v if v >= 0 else v + (1 << s) - 1, s)
 
 
-def _jpeg_headers(h: int, w: int, q: np.ndarray, sof_marker: int) -> bytes:
+def _jpeg_headers(
+    h: int,
+    w: int,
+    q: np.ndarray,
+    sof_marker: int,
+    dc_table: tuple[list[int], list[int]] | None = None,
+    ac_table: tuple[list[int], list[int]] | None = None,
+) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    dc_bits, dc_vals = dc_table or (_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_bits, ac_vals = ac_table or (_AC_LUM_BITS, _AC_LUM_VALS)
     zz_q = np.empty(64, dtype=np.uint8)
     zz_q[np.arange(64)] = q.reshape(-1)[_ZIGZAG]
     out = b"\xff\xd8"
@@ -741,10 +756,97 @@ def _jpeg_headers(h: int, w: int, q: np.ndarray, sof_marker: int) -> bytes:
     out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(
         0xC4,
-        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
-        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
     )
     return out
+
+
+def _optimal_code_lengths(freq256: list[int]) -> tuple[list[int], list[int]]:
+    """Symbol frequencies → (BITS[1..16], HUFFVAL): the T.81 Annex K.2
+    optimal-table procedure (Figures K.1–K.3) — the same algorithm libjpeg's
+    -optimize runs, re-implemented from the published spec. Symbol 256 is the
+    spec's reserved all-ones-code placeholder (frequency 1) so no real symbol
+    gets a code of all 1-bits; code lengths > 16 are folded down by Figure
+    K.3's pair-lifting adjustment."""
+    freq = list(freq256) + [1]  # index 256: reserved
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        # v1: least-frequency symbol, ties broken toward the LARGER value
+        # (Figure K.1's "largest value of V with the least value of FREQ(V)")
+        v1 = v2 = -1
+        for v in range(257):
+            if freq[v] > 0 and (v1 < 0 or freq[v] <= freq[v1]):
+                v1 = v
+        for v in range(257):
+            if v != v1 and freq[v] > 0 and (v2 < 0 or freq[v] <= freq[v2]):
+                v2 = v
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33  # bits[l] = number of codes of length l, l in 1..32
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    i = 32  # Figure K.3: fold lengths > 16 down by lifting a shorter pair
+    while i > 16:
+        if bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        else:
+            i -= 1
+    while bits[i] == 0:  # drop the reserved symbol's (longest) code
+        i -= 1
+    bits[i] -= 1
+    huffval = sorted((v for v in range(256) if codesize[v]), key=lambda v: (codesize[v], v))
+    return bits[1:17], huffval
+
+
+def _baseline_symbol_freqs(
+    blocks: list[np.ndarray], dri: int
+) -> tuple[list[int], list[int]]:
+    """Count the DC-size and AC run/size symbols the baseline scan will emit
+    (mirroring the encode loop below, including DC-predictor resets at
+    restart boundaries) — the statistics pass of a two-pass optimized encode."""
+    dc_freq = [0] * 256
+    ac_freq = [0] * 256
+    pred = 0
+    n_in_chunk = 0
+    for bi, zz in enumerate(blocks):
+        dc_freq[int(abs(int(zz[0]) - pred)).bit_length()] += 1
+        pred = int(zz[0])
+        nz = np.nonzero(zz[1:])[0]
+        k = 0
+        for pos in nz:
+            run = int(pos) - k
+            while run > 15:
+                ac_freq[0xF0] += 1
+                run -= 16
+            ac_freq[(run << 4) | int(abs(int(zz[1 + pos]))).bit_length()] += 1
+            k = int(pos) + 1
+        if k < 63:
+            ac_freq[0x00] += 1
+        n_in_chunk += 1
+        if dri and n_in_chunk == dri and bi != len(blocks) - 1:
+            pred = 0
+            n_in_chunk = 0
+    return dc_freq, ac_freq
 
 
 # flat AC table for the progressive scans: RS symbols 0x00..0xFE (incl. the
@@ -764,7 +866,9 @@ def _stuff(data: bytes) -> bytes:
     return data.replace(b"\xff", b"\xff\x00")
 
 
-def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0, progressive: bool = False) -> bytes:
+def encode_jpeg_gray(
+    pixels: np.ndarray, dri: int = 0, progressive: bool = False, optimize: bool = False
+) -> bytes:
     """uint8 (h, w) or (h, w, 1) grayscale → JPEG bytes, quant table all-8s,
     Annex-K luminance Huffman tables, full FDCT with per-coefficient rounding
     (``decode_jpeg``'s test/corpus inverse — for 8×8-CONSTANT blocks the
@@ -774,16 +878,27 @@ def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0, progressive: bool = False
     with the classic 4-scan layout — DC first (Al=1), AC 1..63 first (Al=1,
     EOB runs batched across blocks), DC refine, AC refine (correction bits) —
     which reconstructs the SAME quantized coefficients exactly, so baseline
-    and progressive encodes of one image must decode bit-identically."""
+    and progressive encodes of one image must decode bit-identically.
+    ``optimize=True`` (baseline only) derives per-image Huffman tables from
+    the scan's actual symbol frequencies (T.81 Annex K.2, libjpeg -optimize):
+    smaller output, identical decode — and every image carries its OWN DHT,
+    which is what exercises the decoder's content-keyed table memos."""
     if pixels.ndim == 3:
         pixels = pixels[:, :, 0]
     if progressive and dri:
         raise ValueError("progressive encoder does not emit restart intervals")
+    if progressive and optimize:
+        raise ValueError("optimized tables are implemented for baseline scans only")
     h, w = pixels.shape
     q = np.full((8, 8), 8, dtype=np.int64)
-    dc_tbl = _encode_huffman(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_tbl = _encode_huffman(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_table = ac_table = None  # Annex-K defaults
     blocks = _quantized_blocks(pixels, q)
+    if optimize:
+        dc_freq, ac_freq = _baseline_symbol_freqs(blocks, dri)
+        dc_table = _optimal_code_lengths(dc_freq)
+        ac_table = _optimal_code_lengths(ac_freq)
+    dc_tbl = _encode_huffman(*(dc_table or (_DC_LUM_BITS, _DC_LUM_VALS)))
+    ac_tbl = _encode_huffman(*(ac_table or (_AC_LUM_BITS, _AC_LUM_VALS)))
 
     if progressive:
         ac_tbl = _encode_huffman(_AC_FLAT_BITS, _AC_FLAT_VALS)
@@ -844,6 +959,16 @@ def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0, progressive: bool = False
         # EOB-mode correction-bit path runs for every block with a tail)
         bw = _BitWriter()
         for zz in blocks:
+            # libjpeg's EOB bound: the index of the last NEWLY-significant
+            # coefficient. ZRLs are only emitted up to it — zero runs past it
+            # (before trailing history-nonzero coefficients) fold into the
+            # final EOB code, whose decoder path reads the remaining
+            # correction bits anyway. Without the bound the stream is still
+            # decodable, just larger than encode_mcu_AC_refine's.
+            eob = 0
+            for k in range(1, 64):
+                if abs(int(zz[k])) == 1:
+                    eob = k
             pending: list[int] = []
             r = 0
             for k in range(1, 64):
@@ -851,13 +976,14 @@ def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0, progressive: bool = False
                 if v == 0:
                     r += 1
                     continue
-                # ANY nonzero flushes pending ZRLs (with the correction bits
-                # buffered so far) FIRST, as libjpeg's encode_mcu_AC_refine
-                # does — buffering a history-nonzero bit across a deferred
-                # ZRL desyncs the stream when >=16 zeros precede it, because
-                # the decoder only reads correction bits for history-nonzero
-                # coefficients it actually crosses during that ZRL's advance.
-                while r > 15:
+                # A nonzero at k <= EOB flushes pending ZRLs (with the
+                # correction bits buffered so far) FIRST, as libjpeg's
+                # encode_mcu_AC_refine does — buffering a history-nonzero bit
+                # across a deferred ZRL desyncs the stream when >=16 zeros
+                # precede it, because the decoder only reads correction bits
+                # for history-nonzero coefficients it actually crosses during
+                # that ZRL's advance.
+                while r > 15 and k <= eob:
                     ln, code = ac_tbl[0xF0]
                     bw.put(code, ln)
                     for bit in pending:
@@ -916,7 +1042,7 @@ def encode_jpeg_gray(pixels: np.ndarray, dri: int = 0, progressive: bool = False
     for i, ch in enumerate(chunks[1:]):
         entropy += bytes([0xFF, 0xD0 + (i % 8)]) + _stuff(ch)
 
-    out = bytearray(_jpeg_headers(h, w, q, 0xC0))
+    out = bytearray(_jpeg_headers(h, w, q, 0xC0, dc_table, ac_table))
     if dri:
         out += bytes([0xFF, 0xDD]) + struct.pack(">H", 4) + struct.pack(">H", dri)
     out += _sos(0, 63, 0, 0) + bytes(entropy) + b"\xff\xd9"

@@ -39,6 +39,13 @@ Scale note: synthesis is an Arrow-batched mapInPandas projection (one numpy
 pattern per row, vectorized byte assembly) — it stands in for the production
 "read media bytes from the lake" scan and costs O(rows), no shuffle.
 Everything downstream is the real, unmodified dedup pipeline.
+
+Since r12 the registry rows don't synthesize in-query: ``staged()`` persists
+each corpus as a once-per-session parquet artifact and the rows READ it —
+exactly the production shape — so the benched time is the operator, not the
+fixture encoder (r11 verdict directive 1: encoder cost dominated the media
+bench tail). Payloads are bit-identical either way (pinned by
+tests/test_staged_media.py and the ahash VALUES oracles).
 """
 
 from __future__ import annotations
@@ -75,6 +82,63 @@ MAX_VARIANT = 3  # flip steps are capped so same-group pairs stay in-radius
 
 def _group_variant(doc_id: int) -> tuple[int, int]:
     return doc_id % N_GROUPS, min(doc_id // N_GROUPS, MAX_VARIANT)
+
+
+def staged(spark, sf_dir: str, kind: str) -> DataFrame:
+    """Session-staged synthetic media corpus: synthesize ``kind`` over the
+    full documents table ONCE per Spark application, persist it as parquet
+    under the session temp dir, and hand every consumer the parquet-backed
+    (doc_id, payload) scan.
+
+    This is what production looks like — media bytes are READ from the lake,
+    not generated inside the query — so gate/report/values bench rows time
+    the OPERATOR (decode → hash → block/probe), not the fixture encoder that
+    a real deployment never runs (r11 verdict directive 1: encoder cost
+    dominated the media bench tail and masked the operator signal).
+
+    Staleness safety: the parquet path is keyed by ``applicationId``, so a
+    new session (and therefore any regenerated fixture set) can never read a
+    previous session's bytes; within one application the corpus is a pure
+    function of the immutable documents table. Payloads are bit-identical to
+    an inline ``synth_*`` call — binary columns round-trip parquet exactly —
+    which the ahash VALUES oracles re-verify every round. Consumers filter
+    the full corpus by doc_id (pushed down to the parquet scan) instead of
+    synthesizing subsets."""
+    import os
+    import tempfile
+
+    from kda_flink_demo_spark.io.sources import load_table
+    from kda_flink_demo_spark.operators.llm.standing import standing_artifact
+
+    generators = {
+        "images": synth_images,
+        "pngs": synth_pngs,
+        "gifs": synth_gifs,
+        "jpegs": synth_jpegs,
+        "mjpeg_videos": synth_mjpeg_videos,
+        "wavs": synth_wavs,
+        "wavs_widths": synth_wavs_widths,
+        "videos": synth_videos,
+        "pattern_videos": synth_pattern_videos,
+    }
+
+    def _build() -> DataFrame:
+        app = spark.sparkContext.applicationId
+        sfname = os.path.basename(sf_dir.rstrip("/"))
+        path = os.path.join(
+            tempfile.gettempdir(), "kda_media_stage", app, f"{kind}-{sfname}.parquet"
+        )
+        generators[kind](load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        # the staged files are small enough to bin-pack into 1–2 scan
+        # partitions (openCostInBytes), which would serialize the decode
+        # kernels downstream — re-spread exactly like the synth generators
+        # did; at lake scale the scan arrives already parallel and
+        # spread_for_compute is a no-op
+        return spread_for_compute(spark.read.parquet(path))
+
+    return standing_artifact(spark, ("staged_media", kind, sf_dir), _build)
 
 
 def image_pattern(doc_id: int) -> int:

@@ -1341,7 +1341,7 @@ def q_image_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-group pairs at ≥ 18 (outside max_hamming=5) — so precision and
     recall are both provably exact and any pipeline defect (decode, luma,
     resize, threshold, packing, blocking, verify) flips the hash."""
-    imgs = synth_media.synth_images(load_table(spark, sf_dir, "documents"))
+    imgs = synth_media.staged(spark, sf_dir, "images")
     pairs = image_dedup.image_near_dup_pairs(imgs, max_hamming=5)
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
@@ -1362,7 +1362,7 @@ def q_audio_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     median-energy threshold pins exactly 32 bits — so same-group hamming is
     EXACTLY 2·|v_a − v_b| ≤ 6, each step confined to one quarter (≥ 1 quarter
     always identical → exact recall at max_hamming=6), cross-group ≥ 12."""
-    wavs = synth_media.synth_wavs(load_table(spark, sf_dir, "documents"))
+    wavs = synth_media.staged(spark, sf_dir, "wavs")
     pairs = image_dedup.audio_near_dup_pairs(wavs, max_hamming=6)
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
@@ -1397,13 +1397,13 @@ def q_image_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all same-group images near-dup each other) — both code paths land in
     the closed-form survivor set the oracle computes."""
     docs = load_table(spark, sf_dir, "documents")
-    incoming = synth_media.synth_images(docs.filter(F.col("doc_id") % 3 == 1))
+    incoming = synth_media.staged(spark, sf_dir, "images").filter(F.col("doc_id") % 3 == 1)
     index = standing_artifact(
         spark,
         ("ahash_index", sf_dir),
         lambda: image_dedup.image_ahash(
-            synth_media.synth_images(
-                docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+            synth_media.staged(spark, sf_dir, "images").filter(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10)
             )
         ).localCheckpoint(),
     )
@@ -1417,13 +1417,13 @@ def q_audio_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     through audio_ahash fingerprints (batch hashes passed explicitly — the
     probe machinery is hash-agnostic once given the (doc_id, ahash) tables)."""
     docs = load_table(spark, sf_dir, "documents")
-    incoming = synth_media.synth_wavs(docs.filter(F.col("doc_id") % 3 == 1))
+    incoming = synth_media.staged(spark, sf_dir, "wavs").filter(F.col("doc_id") % 3 == 1)
     index = standing_artifact(
         spark,
         ("audio_ahash_index", sf_dir),
         lambda: image_dedup.audio_ahash(
-            synth_media.synth_wavs(
-                docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+            synth_media.staged(spark, sf_dir, "wavs").filter(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10)
             )
         ).localCheckpoint(),
     )
@@ -1463,7 +1463,7 @@ def q_video_frame_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding, bottom-up flip, BGR→RGB, luma) moves some score and fails the
     hash. Compressed codecs stay behind the honest NotImplementedError gate
     naming pyav/ffmpeg."""
-    vids = synth_media.synth_videos(load_table(spark, sf_dir, "documents"))
+    vids = synth_media.staged(spark, sf_dir, "videos")
     return multimodal.sample_video_frames(vids, stride=5, real_decode=True)
 
 
@@ -1487,7 +1487,7 @@ def q_image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, riding the same connected_components machinery."""
     docs = load_table(spark, sf_dir, "documents")
     edges = image_dedup.image_near_dup_edges(
-        synth_media.synth_images(docs), max_hamming=3
+        synth_media.staged(spark, sf_dir, "images"), max_hamming=3
     )
     clusters = clustering.dedup_clusters(docs, edges)
     return clustering.apply_dedup(docs, clusters)
@@ -1544,9 +1544,9 @@ def q_media_sniff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     defect anywhere moves some cell and fails the hash."""
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    imgs = synth_media.synth_images(docs.filter(d % 4 == 0))
-    wavs = synth_media.synth_wavs(docs.filter(d % 4 == 1))
-    vids = synth_media.synth_videos(docs.filter(d % 4 == 2))
+    imgs = synth_media.staged(spark, sf_dir, "images").filter(d % 4 == 0)
+    wavs = synth_media.staged(spark, sf_dir, "wavs").filter(d % 4 == 1)
+    vids = synth_media.staged(spark, sf_dir, "videos").filter(d % 4 == 2)
     junk = docs.filter(d % 4 == 3).select(
         "doc_id",
         # coalesce: a NULL text must quarantine as a 1-byte unknown payload,
@@ -1568,7 +1568,7 @@ def q_video_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation hash-fails. Fingerprints then equal image_pattern(doc_id),
     making the pair histogram the SAME closed form as the image report
     (|v_a − v_b| per same-group pair, cross-group unreachable)."""
-    vids = synth_media.synth_pattern_videos(load_table(spark, sf_dir, "documents"))
+    vids = synth_media.staged(spark, sf_dir, "pattern_videos")
     pairs = image_dedup.video_near_dup_pairs(vids, max_hamming=5)
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
@@ -1603,7 +1603,7 @@ def q_image_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula, nearest-resize indices, mean threshold, MSB-first packing,
     two's-complement — not just pair distances."""
     return image_dedup.image_ahash(
-        synth_media.synth_images(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "images")
     )
 
 
@@ -1621,7 +1621,7 @@ def q_png_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as image_ahash_values, reached through a completely different
     byte path."""
     return image_dedup.image_ahash(
-        synth_media.synth_pngs(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "pngs")
     )
 
 
@@ -1636,7 +1636,7 @@ def q_gif_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma. Same signed-pattern LUT oracle as image/png_ahash_values — a third
     independent byte path into the same pinned values."""
     return image_dedup.image_ahash(
-        synth_media.synth_gifs(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "gifs")
     )
 
 
@@ -1652,7 +1652,7 @@ def q_mjpeg_video_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed-pattern LUT — reached through RIFF walk → per-frame JPEG Huffman
     decode → IDCT → gray→RGB expansion → per-frame hash → majority vote."""
     return image_dedup.video_ahash(
-        synth_media.synth_mjpeg_videos(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "mjpeg_videos")
     )
 
 
@@ -1670,7 +1670,7 @@ def q_jpeg_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus carries restart intervals, making RST handling and DC-predictor
     resets load-bearing."""
     return image_dedup.image_ahash(
-        synth_media.synth_jpegs(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "jpegs")
     )
 
 
@@ -1711,7 +1711,7 @@ def q_png_sniff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     not closed-form; the full nullable schema is already pinned by
     media_sniff_features)."""
     feats = multimodal.sniff_media_features(
-        synth_media.synth_pngs(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "pngs")
     )
     return feats.select("doc_id", "modality", "width", "height", "channels", "brightness")
 
@@ -1732,8 +1732,8 @@ def q_image_ahash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the signed-pattern LUT restricted to the indexed slice."""
     docs = load_table(spark, sf_dir, "documents")
     idx = image_dedup.image_ahash(
-        synth_media.synth_images(
-            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        synth_media.staged(spark, sf_dir, "images").filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10)
         )
     ).localCheckpoint()
     return standing_put(spark, ("ahash_index", sf_dir), idx)
@@ -1765,7 +1765,7 @@ def q_audio_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     same constants) — pinning the stdlib WAV parse, per-window energy fold,
     median threshold, and volume invariance bit-for-bit."""
     return image_dedup.audio_ahash(
-        synth_media.synth_wavs(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "wavs")
     )
 
 
@@ -1777,7 +1777,7 @@ def q_video_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed-pattern LUT as image_ahash_values, reached through a completely
     different kernel (multi-frame decode, per-frame hash, majority vote)."""
     return image_dedup.video_ahash(
-        synth_media.synth_pattern_videos(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "pattern_videos")
     )
 
 
@@ -1801,7 +1801,7 @@ def q_wav_width_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_ahash_values — a width-specific scaling or sign-extension defect
     flips envelope bits for exactly that width's cohort and fails the hash."""
     return image_dedup.audio_ahash(
-        synth_media.synth_wavs_widths(load_table(spark, sf_dir, "documents"))
+        synth_media.staged(spark, sf_dir, "wavs_widths")
     )
 
 
@@ -1822,8 +1822,8 @@ def q_audio_ahash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT restricted to the indexed slice."""
     docs = load_table(spark, sf_dir, "documents")
     idx = image_dedup.audio_ahash(
-        synth_media.synth_wavs(
-            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        synth_media.staged(spark, sf_dir, "wavs").filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10)
         )
     ).localCheckpoint()
     return standing_put(spark, ("audio_ahash_index", sf_dir), idx)
@@ -1846,8 +1846,8 @@ def q_video_ahash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel."""
     docs = load_table(spark, sf_dir, "documents")
     idx = image_dedup.video_ahash(
-        synth_media.synth_pattern_videos(
-            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+        synth_media.staged(spark, sf_dir, "pattern_videos").filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10)
         )
     ).localCheckpoint()
     return standing_put(spark, ("video_ahash_index", sf_dir), idx)
@@ -1864,13 +1864,13 @@ def q_video_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus design, so same-group hamming ≤ 3 ≤ 5 and the image gate's closed
     form transfers verbatim."""
     docs = load_table(spark, sf_dir, "documents")
-    incoming = synth_media.synth_pattern_videos(docs.filter(F.col("doc_id") % 3 == 1))
+    incoming = synth_media.staged(spark, sf_dir, "pattern_videos").filter(F.col("doc_id") % 3 == 1)
     index = standing_artifact(
         spark,
         ("video_ahash_index", sf_dir),
         lambda: image_dedup.video_ahash(
-            synth_media.synth_pattern_videos(
-                docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10))
+            synth_media.staged(spark, sf_dir, "pattern_videos").filter(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 20 < 10)
             )
         ).localCheckpoint(),
     )
@@ -1951,9 +1951,9 @@ def q_media_ingest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint is LUT-pinned too)."""
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    imgs = synth_media.synth_images(docs.filter(d % 4 == 0))
-    wavs = synth_media.synth_wavs(docs.filter(d % 4 == 1))
-    vids = synth_media.synth_pattern_videos(docs.filter(d % 4 == 2))
+    imgs = synth_media.staged(spark, sf_dir, "images").filter(d % 4 == 0)
+    wavs = synth_media.staged(spark, sf_dir, "wavs").filter(d % 4 == 1)
+    vids = synth_media.staged(spark, sf_dir, "pattern_videos").filter(d % 4 == 2)
     junk = docs.filter(d % 4 == 3).select(
         "doc_id",
         F.encode(

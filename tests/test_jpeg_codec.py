@@ -617,3 +617,70 @@ def test_synth_jpegs_kernel_matches_local_replica(spark):
     assert len(rows) == 30
     for r in rows:
         assert bytes(r["payload"]) == _synth_jpeg_payload(int(r["doc_id"]))
+
+
+def test_optimized_tables_decode_identically_and_shrink():
+    """optimize=True (T.81 Annex K.2 per-image tables) must change the DHT
+    and entropy bytes only: identical decoded pixels, never-larger output,
+    and a distinct DHT per distinct image (the property the decoder's
+    content-keyed LUT memo probe relies on)."""
+    rng = np.random.RandomState(20260816)
+
+    def dht(b: bytes) -> bytes:
+        i = b.index(b"\xff\xc4")
+        ln = int.from_bytes(b[i + 2 : i + 4], "big")
+        return b[i + 4 : i + 2 + ln]
+
+    dhts = set()
+    for trial in range(8):
+        px = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+        for dri in (0, 2):
+            plain = jpeg.encode_jpeg_gray(px, dri=dri)
+            opt = jpeg.encode_jpeg_gray(px, dri=dri, optimize=True)
+            assert len(opt) <= len(plain)
+            assert np.array_equal(jpeg.decode_jpeg(opt)[3], jpeg.decode_jpeg(plain)[3])
+        dhts.add(dht(opt))
+    assert len(dhts) == 8, "each random image must carry its own optimized DHT"
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.encode_jpeg_gray(px, progressive=True, optimize=True)
+
+
+def test_optimized_tables_flat_image_edge_case():
+    """A flat image emits one DC-size symbol and one AC EOB symbol — the
+    minimal-alphabet corner of the K.2 code-length derivation (reserved
+    symbol removal must leave a valid 1-code table, not an all-ones code)."""
+    px = np.full((16, 16), 77, dtype=np.uint8)
+    opt = jpeg.encode_jpeg_gray(px, optimize=True)
+    assert np.array_equal(
+        jpeg.decode_jpeg(opt)[3], jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))[3]
+    )
+
+
+def test_ac_refine_zrl_past_eob_folds_into_block_eob():
+    """libjpeg encode_mcu_AC_refine parity (round-12, from review): a
+    history-nonzero coefficient (abs >= 2 at Al=0) sitting AFTER the last
+    newly-significant index must NOT emit ZRLs for the >= 16 zeros before
+    it — the run folds into the block's EOB code and the decoder's EOB-mode
+    correction-bit path picks up its bit. Trigger: the ±1 BEFORE the ±2/3
+    (eob < p), the mirror of the r11 regression cases (eob > p)."""
+    q8 = np.full((8, 8), 8, dtype=np.int64)
+    cases = [(4, 48, -2, 12, -1), (-3, 51, 3, 9, 1)]  # (dc, p, vp, qpos<p, vq)
+    pinned = 0
+    for dc_v, p, vp, qpos, vq in cases:
+        zzq = np.zeros(64, dtype=np.int64)
+        zzq[0], zzq[p], zzq[qpos] = dc_v, vp, vq
+        nat = np.zeros(64)
+        nat[jpeg._ZIGZAG] = zzq
+        px = np.clip(
+            np.round(jpeg._idct_block(nat.reshape(8, 8) * 8.0) + 128.0), 0, 255
+        ).astype(np.uint8)
+        got = jpeg._quantized_blocks(px, q8)[0]
+        if not np.array_equal(got, zzq):
+            continue  # quantizer rejected the synthetic block; other case pins it
+        pinned += 1
+        prog = jpeg.encode_jpeg_gray(px, progressive=True)
+        assert np.array_equal(
+            jpeg.decode_jpeg(prog)[3],
+            jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))[3],
+        )
+    assert pinned >= 1, "no trigger block survived quantization — test is vacuous"

@@ -795,3 +795,15 @@ def test_empty_media_batch(spark):
     docs = spark.range(0).withColumnRenamed("id", "doc_id")
     assert image_ahash(synth_media.synth_images(docs)).count() == 0
     assert audio_ahash(synth_media.synth_wavs(docs)).count() == 0
+
+
+def test_avi_uncompressed_bpp_gate_fires_at_parse_time():
+    """Round-12 (from review): the bpp != 24 gate on uncompressed BI_RGB
+    streams must fire at PARSE time like the codec gate — a parse-only
+    caller (or a zero-frame sample plan) must reject a 16-bpp stream, not
+    defer the refusal to the first decoded chunk."""
+    b = bytearray(imaging.encode_avi(_frames(2), fps=10))
+    strf_off = bytes(b).index(b"strf") + 8
+    b[strf_off + 14 : strf_off + 16] = (16).to_bytes(2, "little")  # biBitCount
+    with pytest.raises(NotImplementedError, match="compressed AVI"):
+        imaging._parse_avi(bytes(b))
