@@ -212,6 +212,14 @@ def image_dedup_probe(
         if batch_hashes is not None
         else image_ahash(incoming, id_col=id_col, payload_col=payload_col).localCheckpoint()
     )
+    # the decode ran parallel (above, before the checkpoint); the DROP
+    # machinery below is a handful of joins over the batch-sized 8-byte hash
+    # table, and inheriting the decode's 32-way partitioning just multiplies
+    # near-empty tasks across ~10 micro-stages (measured ~2× the per-batch
+    # wall at test scale) — narrow it once. The batch side is micro-batch-
+    # sized by contract (see the driver-memory note below); the INDEX side
+    # keeps its scan parallelism untouched.
+    bh = bh.coalesce(1)
     # collapse the batch to distinct hash values + the per-value minimal id —
     # the monoculture defense (see _distinct_hash_pairs): every join below
     # touches hash VALUES, never one row per duplicate image

@@ -818,6 +818,112 @@ def _decode_wav_adpcm(b: bytes, block_align: int, n_samples: int | None) -> np.n
     return np.array(out, dtype=np.float64) / 32768.0
 
 
+# MS-ADPCM (WAVE fmt tag 2) constants from the published Microsoft spec
+# (the msadpcm reference algorithm; also RFC 2361's codec registry): 7
+# standard predictor pairs in 8.8 fixed point and the 16-entry delta
+# adaptation table indexed by the encoded nibble.
+_MS_ADPCM_COEFS: tuple[tuple[int, int], ...] = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232),
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _c_div(a: int, b: int) -> int:
+    """C integer division (truncate toward zero) — the MS reference
+    algorithm's semantics; Python's // floors, which differs on negatives."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def encode_wav_ms_adpcm(samples16: np.ndarray, sr: int = 8000, block_align: int = 256) -> bytes:
+    """PCM16 samples → a mono MS-ADPCM RIFF/WAVE (fmt tag 2): per block a
+    7-byte header (predictor index, initial delta, the two seed samples)
+    then one 4-bit code per sample, HIGH nibble first. Fixture encoder (the
+    test/corpus inverse of ``_decode_wav_ms_adpcm``): predictor 0
+    ((256, 0) — prediction = previous sample) with a signal-scaled initial
+    delta; simple, spec-valid, and any conformant decoder reproduces it."""
+    vals = np.clip(samples16, -32768, 32767).astype(np.int64)
+    spb = (block_align - 7) * 2 + 2  # samples per block, mono
+    out_blocks: list[bytes] = []
+    for boff in range(0, len(vals), spb):
+        chunk = vals[boff : boff + spb]
+        if len(chunk) < 2:
+            chunk = np.concatenate([chunk, np.zeros(2 - len(chunk), dtype=np.int64)])
+        samp2, samp1 = int(chunk[0]), int(chunk[1])
+        diffs = np.abs(np.diff(chunk)) if len(chunk) > 1 else np.array([16])
+        delta = max(16, int(diffs.mean()) // 4 or 16)
+        block = bytearray(struct.pack("<Bhhh", 0, delta, samp1, samp2))
+        nibbles: list[int] = []
+        c1, c2 = _MS_ADPCM_COEFS[0]
+        for v in chunk[2:]:
+            pred = _c_div(samp1 * c1 + samp2 * c2, 256)
+            err = int(v) - pred
+            # nearest-code quantization (round half away from zero): halves
+            # the reconstruction error vs truncation at identical bitstream
+            # validity — the decoder doesn't care how the encoder rounded
+            code = _c_div(2 * err + (delta if err >= 0 else -delta), 2 * delta)
+            code = max(-8, min(7, code))
+            sample = pred + delta * code
+            sample = max(-32768, min(32767, sample))
+            nibbles.append(code & 0x0F)
+            samp2, samp1 = samp1, sample
+            delta = max(16, _c_div(_MS_ADAPT[code & 0x0F] * delta, 256))
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
+            block.append((hi << 4) | lo)
+        block.extend(b"\x00" * (block_align - len(block)))
+        out_blocks.append(bytes(block))
+    data = b"".join(out_blocks)
+    coef_bytes = b"".join(struct.pack("<hh", c1, c2) for c1, c2 in _MS_ADPCM_COEFS)
+    extra = struct.pack("<HH", spb, len(_MS_ADPCM_COEFS)) + coef_bytes
+    fmt = (
+        struct.pack(
+            "<HHIIHHH",
+            2, 1, sr, sr * block_align // spb, block_align, 4, len(extra),
+        )
+        + extra
+    )
+    fact = struct.pack("<I", len(vals))
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _decode_wav_ms_adpcm(
+    data: bytes, block_align: int, coefs: list[tuple[int, int]], n_samples: int | None
+) -> np.ndarray:
+    """Mono MS-ADPCM data blocks → float64 samples in [-1, 1): per block the
+    7-byte header seeds (predictor, delta, samp1, samp2); each 4-bit code
+    (HIGH nibble first) is a signed quantized prediction error; delta adapts
+    through the 16-entry table with the spec's C-division semantics and the
+    16 floor."""
+    out: list[int] = []
+    for boff in range(0, len(data) - 6, block_align):
+        block = data[boff : boff + block_align]
+        ipred, delta, samp1, samp2 = struct.unpack_from("<Bhhh", block, 0)
+        c1, c2 = coefs[ipred] if ipred < len(coefs) else coefs[0]
+        out.append(samp2)  # the OLDER seed plays first
+        out.append(samp1)
+        for byte in block[7:]:
+            for nibble in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                signed = nibble - 16 if nibble >= 8 else nibble
+                pred = _c_div(samp1 * c1 + samp2 * c2, 256)
+                sample = max(-32768, min(32767, pred + delta * signed))
+                out.append(sample)
+                samp2, samp1 = samp1, sample
+                delta = max(16, _c_div(_MS_ADAPT[nibble] * delta, 256))
+    if n_samples is not None:
+        out = out[:n_samples]
+    return np.array(out, dtype=np.float64) / 32768.0
+
+
 def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """Manual RIFF walk for the codecs stdlib ``wave`` refuses: G.711 fmt
     tag 6 (A-law) / 7 (μ-law) — 8-bit companded samples expanded through the
@@ -827,12 +933,13 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     tag = ch = sr = bits = None
     block_align = 0
     n_samples = None
-    data = None
+    data = fmt_body = None
     while off + 8 <= len(b):
         cid = b[off : off + 4]
         size = struct.unpack_from("<I", b, off + 4)[0]
         body = b[off + 8 : off + 8 + size]
         if cid == b"fmt ":
+            fmt_body = body
             tag, ch, sr = struct.unpack_from("<HHI", body, 0)
             block_align, bits = struct.unpack_from("<HH", body, 12)
         elif cid == b"fact":
@@ -845,6 +952,20 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     if tag == 0x11 and ch == 1 and block_align >= 8:  # mono IMA-ADPCM
         samples = _decode_wav_adpcm(b, block_align, n_samples)
         return sr, len(samples), 1, samples
+    if tag == 2 and ch == 1 and block_align >= 8:  # mono MS-ADPCM
+        # fmt extra: cbSize @16, then wSamplesPerBlock, wNumCoef, coef pairs
+        coefs = list(_MS_ADPCM_COEFS)
+        if fmt_body is not None and len(fmt_body) >= 22:
+            n_coef = struct.unpack_from("<H", fmt_body, 20)[0]
+            got = [
+                struct.unpack_from("<hh", fmt_body, 22 + 4 * i)
+                for i in range(n_coef)
+                if 22 + 4 * i + 4 <= len(fmt_body)
+            ]
+            if got:
+                coefs = got
+        samples = _decode_wav_ms_adpcm(data, block_align, coefs, n_samples)
+        return sr, len(samples), 1, samples
     if tag == 3 and bits in (32, 64):
         dt = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(data[: len(data) // (bits // 8) * (bits // 8)], dtype=dt).astype(
@@ -856,7 +977,7 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     else:
         raise NotImplementedError(
             "non-PCM WAV codec requires librosa/soundfile (pure path reads "
-            "integer PCM, IEEE float, G.711 mu-law/A-law, and mono IMA-ADPCM)"
+            "integer PCM, IEEE float, G.711 mu-law/A-law, and mono IMA/MS-ADPCM)"
         )
     return sr, len(samples) // ch, ch, samples
 
@@ -870,9 +991,10 @@ def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
     SAME waveform fingerprints identically at any width. Formats ``wave``
     refuses take a manual RIFF walk (``_decode_wav_g711``): G.711
     μ-law/A-law (fmt tags 7/6) expand through 256-entry tables pinned
-    byte-for-byte against ``audioop``, and IEEE float (tag 3, 32/64-bit) is
-    read verbatim. Other non-PCM codecs (ADPCM, MP3-in-WAV) and non-RIFF
-    payloads raise the honest librosa gate."""
+    byte-for-byte against ``audioop``, IEEE float (tag 3, 32/64-bit) is read
+    verbatim, and mono IMA-ADPCM (tag 0x11) / MS-ADPCM (tag 2) run their
+    published adaptive-quantizer algorithms. Other non-PCM codecs
+    (MP3-in-WAV, GSM) and non-RIFF payloads raise the honest librosa gate."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "non-WAV audio payload requires librosa/soundfile (pure-python "

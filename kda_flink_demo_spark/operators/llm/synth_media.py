@@ -434,14 +434,15 @@ def synth_mjpeg_videos(df: DataFrame, id_col: str = "doc_id", repeat: int = 1) -
 
 def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(…, doc_id, …) → (doc_id, payload): the SAME designed energy envelope
-    as ``synth_wavs`` in a CONTAINER/CODEC cycling by ``doc_id % 7`` —
-    8/16/24/32-bit integer PCM, G.711 μ-law/A-law, and mono IMA-ADPCM — so
-    the fingerprint must equal ``audio_pattern(doc_id)`` VERBATIM through
+    as ``synth_wavs`` in a CONTAINER/CODEC cycling by ``doc_id % 8`` —
+    8/16/24/32-bit integer PCM, G.711 μ-law/A-law, mono IMA-ADPCM, and mono
+    MS-ADPCM (r12: fmt tag 2, the last WAV codec behind the librosa gate) —
+    so the fingerprint must equal ``audio_pattern(doc_id)`` VERBATIM through
     every audio decode path (unsigned-center-128 8-bit, signed LE 16/32-bit,
-    sign-extended 24-bit triplets, both companding expansions, and the
-    adaptive-quantizer blocks: the envelope thresholds at the MEDIAN window
-    energy, which monotone companding preserves exactly and whose 10:1
-    amplitude split dwarfs ADPCM's quantization error). Window
+    sign-extended 24-bit triplets, both companding expansions, and both
+    adaptive-quantizer families: the envelope thresholds at the MEDIAN
+    window energy, which monotone companding preserves exactly and whose
+    10:1 amplitude split dwarfs ADPCM's quantization error). Window
     amplitudes keep the 10:1-ish high/low split scaled to each width's full
     scale (volume factor s = 1 + doc_id//20 % 4 still cancels through the
     median threshold); exactly 32 high windows by the codeword design, so
@@ -464,19 +465,21 @@ def synth_wavs_widths(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for d in pdf[id_col]:
                 d = int(d)
                 s = 1 + (d // N_GROUPS % 4)
-                m6 = d % 7
-                if m6 >= 4:  # companded / adaptive (16-bit-scale amplitudes)
+                m8 = d % 8
+                if m8 >= 4:  # companded / adaptive (16-bit-scale amplitudes)
                     amp = np.where(
                         _bits_msb(audio_pattern(d)) == 1, 3000 * s, 300 * s
                     )
                     vals = np.repeat(amp.astype(np.int64), 32)
-                    payloads.append(
-                        imaging.encode_wav_ima_adpcm(vals)
-                        if m6 == 6
-                        else imaging.encode_wav_g711(vals, "ulaw" if m6 == 4 else "alaw")
-                    )
+                    if m8 == 6:
+                        enc = imaging.encode_wav_ima_adpcm(vals)
+                    elif m8 == 7:
+                        enc = imaging.encode_wav_ms_adpcm(vals)
+                    else:
+                        enc = imaging.encode_wav_g711(vals, "ulaw" if m8 == 4 else "alaw")
+                    payloads.append(enc)
                     continue
-                sw = m6 + 1
+                sw = m8 + 1
                 hi, lo = amps[sw]
                 amp = np.where(_bits_msb(audio_pattern(d)) == 1, hi * s, lo * s)
                 vals = np.repeat(amp.astype(np.int64), 32)  # 64 windows × 32

@@ -1317,6 +1317,9 @@ def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # volume perturbations vary the bytes without moving the hash. The true pair
 # structure is therefore closed-form SQL — the full decode→hash→quarter-block
 # →verify pipeline must reproduce it EXACTLY to hash-match.
+# Since r12 the rows READ the corpus from synth_media.staged() — a once-per-
+# session parquet artifact, bit-identical to inline synthesis (test-pinned) —
+# so the timed cost is the operator, the shape production pays (r11 dir. 1).
 # ---------------------------------------------------------------------------
 
 _MEDIA_GV = """

@@ -78,13 +78,15 @@ def _synth_width_payload(d: int) -> bytes:
         [(synth_media.audio_pattern(d) >> (63 - k)) & 1 for k in range(64)],
         dtype=np.uint8,
     )
-    m6 = d % 7
-    if m6 >= 4:
+    m8 = d % 8
+    if m8 >= 4:
         vals = np.repeat(np.where(bits == 1, 3000 * s, 300 * s).astype(np.int64), 32)
-        if m6 == 6:
+        if m8 == 6:
             return imaging.encode_wav_ima_adpcm(vals)
-        return imaging.encode_wav_g711(vals, "ulaw" if m6 == 4 else "alaw")
-    sw = m6 + 1
+        if m8 == 7:
+            return imaging.encode_wav_ms_adpcm(vals)
+        return imaging.encode_wav_g711(vals, "ulaw" if m8 == 4 else "alaw")
+    sw = m8 + 1
     hi, lo = AMPS[sw]
     amp = np.where(bits == 1, hi * s, lo * s)
     vals = np.repeat(amp.astype(np.int64), 32)
@@ -106,7 +108,7 @@ def _synth_width_payload(d: int) -> bytes:
 def test_every_width_fingerprints_to_the_designed_pattern():
     for d in range(0, 120):
         got = int(pack_bits_i64(audio_hash_bits(_synth_width_payload(d))[None, :])[0])
-        assert got & (2**64 - 1) == synth_media.audio_pattern(d), (d, d % 7)
+        assert got & (2**64 - 1) == synth_media.audio_pattern(d), (d, d % 8)
 
 
 # ---------------------------------------------------------------------------
@@ -166,11 +168,13 @@ def test_ieee_float_wav_decodes_verbatim(bits, dt):
     assert np.array_equal(out, vals.astype(np.float64))
 
 
-def test_ms_adpcm_fmt_tag_gates_naming_librosa():
-    """MS-ADPCM (fmt tag 2, a DIFFERENT predictor family from IMA): stdlib
-    wave refuses it and the manual walk must gate honestly, not misparse."""
+def test_mp3_in_wav_fmt_tag_gates_naming_librosa():
+    """MP3-in-WAV (fmt tag 0x55): a codec the pure path genuinely cannot
+    decode — stdlib wave refuses it and the manual walk must gate honestly,
+    not misparse. (MS-ADPCM, this test's former subject, decodes for real
+    since r12 — see the tests below.)"""
     with pytest.raises(NotImplementedError, match="librosa"):
-        imaging.decode_wav(_raw_wav(2, 4, bytes(16)))
+        imaging.decode_wav(_raw_wav(0x55, 4, bytes(16)))
 
 
 # ---------------------------------------------------------------------------
@@ -226,3 +230,83 @@ def test_synth_wavs_widths_kernel_matches_local_replica(spark):
     assert len(rows) == 40
     for r in rows:
         assert bytes(r["payload"]) == _synth_width_payload(int(r["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
+# MS-ADPCM (fmt tag 2): the Microsoft predictor family, decoded for real
+# since r12 (it was the last WAV codec behind the librosa gate)
+# ---------------------------------------------------------------------------
+
+
+def _ms_adpcm_decode_reference(data: bytes, block_align: int) -> np.ndarray:
+    """Independent straight-from-the-spec re-implementation (kept deliberately
+    different in structure from imaging._decode_wav_ms_adpcm): nibble loop
+    with explicit state, C-truncating division via int(float) semantics."""
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+    out = []
+    for boff in range(0, len(data) - 6, block_align):
+        blk = data[boff : boff + block_align]
+        ipred = blk[0]
+        delta = int.from_bytes(blk[1:3], "little", signed=True)
+        s1 = int.from_bytes(blk[3:5], "little", signed=True)
+        s2 = int.from_bytes(blk[5:7], "little", signed=True)
+        c1, c2 = COEFS[ipred]
+        out += [s2, s1]
+        for byte in blk[7:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                signed = nib - 16 if nib >= 8 else nib
+                pred = int((s1 * c1 + s2 * c2) / 256)  # trunc toward zero
+                samp = min(32767, max(-32768, pred + delta * signed))
+                out.append(samp)
+                s2, s1 = s1, samp
+                delta = max(16, int(ADAPT[nib] * delta / 256))
+    return np.array(out, dtype=np.int64)
+
+
+def test_ms_adpcm_decoder_matches_independent_spec_replica():
+    """Our decoder vs a structurally different spec replica, over random
+    bitstreams (random nibbles, random seeds, every predictor index): every
+    reconstructed sample bit-equal — pins nibble order (HIGH first), the
+    C-division prediction, clamping, and the 16-entry adaptation walk."""
+    rng = np.random.RandomState(12)
+    for trial in range(8):
+        block_align = 32
+        blocks = []
+        for _ in range(4):
+            hdr = struct.pack(
+                "<Bhhh",
+                trial % 7,
+                int(rng.randint(16, 4000)),
+                int(rng.randint(-20000, 20000)),
+                int(rng.randint(-20000, 20000)),
+            )
+            blocks.append(hdr + rng.bytes(block_align - 7))
+        data = b"".join(blocks)
+        ours = imaging._decode_wav_ms_adpcm(
+            data, block_align, list(imaging._MS_ADPCM_COEFS), None
+        )
+        ref = _ms_adpcm_decode_reference(data, block_align)
+        assert np.array_equal((ours * 32768.0).astype(np.int64), ref)
+
+
+def test_ms_adpcm_container_roundtrip_bounded():
+    t = np.arange(4096)
+    s16 = (10000 * np.sin(t / 20) + 3000 * np.sin(t / 7)).astype(np.int64)
+    sr, nf, ch, out = imaging.decode_wav(imaging.encode_wav_ms_adpcm(s16))
+    assert (sr, nf, ch) == (8000, 4096, 1)
+    # fixed predictor 0 + nearest-code quantization tracks a smooth waveform
+    assert float(np.sqrt(np.mean((out * 32768 - s16) ** 2))) < 600
+
+
+def test_ms_adpcm_sniff_routes_as_audio(spark):
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    vals = np.repeat(np.array([3000, 300] * 32, dtype=np.int64), 32)
+    df = spark.createDataFrame(
+        [(0, imaging.encode_wav_ms_adpcm(vals))], "doc_id long, payload binary"
+    )
+    [r] = sniff_media_features(df).collect()
+    assert (r["modality"], r["channels"]) == ("audio", 1)
