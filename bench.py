@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "text_tfidf_top_terms",
     "vocab_top_terms",
     "inverted_index",
+    "bm25_retrieval",
     "text_language_id",
     "text_quality",
     "text_token_stats",

@@ -410,15 +410,26 @@ def audio_hash_bits(b: bytes) -> "np.ndarray":
     """One WAV payload → its uint8[64] energy-envelope fingerprint bits."""
     from kda_flink_demo_spark.operators.llm import imaging
 
-    return audio_bits_from_samples(imaging.decode_wav(b)[3])
+    _sr, _nf, ch, samples = imaging.decode_wav(b)
+    return audio_bits_from_samples(samples, channels=ch)
 
 
-def audio_bits_from_samples(samples: "np.ndarray") -> "np.ndarray":
+def audio_bits_from_samples(samples: "np.ndarray", channels: int = 1) -> "np.ndarray":
     """Already-decoded samples → fingerprint bits (bit k = window k's mean
     energy > the MEDIAN window energy). Split out so the fused ingest-profile
-    kernel can decode ONCE and feed the same samples to rms + fingerprint."""
+    kernel can decode ONCE and feed the same samples to rms + fingerprint.
+
+    Multichannel audio DOWNMIXES to mono first (per-frame channel mean, the
+    standard ITU downmix for equal-weighted channels) — so a stereo re-encode
+    of a mono clip fingerprints identically to its source and collides in the
+    near-dup gate, which is the semantics a dedup fingerprint owes (r12;
+    interleaved windowing would mix channel energies unpredictably for
+    true stereo)."""
     import numpy as np
 
+    if channels > 1:
+        usable = (samples.size // channels) * channels
+        samples = samples[:usable].reshape(-1, channels).mean(axis=1)
     if samples.size < 64:
         samples = np.pad(samples, (0, 64 - samples.size))
     usable = (samples.size // 64) * 64

@@ -605,7 +605,7 @@ def _profile_row(b: bytes, want_bits: bool = True):
             return (
                 "audio", None, None, ch, dur, None,
                 imaging.rms_of(samples),
-                audio_bits_from_samples(samples) if want_bits else None,
+                audio_bits_from_samples(samples, channels=ch) if want_bits else None,
             )
         if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
             # duration comes from the TOTAL chunk count (exact, cheap walk);

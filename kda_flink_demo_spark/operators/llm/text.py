@@ -376,6 +376,153 @@ TFIDF_ORACLE_SQL = """
     ) WHERE term_rank <= 3
 """
 
+# Fixed BM25 query set (terms from the synthetic corpus vocabulary): the
+# retrieval twin of the inverted index / tfidf rows — an LLM data pipeline
+# uses exactly this shape for eval-set mining and RAG-corpus selection.
+BM25_QUERIES: dict[int, list[str]] = {
+    1: ["hash", "join"],
+    2: ["scan", "filter", "batch"],
+    3: ["customer", "order", "data"],
+    4: ["vector", "merge", "sort"],
+}
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: for each query (a bag of terms), score
+    every matching document with the Lucene-variant BM25
+    (idf = ln((N − df + ½)/(df + ½) + 1), tf-saturation k1, length
+    normalization b against the corpus mean doc length) and keep the top-k
+    by (score desc, doc_id).
+
+    Scale shape: the corpus explodes to (doc, term) ONCE and is immediately
+    semi-joined against the BROADCAST query vocabulary — only query-term
+    postings survive into the tf aggregate, so the shuffled volume is the
+    posting lists, never the corpus. Document length is a map-side
+    projection (no explode) aggregated to one broadcast (N, avgdl) row; df
+    aggregates the same pruned postings. The final per-query top-k is a
+    row_number window over candidate rows (bounded by the postings of the
+    query's rarest... union of terms), ranked on the det_round(6)-ed score
+    with a doc_id tie-break so JVM/C++ ln() ulp differences can't flip an
+    order across engines. Output: (query_id, doc_id, score, rank)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from kda_flink_demo_spark.functions import det_round as _r
+
+    spark = df.sparkSession
+    queries = queries or BM25_QUERIES
+    qrows = [(qid, t) for qid, terms in queries.items() for t in terms]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qvocab = qterms.select("term").distinct()
+
+    toks = F.split(F.col(text_col), " ")
+    # doc length rides the exploded posting rows (first() under the tf
+    # aggregate), so the corpus-wide (doc, dl) projection never enters a
+    # shuffle — only query-term postings do
+    terms = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    ).join(broadcast(qvocab), "term")  # prune to query vocabulary map-side
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # corpus stats: one map-side partial aggregate to a single broadcast row
+    stats = df.select(F.size(toks).cast("long").alias("_dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
+    )
+
+    contrib = (
+        tf.join(broadcast(qterms), "term")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        _r(F.sum("_c"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def bm25_oracle_sql(
+    queries: dict[int, list[str]] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    queries = queries or BM25_QUERIES
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries.items() for t in terms
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {qvals}),
+    terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+    ),
+    pruned AS (
+        SELECT doc_id, term FROM terms
+        WHERE term IN (SELECT DISTINCT term FROM q)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM pruned GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM {table}),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               floor(sum(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * {k1 + 1.0})
+                   / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / stats.avgdl))
+               ) * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM tf
+        JOIN q USING (term)
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (term)
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 _FP_MOD = 1_000_000_007
 
 

@@ -1300,6 +1300,20 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_retrieval", text.bm25_oracle_sql())
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a fixed 4-query set over the documents
+    corpus — the retrieval twin of inverted_index/tfidf (an LLM pipeline uses
+    this shape for eval-set mining and RAG-corpus selection). Scale shape:
+    the exploded term stream semi-joins the BROADCAST query vocabulary before
+    any aggregate (shuffled volume = query-term postings, never the corpus),
+    doc length rides the posting rows, corpus stats are one broadcast row,
+    and the per-query top-k ranks on the det_round(6) score with a doc_id
+    tie-break so ln() ulp differences can't flip an order across engines.
+    The oracle recomputes the full scoring formula in DuckDB."""
+    return text.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
 @register("text_hashed_features", text.hashed_features_oracle_sql(n_features=16))
 def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document featurizer: fixed 16-bucket term-count vectors

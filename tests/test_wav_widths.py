@@ -310,3 +310,47 @@ def test_ms_adpcm_sniff_routes_as_audio(spark):
     )
     [r] = sniff_media_features(df).collect()
     assert (r["modality"], r["channels"]) == ("audio", 1)
+
+
+# ---------------------------------------------------------------------------
+# Multichannel (r12): the fingerprint downmixes to mono, so a stereo
+# re-encode of a clip collides with its mono source in the near-dup gate
+# ---------------------------------------------------------------------------
+
+
+def _stereo_wav(left: np.ndarray, right: np.ndarray) -> bytes:
+    inter = np.empty(left.size * 2, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    return _wav(inter.tobytes(), 2, ch=2)
+
+
+def test_stereo_reencode_fingerprints_equal_to_mono_source():
+    d = 42
+    amp = np.where(
+        np.array([(synth_media.audio_pattern(d) >> (63 - k)) & 1 for k in range(64)]) == 1,
+        3000, 300,
+    )
+    mono = np.repeat(amp.astype("<i2"), 32)
+    mono_fp = int(pack_bits_i64(audio_hash_bits(_wav(mono.tobytes(), 2))[None, :])[0])
+    # duplicated channels (the common mono→stereo upmix)
+    dup_fp = int(pack_bits_i64(audio_hash_bits(_stereo_wav(mono, mono))[None, :])[0])
+    # true stereo: attenuated right channel — the downmix scales every window
+    # uniformly and the median threshold cancels the scale
+    att_fp = int(
+        pack_bits_i64(
+            audio_hash_bits(_stereo_wav(mono, (mono // 2).astype("<i2")))[None, :]
+        )[0]
+    )
+    assert dup_fp == mono_fp == att_fp
+    assert mono_fp & (2**64 - 1) == synth_media.audio_pattern(d)
+
+
+def test_stereo_sniff_reports_two_channels(spark):
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    mono = np.repeat(np.array([3000, 300] * 32, dtype="<i2"), 32)
+    df = spark.createDataFrame(
+        [(0, _stereo_wav(mono, mono))], "doc_id long, payload binary"
+    )
+    [r] = sniff_media_features(df).collect()
+    assert (r["modality"], r["channels"]) == ("audio", 2)
