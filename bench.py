@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "null_semantics_pack",
     # LLM-pipeline ops (scale paths)
     "dedup_exact",
+    "dedup_editdist_pairs",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",

@@ -138,6 +138,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def editdist_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 20,
+    prefix_len: int = 32,
+) -> DataFrame:
+    """Near-identical pairs by EDIT DISTANCE with prefix blocking (r12): docs
+    whose normalized texts share their first ``prefix_len`` characters are
+    candidates; pairs at 1 ≤ levenshtein ≤ ``threshold`` are emitted with the
+    exact distance. The classic record-linkage complement to shingle-based
+    dedup: MinHash/Jaccard measures SET overlap and misses small in-place
+    edits inside short docs, while edit distance counts the edits themselves
+    (and the levenshtein kernel runs JVM-side in both engines).
+
+    Scale shape: the corpus collapses to DISTINCT texts first (exact dups
+    re-enter via dedup_exact's keep-min, same contract as
+    ``_distinct_hash_pairs``) — the groupBy must carry the text anyway since
+    the verify needs it, so the shuffle is one pass of the deduplicated
+    corpus; the self-join key is the normalized prefix, so candidate pairs
+    are bounded per prefix block. Known ceiling (documented like
+    ngram_jaccard_pairs): a boilerplate-heavy corpus concentrates one prefix
+    block and pays O(distinct²) inside it — lengthen ``prefix_len`` or use
+    ``minhash_lsh_pairs`` as the scale path; this operator is the exact
+    verifier for small-edit near-identity.
+
+    Output: (doc_a, doc_b, edit_distance), doc_a < doc_b over the per-text
+    minimal ids."""
+    collapsed = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    u = collapsed.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("_pfx"),
+    )
+    a = u.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"), "_pfx"
+    )
+    b = u.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"), "_pfx"
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        a.join(b, "_pfx")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_distance"))
+        .filter(
+            (F.col("edit_distance") >= 1) & (F.col("edit_distance") <= threshold)
+        )
+    )
+
+
+def editdist_pairs_oracle_sql(
+    threshold: int = 20, prefix_len: int = 32, table: str = "documents"
+) -> str:
+    return f"""
+    WITH c AS (SELECT text, min(doc_id) AS doc_id FROM {table} GROUP BY text),
+    u AS (SELECT doc_id, text, substr(lower(text), 1, {prefix_len}) AS pfx FROM c)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM u a JOIN u b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) BETWEEN 1 AND {threshold}
+    """
+
+
 def _minhash_permutations(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
 

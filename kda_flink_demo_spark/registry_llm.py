@@ -72,6 +72,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_editdist_pairs", dedup.editdist_pairs_oracle_sql())
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical pairs by exact EDIT DISTANCE with normalized-prefix
+    blocking — the record-linkage complement to shingle dedup (catches small
+    in-place edits Jaccard under-weights; levenshtein runs JVM-side). The
+    oracle recomputes blocking + distances in DuckDB, so the engines' two
+    independent levenshtein kernels must agree on every pair."""
+    return dedup.editdist_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE.format(threshold=0.5))
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via shingle

@@ -1256,3 +1256,30 @@ def test_connected_components_survives_null_edge_ids(spark):
         if r.node is not None
     }
     assert got[1] == 1 and got[2] == 1 and got[3] == 3
+
+
+def test_editdist_pairs_semantics(spark):
+    """Prefix-blocked edit-distance dedup (r12): exact distances on designed
+    edits, exact-dup collapse (identical texts never pair with themselves),
+    and the blocking contract (a same-distance pair with a DIFFERENT prefix
+    is not a candidate)."""
+    from kda_flink_demo_spark.operators.llm.dedup import editdist_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1 -> collapses, no pair
+        (3, base[:-4] + "dock"),        # same prefix, 3 substitutions at the tail
+        (4, base + " again"),           # same prefix, 6 insertions
+        (5, "zzz " + base),             # prefix differs -> blocked out
+        (6, "completely unrelated text about database query optimizers"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in editdist_pairs(docs, threshold=20).collect()
+    }
+    assert got[(1, 3)] == 3
+    assert got[(1, 4)] == 6
+    assert got[(3, 4)] == 9  # tail rewrite (dock -> dog) + the 6-token suffix
+    assert all(5 not in p and 2 not in p and 6 not in p for p in got), got
