@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     # LLM-pipeline ops (scale paths)
     "dedup_exact",
     "dedup_editdist_pairs",
+    "ingest_dedup_editdist",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",

@@ -189,6 +189,119 @@ def editdist_pairs(
     )
 
 
+def ingest_editdist_gate(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 20,
+    prefix_len: int = 32,
+) -> DataFrame:
+    """Incremental-ingest edit-distance gate — the text twin of
+    ``image_dedup_probe``: drop incoming docs whose text is near-IDENTICAL
+    (levenshtein ≤ threshold, including exact 0-distance hits) to a standing
+    corpus doc OR to an earlier (smaller-id) incoming doc. Returns surviving
+    incoming rows, all columns intact.
+
+    Scale shape mirrors the perceptual gates: the batch collapses to
+    distinct texts + per-text minimal id; the batch's DISTINCT normalized
+    prefixes BROADCAST into the corpus scan (a semi join — the corpus never
+    shuffles and only hit-block corpus rows reach the levenshtein verify);
+    within-batch pairs run over distinct texts in the same prefix block; the
+    final anti join broadcasts the batch-bounded drop list. Drop semantics
+    per near pair of distinct batch texts: the LATER minimal id drops (an
+    earlier in-batch near-identical exists) — the image gate's
+    cross_min_drops rule."""
+    from pyspark.sql.functions import broadcast
+
+    # NULL text carries no dedup signal and NULL-keyed joins differ subtly
+    # across engines — exclude it symmetrically (the oracle filters too)
+    incoming = incoming.filter(F.col(text_col).isNotNull())
+    corpus = corpus.filter(F.col(text_col).isNotNull())
+    pfx = F.substring(F.lower(F.col(text_col)), 1, prefix_len)
+    bh = (
+        incoming.groupBy(text_col)
+        .agg(F.min(id_col).alias("_min_id"))
+        .select(F.col(text_col).alias("_bt"), "_min_id", pfx.alias("_pfx"))
+        .localCheckpoint()
+    ).coalesce(1)
+    # (1) exact within-batch dups: non-minimal ids of a repeated text
+    same_text_drops = (
+        incoming.join(
+            broadcast(bh), F.col(text_col) == F.col("_bt")
+        )
+        .filter(F.col(id_col) > F.col("_min_id"))
+        .select(F.col(id_col).alias("_drop_id"))
+    )
+    # (2) batch texts near the corpus: batch prefixes broadcast-probe the
+    #     corpus scan; only hit-block corpus rows pay the levenshtein
+    cor = (
+        corpus.select(F.col(text_col).alias("_ct"), pfx.alias("_cpfx"))
+        .distinct()
+        .join(broadcast(bh.select(F.col("_pfx").alias("_cpfx")).distinct()), "_cpfx")
+    )
+    near_corpus = (
+        cor.join(broadcast(bh), F.col("_cpfx") == F.col("_pfx"))
+        .filter(F.levenshtein(F.col("_bt"), F.col("_ct")) <= threshold)
+        .select("_bt")
+        .distinct()
+    )
+    corpus_drops = (
+        incoming.join(broadcast(near_corpus), F.col(text_col) == F.col("_bt"))
+        .select(F.col(id_col).alias("_drop_id"))
+    )
+    # (3) among distinct batch texts within threshold, the later min drops
+    a = bh.select(F.col("_bt").alias("_ta"), F.col("_min_id").alias("_ma"), "_pfx")
+    b = bh.select(F.col("_bt").alias("_tb"), F.col("_min_id").alias("_mb"), "_pfx")
+    cross_min_drops = (
+        a.join(b, "_pfx")
+        .filter(
+            (F.col("_ma") < F.col("_mb"))
+            & (F.levenshtein(F.col("_ta"), F.col("_tb")).between(1, threshold))
+        )
+        .select(F.col("_mb").alias("_drop_id"))
+    )
+    drops = same_text_drops.unionByName(corpus_drops).unionByName(cross_min_drops)
+    return incoming.join(
+        broadcast(drops.distinct()),
+        F.col(id_col) == F.col("_drop_id"),
+        "left_anti",
+    )
+
+
+def ingest_editdist_gate_oracle_sql(
+    threshold: int = 20,
+    prefix_len: int = 32,
+    table: str = "documents",
+    incoming_pred: str = "doc_id % 3 = 1",
+) -> str:
+    return f"""
+    WITH inc AS (
+        SELECT text, min(doc_id) AS min_id FROM {table}
+        WHERE ({incoming_pred}) AND text IS NOT NULL GROUP BY text
+    ),
+    i AS (SELECT min_id, text, substr(lower(text), 1, {prefix_len}) AS pfx FROM inc),
+    cor AS (
+        SELECT DISTINCT text, substr(lower(text), 1, {prefix_len}) AS pfx
+        FROM {table} WHERE NOT ({incoming_pred}) AND text IS NOT NULL
+    ),
+    near_corpus AS (
+        SELECT DISTINCT i.text FROM i JOIN cor ON i.pfx = cor.pfx
+        WHERE levenshtein(i.text, cor.text) <= {threshold}
+    ),
+    batch_drop_texts AS (
+        SELECT DISTINCT b.text FROM i a JOIN i b
+        ON a.pfx = b.pfx AND a.min_id < b.min_id
+        WHERE levenshtein(a.text, b.text) BETWEEN 1 AND {threshold}
+    )
+    SELECT d.doc_id, d.n_chars FROM {table} d JOIN inc ON d.text = inc.text
+    WHERE {incoming_pred.replace('doc_id', 'd.doc_id')}
+      AND d.doc_id = inc.min_id
+      AND inc.text NOT IN (SELECT text FROM near_corpus)
+      AND inc.text NOT IN (SELECT text FROM batch_drop_texts)
+    """
+
+
 def editdist_pairs_oracle_sql(
     threshold: int = 20, prefix_len: int = 32, table: str = "documents"
 ) -> str:

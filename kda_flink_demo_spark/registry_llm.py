@@ -82,6 +82,23 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.editdist_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("ingest_dedup_editdist", dedup.ingest_editdist_gate_oracle_sql())
+def q_ingest_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edit-distance INGEST gate, driver-checkable with the image/audio
+    gates' split: incoming batch = docs ≡ 1 mod 3, standing corpus = the
+    rest; an incoming doc survives iff its text is not near-identical
+    (levenshtein ≤ 20, exact dups included) to any corpus doc or any
+    earlier incoming doc. The batch's distinct prefixes broadcast-probe the
+    corpus scan (corpus never shuffles; only hit-block rows pay the
+    levenshtein verify); the oracle recomputes every drop rule in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup.ingest_editdist_gate(
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 != 1),
+    )
+    return survivors.select("doc_id", "n_chars")
+
+
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE.format(threshold=0.5))
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via shingle

@@ -1283,3 +1283,47 @@ def test_editdist_pairs_semantics(spark):
     assert got[(1, 4)] == 6
     assert got[(3, 4)] == 9  # tail rewrite (dock -> dog) + the 6-token suffix
     assert all(5 not in p and 2 not in p and 6 not in p for p in got), got
+
+
+def test_ingest_editdist_gate_semantics(spark):
+    """Drop rules of the edit-distance ingest gate, each pinned: exact
+    within-batch dup, near-corpus hit (including exact corpus dup), earlier
+    in-batch near-identical wins, different-prefix docs pass."""
+    from kda_flink_demo_spark.operators.llm.dedup import ingest_editdist_gate
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "standing corpus doc about query planners only")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, base),                  # exact corpus dup -> drop
+            (2, base[:-4] + "dock"),    # near corpus (3 edits) -> drop
+            (3, "zzz " + base),         # different prefix -> survives
+            (4, "zzz " + base + " yo"), # near doc 3 (in-batch, later) -> drop
+            (4000, "zzz " + base),      # exact dup of 3 (later id) -> drop
+            (5, "fresh unrelated content with no neighbors at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in ingest_editdist_gate(incoming, corpus).collect()
+    )
+    assert got == [3, 5], got
+
+
+def test_ingest_editdist_gate_corpus_never_shuffles(spark):
+    """Plan shape: every join in the gate is broadcast (batch-bounded sides
+    broadcast into the corpus scan) — no SortMergeJoin, no corpus-side
+    exchange-for-join."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm.dedup import ingest_editdist_gate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = ingest_editdist_gate(
+        docs.filter(F.col("doc_id") % 3 == 1), docs.filter(F.col("doc_id") % 3 != 1)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
