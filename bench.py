@@ -367,7 +367,15 @@ def main() -> None:
             baseline_times[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001
             errs[name] = f"{type(e).__name__}: {e}"[:300]
-    baselines_sf = float(baselines_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # a custom --data path need not end in 'sf<number>' — never let the
+    # label parse throw away a completed run (r12 advice)
+    try:
+        baselines_sf = float(baselines_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        try:
+            baselines_sf = float(sf)
+        except ValueError:
+            baselines_sf = None
 
     # end-of-run WARM sample joins the series: warm-vs-warm across rounds
     # exposes sustained host drift a cold t=0 sample misses (r11 saw three

@@ -294,9 +294,10 @@ def ingest_editdist_gate_oracle_sql(
         ON a.pfx = b.pfx AND a.min_id < b.min_id
         WHERE levenshtein(a.text, b.text) BETWEEN 1 AND {threshold}
     )
-    SELECT d.doc_id, d.n_chars FROM {table} d JOIN inc ON d.text = inc.text
-    WHERE {incoming_pred.replace('doc_id', 'd.doc_id')}
-      AND d.doc_id = inc.min_id
+    SELECT d.doc_id, d.n_chars
+    FROM (SELECT * FROM {table} WHERE {incoming_pred}) d
+    JOIN inc ON d.text = inc.text
+    WHERE d.doc_id = inc.min_id
       AND inc.text NOT IN (SELECT text FROM near_corpus)
       AND inc.text NOT IN (SELECT text FROM batch_drop_texts)
     """

@@ -1113,12 +1113,17 @@ def _parse_avi(b: bytes):
     # both codec gates fire at PARSE time (not lazily inside decode_one) so a
     # parse-only caller — or a zero-frame sample plan — rejects an unsupported
     # stream the same way a full decode would
-    if chunk_ranges and (
-        compression not in (0, 0x47504A4D) or (compression == 0 and bpp != 24)
-    ):
+    if chunk_ranges and compression not in (0, 0x47504A4D):
         raise NotImplementedError(
             "compressed AVI streams require pyav/ffmpeg (pure "
             "path reads uncompressed 24-bit DIB and Motion-JPEG)"
+        )
+    if chunk_ranges and compression == 0 and bpp != 24:
+        # distinct message: this refusal is the BIT DEPTH, not compression
+        # (r12 advice — the old message misdescribed the reason)
+        raise NotImplementedError(
+            "uncompressed AVI with bpp != 24 requires pyav/ffmpeg "
+            "(pure path reads 24-bit DIB)"
         )
     fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
 
@@ -1131,8 +1136,8 @@ def _parse_avi(b: bytes):
             return px if fc == 3 else np.repeat(px, 3, axis=2)
         if bpp != 24:
             raise NotImplementedError(
-                "compressed AVI streams require pyav/ffmpeg (pure "
-                "path reads uncompressed 24-bit DIB and Motion-JPEG)"
+                "uncompressed AVI with bpp != 24 requires pyav/ffmpeg "
+                "(pure path reads 24-bit DIB)"
             )
         # decode with the vids stream's strf geometry (BMP semantics:
         # positive height ⇒ bottom-up rows), falling back to avih dims

@@ -591,12 +591,15 @@ def test_bm25_prunes_postings_before_any_exchange(spark):
     plan = _plan(bm25_topk(docs))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the vocabulary prune sits below the first aggregate exchange: between
-    # the generate (explode) and the first Exchange there must be a
-    # broadcast join, i.e. the text of the plan orders Generate ... 
-    # BroadcastHashJoin ... Exchange when read bottom-up
+    # the vocabulary prune sits below the first aggregate exchange: the plan
+    # tree prints parents before children, so the nearest shuffle Exchange
+    # ABOVE the explode appears before it in the text, and the prune's
+    # BroadcastHashJoin must sit BETWEEN those two positions (r12 advice:
+    # the old disjunction was a tautology and never checked the ordering)
     gen = plan.rindex("Generate explode")
-    assert "BroadcastHashJoin" in plan[:gen] or "BroadcastHashJoin" in plan, plan[:400]
+    shuf = plan.rfind("Exchange hashpartitioning", 0, gen)
+    assert shuf != -1, plan[:400]
+    assert "BroadcastHashJoin" in plan[shuf:gen], plan[shuf:gen]
 
 
 def test_bm25_semantics_on_controlled_corpus(spark):

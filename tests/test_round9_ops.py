@@ -805,5 +805,5 @@ def test_avi_uncompressed_bpp_gate_fires_at_parse_time():
     b = bytearray(imaging.encode_avi(_frames(2), fps=10))
     strf_off = bytes(b).index(b"strf") + 8
     b[strf_off + 14 : strf_off + 16] = (16).to_bytes(2, "little")  # biBitCount
-    with pytest.raises(NotImplementedError, match="compressed AVI"):
+    with pytest.raises(NotImplementedError, match="bpp != 24"):
         imaging._parse_avi(bytes(b))
