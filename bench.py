@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     # LLM-pipeline ops (scale paths)
     "dedup_exact",
     "dedup_editdist_pairs",
+    "editdist_block_skew_report",
+    "editdist_ingest_index_build",
     "ingest_dedup_editdist",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -135,6 +137,8 @@ BENCH_QUERIES = [
     "text_tfidf_top_terms",
     "vocab_top_terms",
     "inverted_index",
+    "bm25_stats_build",
+    "bm25_stats_merge",
     "bm25_retrieval",
     "text_language_id",
     "text_quality",
@@ -235,6 +239,8 @@ _BUILD_BEFORE = {
     "fuzzy_ingest_index_build": ("ingest_dedup_fuzzy",),
     "pq_index_build": ("similarity_pq_adc",),
     "bpe_merge_steps": ("bpe_encode",),
+    "editdist_ingest_index_build": ("ingest_dedup_editdist",),
+    "bm25_stats_build": ("bm25_retrieval",),
     "image_ahash_index_build": ("image_ingest_gate",),
     "audio_ahash_index_build": ("audio_ingest_gate",),
     "video_ahash_index_build": ("video_ingest_gate",),

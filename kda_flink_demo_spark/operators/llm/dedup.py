@@ -138,49 +138,127 @@ def ngram_jaccard_pairs(
     )
 
 
+def _editdist_block_cols(text_col: str, threshold: int, prefix_len: int):
+    """The editdist block key: (normalized prefix, length bucket). Bucket
+    width = ``threshold`` because levenshtein(a, b) ≤ t implies
+    |len(a) − len(b)| ≤ t, which implies |floor(len(a)/t) − floor(len(b)/t)|
+    ≤ 1 — so joining a row's exact bucket against the other side's
+    {lb−1, lb, lb+1} loses NO qualifying pair while splitting a
+    prefix-monoculture block by document length."""
+    return (
+        F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("_pfx"),
+        F.floor(F.length(F.col(text_col)) / F.lit(threshold)).alias("_lb"),
+    )
+
+
+def _editdist_capped_universe(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: int,
+    prefix_len: int,
+    block_cap: int,
+) -> DataFrame:
+    """DISTINCT texts (per-text minimal id) with block key columns, capped at
+    ``block_cap`` candidates per (prefix, length-bucket) block — rank by
+    doc_id inside the block so the cap is deterministic and the DuckDB
+    oracle replays it exactly. ``editdist_block_stats`` reports how many
+    texts a given corpus loses to the cap (zero on non-pathological data)."""
+    from pyspark.sql import Window
+
+    pfx, lb = _editdist_block_cols(text_col, threshold, prefix_len)
+    collapsed = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    u = collapsed.select(F.col(id_col), F.col(text_col), pfx, lb)
+    w = Window.partitionBy("_pfx", "_lb").orderBy(id_col)
+    return u.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= block_cap
+    )
+
+
 def editdist_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: int = 20,
     prefix_len: int = 32,
+    block_cap: int = 1000,
 ) -> DataFrame:
-    """Near-identical pairs by EDIT DISTANCE with prefix blocking (r12): docs
-    whose normalized texts share their first ``prefix_len`` characters are
-    candidates; pairs at 1 ≤ levenshtein ≤ ``threshold`` are emitted with the
-    exact distance. The classic record-linkage complement to shingle-based
-    dedup: MinHash/Jaccard measures SET overlap and misses small in-place
-    edits inside short docs, while edit distance counts the edits themselves
-    (and the levenshtein kernel runs JVM-side in both engines).
+    """Near-identical pairs by EDIT DISTANCE with (prefix, length-bucket)
+    blocking: docs whose normalized texts share their first ``prefix_len``
+    characters AND sit within one ``threshold``-wide length bucket of each
+    other are candidates; pairs at 1 ≤ levenshtein ≤ ``threshold`` are
+    emitted with the exact distance. The classic record-linkage complement
+    to shingle-based dedup: MinHash/Jaccard measures SET overlap and misses
+    small in-place edits inside short docs, while edit distance counts the
+    edits themselves (and the levenshtein kernel runs JVM-side in both
+    engines).
 
-    Scale shape: the corpus collapses to DISTINCT texts first (exact dups
-    re-enter via dedup_exact's keep-min, same contract as
-    ``_distinct_hash_pairs``) — the groupBy must carry the text anyway since
-    the verify needs it, so the shuffle is one pass of the deduplicated
-    corpus; the self-join key is the normalized prefix, so candidate pairs
-    are bounded per prefix block. Known ceiling (documented like
-    ngram_jaccard_pairs): a boilerplate-heavy corpus concentrates one prefix
-    block and pays O(distinct²) inside it — lengthen ``prefix_len`` or use
-    ``minhash_lsh_pairs`` as the scale path; this operator is the exact
-    verifier for small-edit near-identity.
+    Scale shape (r13 skew guard — the monoculture probe in
+    scripts/skew_probe.py measures it): the corpus collapses to DISTINCT
+    texts first (exact dups re-enter via dedup_exact's keep-min, same
+    contract as ``_distinct_hash_pairs``); the self-join key is
+    (normalized prefix, length bucket), so a boilerplate corpus where every
+    doc opens with the same template header — the r12 documented
+    O(distinct²) ceiling — is split by document length before any pair
+    forms, and the bucket±1 probe side keeps the join LOSSLESS for
+    qualifying pairs (|len diff| ≤ threshold ⟹ |bucket diff| ≤ 1).
+    Same-length monocultures are bounded by the deterministic per-block
+    ``block_cap`` (min-doc_id-first, oracle-replayed); the dropped-text
+    count is first-class visible via ``editdist_block_stats``.
+    ``minhash_lsh_pairs`` remains the recall path for corpora that saturate
+    the cap.
 
     Output: (doc_a, doc_b, edit_distance), doc_a < doc_b over the per-text
     minimal ids."""
-    collapsed = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    u = collapsed.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("_pfx"),
+    capped = _editdist_capped_universe(
+        df, text_col, id_col, threshold, prefix_len, block_cap
     )
-    a = u.select(
-        F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"), "_pfx"
+    # WITHIN-block parallelism (probe finding): few blocks means few join
+    # partitions, and AQE then coalesces the byte-tiny pair input to ONE
+    # task while the levenshtein kernel — the actual cost — serializes. The
+    # cap rank already in hand makes a free salt: the a-side keeps chunk
+    # _rk % S, the b-side replicates over all S chunks, so the kernel
+    # spreads across blocks × S tasks at ANY block count, with no forced
+    # broadcast (the join stays a plain equi join at every scale). The
+    # b-side shuffle grows 3·S× — but it is the capped DISTINCT-text
+    # universe, and pair-kernel compute, not shuffle bytes, dominates this
+    # operator by construction.
+    chunks = 8
+    a = capped.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(text_col).alias("_ta"),
+        "_pfx",
+        "_lb",
+        (F.col("_rk") % chunks).alias("_chunk"),
     )
-    b = u.select(
-        F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"), "_pfx"
+    b = capped.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(text_col).alias("_tb"),
+        "_pfx",
+        F.explode(
+            F.array(F.col("_lb") - 1, F.col("_lb"), F.col("_lb") + 1)
+        ).alias("_lb"),
+    ).select(
+        "doc_b",
+        "_tb",
+        "_pfx",
+        "_lb",
+        F.explode(F.array(*[F.lit(c) for c in range(chunks)])).alias("_chunk"),
     )
-    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    # bounded kernel: the 3-arg levenshtein short-circuits to -1 past the
+    # threshold (O(len·t) band instead of O(len²), with an O(1) length-diff
+    # exit) — the BETWEEN 1..threshold filter excludes the -1 sentinel, so
+    # output is identical to the unbounded form the oracle computes
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), threshold)
+    # explicit keyed repartitions: AQE would otherwise coalesce the
+    # byte-tiny join inputs to one partition and serialize the kernel —
+    # user-specified counts are exempt from coalescing, and the count
+    # tracks cluster parallelism, not a constant
+    para = df.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(para, "_pfx", "_lb", "_chunk")
+    b = b.repartition(para, "_pfx", "_lb", "_chunk")
     return (
-        a.join(b, "_pfx")
+        a.join(b, ["_pfx", "_lb", "_chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_distance"))
         .filter(
@@ -189,42 +267,143 @@ def editdist_pairs(
     )
 
 
-def ingest_editdist_gate(
-    incoming: DataFrame,
-    corpus: DataFrame,
+def editdist_block_stats(
+    df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: int = 20,
     prefix_len: int = 32,
+    block_cap: int = 1000,
+) -> DataFrame:
+    """Block-skew VISIBILITY for ``editdist_pairs`` — the 'log-reported
+    dropped count' as a first-class, oracle-checked row instead of a driver
+    log line: one row of (n_texts, n_blocks, max_block, capped_blocks,
+    dropped_texts) over the (prefix, length-bucket) blocking. A production
+    pipeline alerts on dropped_texts > 0 (the cap binding means the corpus
+    is a same-length prefix monoculture and minhash_lsh_pairs should carry
+    recall there)."""
+    pfx, lb = _editdist_block_cols(text_col, threshold, prefix_len)
+    collapsed = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    blocks = (
+        collapsed.select(pfx, lb)
+        .groupBy("_pfx", "_lb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    over = F.greatest(F.col("cnt") - block_cap, F.lit(0))
+    return blocks.agg(
+        F.sum("cnt").cast("long").alias("n_texts"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("cnt").cast("long").alias("max_block"),
+        F.sum((F.col("cnt") > block_cap).cast("long")).cast("long").alias("capped_blocks"),
+        F.sum(over).cast("long").alias("dropped_texts"),
+    )
+
+
+def editdist_block_stats_oracle_sql(
+    threshold: int = 20,
+    prefix_len: int = 32,
+    block_cap: int = 1000,
+    table: str = "documents",
+) -> str:
+    return f"""
+    WITH c AS (SELECT text, min(doc_id) AS doc_id FROM {table} GROUP BY text),
+    g AS (
+        SELECT substr(lower(text), 1, {prefix_len}) AS pfx,
+               CAST(floor(length(text) / {threshold}) AS BIGINT) AS lb,
+               count(*) AS cnt
+        FROM c GROUP BY 1, 2
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_texts,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(max(cnt) AS BIGINT) AS max_block,
+           CAST(sum(CASE WHEN cnt > {block_cap} THEN 1 ELSE 0 END) AS BIGINT)
+               AS capped_blocks,
+           CAST(sum(greatest(cnt - {block_cap}, 0)) AS BIGINT) AS dropped_texts
+    FROM g
+    """
+
+
+def build_editdist_ingest_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    threshold: int = 20,
+    prefix_len: int = 32,
+) -> DataFrame:
+    """Standing corpus artifact for ``ingest_editdist_gate`` (r12 verdict
+    directive 2 — the BUILD/consume split every other gate has): the corpus
+    collapsed ONCE to DISTINCT non-null texts with their (prefix,
+    length-bucket) block keys. Per-batch probes touch only this compact
+    (``_ct``, ``_cpfx``, ``_clb``) table — never the raw corpus again — and
+    the localCheckpoint gives the probe joins exact size stats. At 100 TB
+    this is the parquet-backed index segment; incremental maintenance is a
+    distinct-union of each surviving batch's texts (the ahash/span segment
+    store convention)."""
+    pfx, lb = _editdist_block_cols(text_col, threshold, prefix_len)
+    return (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.col(text_col).alias("_ct"), pfx, lb)
+        .distinct()
+        .withColumnRenamed("_pfx", "_cpfx")
+        .withColumnRenamed("_lb", "_clb")
+        .localCheckpoint()
+    )
+
+
+def ingest_editdist_gate(
+    incoming: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 20,
+    prefix_len: int = 32,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest edit-distance gate — the text twin of
     ``image_dedup_probe``: drop incoming docs whose text is near-IDENTICAL
     (levenshtein ≤ threshold, including exact 0-distance hits) to a standing
     corpus doc OR to an earlier (smaller-id) incoming doc. Returns surviving
-    incoming rows, all columns intact.
+    incoming rows, all columns intact. Pass ``corpus_index`` (from
+    ``build_editdist_ingest_index``) in the production path so the recurring
+    per-batch cost is a probe of the compact standing index, not a re-scan +
+    re-collapse of the raw corpus (r12 verdict directive 2); ``corpus`` is
+    the build-on-the-fly fallback.
 
     Scale shape mirrors the perceptual gates: the batch collapses to
-    distinct texts + per-text minimal id; the batch's DISTINCT normalized
-    prefixes BROADCAST into the corpus scan (a semi join — the corpus never
-    shuffles and only hit-block corpus rows reach the levenshtein verify);
-    within-batch pairs run over distinct texts in the same prefix block; the
-    final anti join broadcasts the batch-bounded drop list. Drop semantics
-    per near pair of distinct batch texts: the LATER minimal id drops (an
-    earlier in-batch near-identical exists) — the image gate's
-    cross_min_drops rule."""
+    distinct texts + per-text minimal id; the batch's (prefix, length
+    bucket±1) keys BROADCAST into the index scan (the index never shuffles,
+    and only same-block index rows within one length bucket pay the
+    threshold-bounded levenshtein); within-batch pairs run over distinct
+    texts in the same (prefix, bucket±1) block; the final anti join
+    broadcasts the batch-bounded drop list. Drop semantics per near pair of
+    distinct batch texts: the LATER minimal id drops (an earlier in-batch
+    near-identical exists) — the image gate's cross_min_drops rule."""
     from pyspark.sql.functions import broadcast
 
     # NULL text carries no dedup signal and NULL-keyed joins differ subtly
     # across engines — exclude it symmetrically (the oracle filters too)
     incoming = incoming.filter(F.col(text_col).isNotNull())
-    corpus = corpus.filter(F.col(text_col).isNotNull())
-    pfx = F.substring(F.lower(F.col(text_col)), 1, prefix_len)
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("pass corpus_index (production) or corpus (fallback)")
+        corpus_index = build_editdist_ingest_index(
+            corpus, text_col, threshold, prefix_len
+        )
+    pfx, lb = _editdist_block_cols(text_col, threshold, prefix_len)
     bh = (
         incoming.groupBy(text_col)
         .agg(F.min(id_col).alias("_min_id"))
-        .select(F.col(text_col).alias("_bt"), "_min_id", pfx.alias("_pfx"))
+        .select(F.col(text_col).alias("_bt"), "_min_id", pfx, lb)
         .localCheckpoint()
     ).coalesce(1)
+    # batch keys exploded to bucket±1 so every join below stays an equi hash
+    # join; |len diff| ≤ threshold ⟹ |bucket diff| ≤ 1, so the prune is
+    # lossless for qualifying near-pairs (see _editdist_block_cols)
+    bh3 = bh.select(
+        "_bt",
+        "_min_id",
+        "_pfx",
+        F.explode(F.array(F.col("_lb") - 1, F.col("_lb"), F.col("_lb") + 1)).alias("_lb"),
+    )
     # (1) exact within-batch dups: non-minimal ids of a repeated text
     same_text_drops = (
         incoming.join(
@@ -233,16 +412,15 @@ def ingest_editdist_gate(
         .filter(F.col(id_col) > F.col("_min_id"))
         .select(F.col(id_col).alias("_drop_id"))
     )
-    # (2) batch texts near the corpus: batch prefixes broadcast-probe the
-    #     corpus scan; only hit-block corpus rows pay the levenshtein
-    cor = (
-        corpus.select(F.col(text_col).alias("_ct"), pfx.alias("_cpfx"))
-        .distinct()
-        .join(broadcast(bh.select(F.col("_pfx").alias("_cpfx")).distinct()), "_cpfx")
-    )
+    # (2) batch texts near the corpus: batch (prefix, bucket±1) keys
+    #     broadcast-probe the standing index; only same-block index rows pay
+    #     the bounded levenshtein
     near_corpus = (
-        cor.join(broadcast(bh), F.col("_cpfx") == F.col("_pfx"))
-        .filter(F.levenshtein(F.col("_bt"), F.col("_ct")) <= threshold)
+        corpus_index.join(
+            broadcast(bh3),
+            (F.col("_cpfx") == F.col("_pfx")) & (F.col("_clb") == F.col("_lb")),
+        )
+        .filter(F.levenshtein(F.col("_bt"), F.col("_ct"), threshold).between(0, threshold))
         .select("_bt")
         .distinct()
     )
@@ -251,13 +429,13 @@ def ingest_editdist_gate(
         .select(F.col(id_col).alias("_drop_id"))
     )
     # (3) among distinct batch texts within threshold, the later min drops
-    a = bh.select(F.col("_bt").alias("_ta"), F.col("_min_id").alias("_ma"), "_pfx")
-    b = bh.select(F.col("_bt").alias("_tb"), F.col("_min_id").alias("_mb"), "_pfx")
+    a = bh.select(F.col("_bt").alias("_ta"), F.col("_min_id").alias("_ma"), "_pfx", "_lb")
+    b = bh3.select(F.col("_bt").alias("_tb"), F.col("_min_id").alias("_mb"), "_pfx", "_lb")
     cross_min_drops = (
-        a.join(b, "_pfx")
+        a.join(b, ["_pfx", "_lb"])
         .filter(
             (F.col("_ma") < F.col("_mb"))
-            & (F.levenshtein(F.col("_ta"), F.col("_tb")).between(1, threshold))
+            & (F.levenshtein(F.col("_ta"), F.col("_tb"), threshold).between(1, threshold))
         )
         .select(F.col("_mb").alias("_drop_id"))
     )
@@ -304,14 +482,26 @@ def ingest_editdist_gate_oracle_sql(
 
 
 def editdist_pairs_oracle_sql(
-    threshold: int = 20, prefix_len: int = 32, table: str = "documents"
+    threshold: int = 20,
+    prefix_len: int = 32,
+    block_cap: int = 1000,
+    table: str = "documents",
 ) -> str:
     return f"""
     WITH c AS (SELECT text, min(doc_id) AS doc_id FROM {table} GROUP BY text),
-    u AS (SELECT doc_id, text, substr(lower(text), 1, {prefix_len}) AS pfx FROM c)
+    u AS (SELECT doc_id, text, substr(lower(text), 1, {prefix_len}) AS pfx,
+                 CAST(floor(length(text) / {threshold}) AS BIGINT) AS lb
+          FROM c),
+    k AS (SELECT doc_id, text, pfx, lb FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY pfx, lb ORDER BY doc_id) AS rk
+            FROM u
+          ) WHERE rk <= {block_cap})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
-    FROM u a JOIN u b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    FROM k a JOIN k b
+      ON a.pfx = b.pfx AND b.lb BETWEEN a.lb - 1 AND a.lb + 1
+     AND a.doc_id < b.doc_id
     WHERE levenshtein(a.text, b.text) BETWEEN 1 AND {threshold}
     """
 

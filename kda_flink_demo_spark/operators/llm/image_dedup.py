@@ -508,12 +508,14 @@ def video_ahash(
 def video_hash_bits(
     b: bytes, stride: int = 1, max_frames: int | None = VIDEO_MAX_FRAMES
 ) -> "np.ndarray":
-    """One AVI payload → its uint8[64] temporal-majority fingerprint bits
-    (decoding only the pinned bounded frame sample)."""
-    from kda_flink_demo_spark.operators.llm import imaging
+    """One video payload → its uint8[64] temporal-majority fingerprint bits
+    (decoding only the pinned bounded frame sample; routed through the
+    backend dispatch, so H.264/MP4 footage fingerprints identically when the
+    worker has pyav)."""
+    from kda_flink_demo_spark.operators.llm.multimodal import _video_decode_sampled
 
     return video_bits_from_frames(
-        imaging.decode_avi_sampled(b, stride=stride, max_frames=max_frames)[4]
+        _video_decode_sampled(b, stride=stride, max_frames=max_frames)[4]
     )
 
 

@@ -41,6 +41,83 @@ def _worker_has_pil() -> bool:
     except Exception:
         return False
 
+def _worker_has_pyav() -> bool:
+    """Probe pyav ('av') in the CURRENT interpreter — same rationale as
+    ``_worker_has_pil``: the probe must run inside the worker kernel, never
+    as a driver-side module flag pickled into the closure."""
+    try:
+        import av  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _video_frames_pyav(
+    b: bytes, stride: int = 1, max_frames: int | None = None
+) -> tuple[int, int, float, int, list]:
+    """(width, height, fps, total frame count, sampled RGB24 frames) via
+    pyav — the ``imaging.decode_avi_sampled`` contract for the codecs the
+    pure RIFF reader gates (H.264/VP9, MP4/MKV containers). Frames come out
+    as uint8 (h, w, 3) ndarrays, so every downstream kernel
+    (``grayscale_mean``, ``video_bits_from_frames``) is backend-agnostic and
+    the unified feature schema is identical on both paths. Sampling follows
+    the pinned ``sample_frame_indices`` rule: one cheap demux pass counts
+    packets (n), then the decode pass converts only sampled display indices
+    to ndarrays (inter-frame codecs still must DECODE predecessors — that
+    cost is inherent to the codec, not the sampler). Module-level so the
+    fake-av parity test can drive this branch in CI without the
+    dependency."""
+    import io as _io
+
+    import av
+
+    from kda_flink_demo_spark.operators.llm.imaging import sample_frame_indices
+
+    with av.open(_io.BytesIO(b)) as container:
+        vstream = container.streams.video[0]
+        n = sum(1 for p in container.demux(vstream) if p.size)
+    with av.open(_io.BytesIO(b)) as container:
+        vstream = container.streams.video[0]
+        rate = vstream.average_rate
+        fps = float(rate) if rate else 0.0
+        want = set(sample_frame_indices(n, stride, max_frames))
+        frames: list = []
+        for i, frame in enumerate(container.decode(vstream)):
+            if i in want:
+                frames.append(frame.to_ndarray(format="rgb24"))
+        w = getattr(vstream.codec_context, "width", 0) or (
+            frames[0].shape[1] if frames else 0
+        )
+        h = getattr(vstream.codec_context, "height", 0) or (
+            frames[0].shape[0] if frames else 0
+        )
+    return w, h, fps, n, frames
+
+
+def _video_decode_sampled(
+    b: bytes, stride: int = 1, max_frames: int | None = None
+) -> tuple[int, int, float, int, list]:
+    """Backend dispatch for every video kernel (r12 verdict directive 5):
+    the pure RIFF/AVI reader first; when it gates on a codec or container it
+    cannot do, fall through to pyav if THIS worker has it, else re-raise the
+    honest gate naming the branch. Gated-by-default: the container ships no
+    pyav, so CI exercises the dispatch through a fake-av parity test and the
+    sniff scan's quarantine keeps treating gated codecs as 'corrupt' rows,
+    never exceptions."""
+    from kda_flink_demo_spark.operators.llm import imaging
+
+    try:
+        return imaging.decode_avi_sampled(b, stride=stride, max_frames=max_frames)
+    except NotImplementedError as e:
+        if _worker_has_pyav():
+            return _video_frames_pyav(b, stride=stride, max_frames=max_frames)
+        raise NotImplementedError(
+            f"{e} — the optional pyav branch (install 'av') decodes "
+            "H.264/VP9 and MP4/MKV containers through this same dispatch"
+        ) from e
+
+
 def _image_features_pil(b: bytes) -> tuple[int, int, int, float]:
     """(width, height, channels, mean-luma) via PIL — PIL's convert('L') uses
     the same truncating integer ITU-R 601-2 formula as
@@ -105,7 +182,7 @@ def _video_frame_rows(b: bytes, stride: int) -> list[tuple[int, float]]:
     # code decoded all frames and then discarded the skipped ones — at
     # stride=5 that is 5x wasted entropy-decode work per payload); emitted
     # rows and their original frame indices are unchanged
-    _w, _h, _fps, n, frames = imaging.decode_avi_sampled(b, stride=stride)
+    _w, _h, _fps, n, frames = _video_decode_sampled(b, stride=stride)
     return [
         (i, math.floor(imaging.grayscale_mean(f) / 255.0 * 1e4 + 0.5) / 1e4)
         for i, f in zip(range(0, n, stride), frames)
@@ -619,7 +696,7 @@ def _profile_row(b: bytes, want_bits: bool = True):
             # payloads the fingerprint scans then die on
             from kda_flink_demo_spark.operators.llm.image_dedup import VIDEO_MAX_FRAMES
 
-            w, h, fps, n_frames, frames = imaging.decode_avi_sampled(
+            w, h, fps, n_frames, frames = _video_decode_sampled(
                 b, max_frames=VIDEO_MAX_FRAMES
             )
             dur = math.floor(n_frames / fps * 1e4 + 0.5) / 1e4 if fps else None

@@ -395,6 +395,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval: for each query (a bag of terms), score
     every matching document with the Lucene-variant BM25
@@ -411,7 +412,15 @@ def bm25_topk(
     row_number window over candidate rows (bounded by the postings of the
     query's rarest... union of terms), ranked on the det_round(6)-ed score
     with a doc_id tie-break so JVM/C++ ln() ulp differences can't flip an
-    order across engines. Output: (query_id, doc_id, score, rank)."""
+    order across engines. Output: (query_id, doc_id, score, rank).
+
+    ``stats``: a standing ``bm25_stats_state`` table (r13). When passed, the
+    formula's corpus reads — df per term, N, avgdl — come from the mergeable
+    artifact instead of live corpus aggregates, so an ingest deployment
+    scores against stats maintained incrementally (merge_bm25_stats) with no
+    corpus pass beyond the candidate postings themselves. Output is
+    unchanged: the live df aggregate over vocabulary-pruned postings already
+    equals the full-corpus per-term df."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
@@ -435,17 +444,26 @@ def bm25_topk(
     tf = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    # corpus stats: one map-side partial aggregate to a single broadcast row
-    stats = df.select(F.size(toks).cast("long").alias("_dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
-    )
+    if stats is not None:
+        dfreq = (
+            stats.filter(F.col("term").isNotNull())
+            .join(broadcast(qvocab), "term")
+            .select("term", "df")
+        )
+        cstats = stats.filter(F.col("term").isNull()).select(
+            "n_docs", (F.col("dl_sum") / F.col("n_docs")).alias("avgdl")
+        )
+    else:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # corpus stats: one map-side partial aggregate to a single broadcast row
+        cstats = df.select(F.size(toks).cast("long").alias("_dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
+        )
 
     contrib = (
         tf.join(broadcast(qterms), "term")
         .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(cstats))
         .select(
             "query_id",
             F.col(id_col),
@@ -520,6 +538,77 @@ def bm25_oracle_sql(
             PARTITION BY query_id ORDER BY score DESC, doc_id
         ) AS rank FROM scored
     ) WHERE rank <= {k}
+    """
+
+
+def bm25_stats_state(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MERGEABLE BM25 corpus statistics for one data slice (r12 verdict
+    directive 7): everything the scoring formula reads from the corpus —
+    per-term document frequency, document count, total token count — as one
+    algebraic state table that merges by ADDITION, so an ingest world keeps
+    retrieval stats standing without ever re-scanning old slices (the
+    agg_state / sketch-state convention).
+
+    Shape: one row per distinct term (term, df, 0, 0) plus ONE global row
+    (NULL, 0, n_docs, dl_sum); ``merge_bm25_stats`` is a single NULL-safe
+    grouped sum. avgdl is derived at read time as dl_sum / n_docs — stored
+    sums stay integer-exact under any merge tree. Scale: the state is
+    vocabulary-sized (≪ corpus), built with one explode + map-side partial
+    aggregation per slice."""
+    toks = F.split(F.col(text_col), " ")
+    per_term = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).cast("long").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("dl_sum"),
+        )
+    )
+    globals_row = df.select(F.size(toks).cast("long").alias("_dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_dl").cast("long").alias("dl_sum"),
+    ).select(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(0).cast("long").alias("df"),
+        "n_docs",
+        "dl_sum",
+    )
+    return per_term.unionByName(globals_row)
+
+
+def merge_bm25_stats(*states: DataFrame) -> DataFrame:
+    """Merge per-slice BM25 stats states into the state of the union of
+    their inputs WITHOUT rescanning any slice: df adds per term, the
+    NULL-term global row's (n_docs, dl_sum) add — all algebraic, so any
+    merge tree (per-batch → daily → total) yields the identical state."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("dl_sum").cast("long").alias("dl_sum"),
+    )
+
+
+def bm25_stats_oracle_sql(table: str = "documents", pred: str = "TRUE") -> str:
+    return f"""
+    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS dl_sum
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM {table} WHERE {pred}
+    ) GROUP BY term
+    UNION ALL
+    SELECT NULL AS term, CAST(0 AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS dl_sum
+    FROM {table} WHERE {pred}
     """
 
 

@@ -82,21 +82,72 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.editdist_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _build_editdist_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 1)
+    return dedup.build_editdist_ingest_index(corpus)
+
+
+def _editdist_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return standing_artifact(
+        spark, ("editdist_index", sf_dir), lambda: _build_editdist_index(spark, sf_dir)
+    )
+
+
+@register(
+    "editdist_ingest_index_build",
+    """
+    SELECT substr(lower(text), 1, 32) AS pfx,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_texts
+    FROM documents WHERE NOT (doc_id % 3 = 1) AND text IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_editdist_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing edit-distance ingest index BUILD (r12 verdict directive
+    2 — the fuzzy_ingest_index_build convention): one corpus collapse to
+    DISTINCT texts + (prefix, length-bucket) block keys, always rebuilt
+    fresh so its benched time is the honest index-construction cost split
+    out from the per-batch probe, refreshing the session's standing artifact
+    that ingest_dedup_editdist consumes. Output is the index's COVERAGE
+    contract, oracle-pinned: every non-null corpus text appears exactly
+    once, grouped per prefix."""
+    idx = standing_put(
+        spark, ("editdist_index", sf_dir), _build_editdist_index(spark, sf_dir)
+    )
+    return idx.groupBy(F.col("_cpfx").alias("pfx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_texts")
+    )
+
+
 @register("ingest_dedup_editdist", dedup.ingest_editdist_gate_oracle_sql())
 def q_ingest_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The edit-distance INGEST gate, driver-checkable with the image/audio
     gates' split: incoming batch = docs ≡ 1 mod 3, standing corpus = the
     rest; an incoming doc survives iff its text is not near-identical
     (levenshtein ≤ 20, exact dups included) to any corpus doc or any
-    earlier incoming doc. The batch's distinct prefixes broadcast-probe the
-    corpus scan (corpus never shuffles; only hit-block rows pay the
+    earlier incoming doc. Probes the session's STANDING corpus index (built
+    by editdist_ingest_index_build or on first use — r13 split: the benched
+    recurring cost is the per-batch probe, not a corpus re-collapse); the
+    batch's (prefix, length-bucket±1) keys broadcast-probe the index scan
+    (the index never shuffles; only same-block rows pay the bounded
     levenshtein verify); the oracle recomputes every drop rule in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     survivors = dedup.ingest_editdist_gate(
         docs.filter(F.col("doc_id") % 3 == 1),
-        docs.filter(F.col("doc_id") % 3 != 1),
+        corpus_index=_editdist_index_cached(spark, sf_dir),
     )
     return survivors.select("doc_id", "n_chars")
+
+
+@register("editdist_block_skew_report", dedup.editdist_block_stats_oracle_sql())
+def q_editdist_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew visibility for the editdist blocking (r12 verdict directive 1):
+    one oracle-checked row of block-size stats over the (prefix, length
+    bucket) key, including how many candidate texts the deterministic
+    per-block cap would drop — the 'log-reported dropped count' surfaced
+    first-class so a monoculture corpus shows up as dropped_texts > 0
+    instead of a silent quadratic block."""
+    return dedup.editdist_block_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE.format(threshold=0.5))
@@ -1327,6 +1378,46 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_stats_state(load_table(spark, sf_dir, "documents")).localCheckpoint()
+
+
+def _bm25_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return standing_artifact(
+        spark, ("bm25_stats", sf_dir), lambda: _build_bm25_stats(spark, sf_dir)
+    )
+
+
+@register("bm25_stats_build", text.bm25_stats_oracle_sql())
+def q_bm25_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing BM25 corpus-stats BUILD (r12 verdict directive 7): every
+    corpus quantity the scoring formula reads — per-term df, N, total token
+    count — as ONE mergeable algebraic state table (term rows + a NULL-term
+    global row; merge = grouped sum, the agg_state convention). Always
+    rebuilds fresh (honest construction cost, split from retrieval) and
+    refreshes the session's standing artifact that bm25_retrieval consumes.
+    The oracle recomputes the full state in DuckDB."""
+    idx = standing_put(
+        spark, ("bm25_stats", sf_dir), _build_bm25_stats(spark, sf_dir)
+    )
+    return idx
+
+
+@register("bm25_stats_merge", text.bm25_stats_oracle_sql())
+def q_bm25_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the BM25 stats: the corpus split into two
+    slices (doc_id parity), each reduced to its own stats state, merged by
+    merge_bm25_stats WITHOUT rescanning either slice — and the oracle is the
+    DIRECT full-corpus state, so merge-equals-one-shot is externally
+    hash-pinned. This is how an ingest deployment keeps retrieval scoring
+    stats standing: each batch contributes a vocabulary-sized state row set,
+    old slices are never touched again."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = text.bm25_stats_state(docs.filter(F.col("doc_id") % 2 == 0))
+    b = text.bm25_stats_state(docs.filter(F.col("doc_id") % 2 == 1))
+    return text.merge_bm25_stats(a, b)
+
+
 @register("bm25_retrieval", text.bm25_oracle_sql())
 def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval for a fixed 4-query set over the documents
@@ -1334,11 +1425,16 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     this shape for eval-set mining and RAG-corpus selection). Scale shape:
     the exploded term stream semi-joins the BROADCAST query vocabulary before
     any aggregate (shuffled volume = query-term postings, never the corpus),
-    doc length rides the posting rows, corpus stats are one broadcast row,
-    and the per-query top-k ranks on the det_round(6) score with a doc_id
+    doc length rides the posting rows, and (r13) df/N/avgdl come from the
+    session's STANDING mergeable stats artifact (bm25_stats_build) instead
+    of live corpus aggregates — the candidate postings are the only corpus
+    read. The per-query top-k ranks on the det_round(6) score with a doc_id
     tie-break so ln() ulp differences can't flip an order across engines.
     The oracle recomputes the full scoring formula in DuckDB."""
-    return text.bm25_topk(load_table(spark, sf_dir, "documents"))
+    return text.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        stats=_bm25_stats_cached(spark, sf_dir),
+    )
 
 
 @register("text_hashed_features", text.hashed_features_oracle_sql(n_features=16))

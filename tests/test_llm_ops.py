@@ -1285,6 +1285,49 @@ def test_editdist_pairs_semantics(spark):
     assert all(5 not in p and 2 not in p and 6 not in p for p in got), got
 
 
+def test_editdist_length_bucket_guard(spark):
+    """R13 skew guard: (a) the length-bucket block key is LOSSLESS — a
+    qualifying pair whose lengths straddle a bucket boundary is still found
+    (the ±1 probe side); (b) the per-block candidate cap binds
+    deterministically on min-doc_id order; (c) editdist_block_stats reports
+    exactly the texts the cap drops."""
+    from kda_flink_demo_spark.operators.llm.dedup import (
+        editdist_block_stats,
+        editdist_pairs,
+    )
+
+    pfx = "shared template header padding!!"  # 32 chars -> one prefix block
+    assert len(pfx) == 32
+    # lengths straddle a bucket boundary (floor(len/20) differs) at
+    # distance 3 -> the ±1 probe must still find the pair
+    t_a = pfx + " body body body body body xx"         # len 61 -> bucket 3
+    t_b = pfx + " body body body body body"            # len 57 -> bucket 2
+    assert len(t_a) // 20 != len(t_b) // 20
+    docs = spark.createDataFrame(
+        [(1, t_a), (2, t_b)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in editdist_pairs(docs, threshold=20).collect()
+    }
+    assert got == {(1, 2): 3}, got
+
+    # cap: 4 same-length docs in one block, cap 2 -> only (min, 2nd-min) pair
+    mono = spark.createDataFrame(
+        [(i, pfx + f" same length body variant {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in editdist_pairs(mono, threshold=20, block_cap=2).collect()
+    }
+    assert capped == {(0, 1)}, capped
+    stats = editdist_block_stats(mono, threshold=20, block_cap=2).collect()[0]
+    assert stats["n_texts"] == 4 and stats["n_blocks"] == 1
+    assert stats["max_block"] == 4
+    assert stats["capped_blocks"] == 1 and stats["dropped_texts"] == 2
+
+
 def test_ingest_editdist_gate_semantics(spark):
     """Drop rules of the edit-distance ingest gate, each pinned: exact
     within-batch dup, near-corpus hit (including exact corpus dup), earlier
@@ -1311,6 +1354,49 @@ def test_ingest_editdist_gate_semantics(spark):
         r["doc_id"] for r in ingest_editdist_gate(incoming, corpus).collect()
     )
     assert got == [3, 5], got
+
+
+def test_ingest_editdist_gate_standing_index_parity(spark):
+    """R13 BUILD/consume split: the gate probing a PREBUILT standing index
+    must pass identical survivors to the build-on-the-fly fallback, and the
+    bucket±1 index prune must not lose a corpus hit whose length straddles a
+    bucket boundary."""
+    from kda_flink_demo_spark.operators.llm.dedup import (
+        build_editdist_ingest_index,
+        ingest_editdist_gate,
+    )
+
+    pfx = "shared template header padding!!"
+    corpus = spark.createDataFrame(
+        [
+            (100, pfx + " corpus body kept around for a while"),  # len 69
+            (101, "standing corpus doc about query planners only"),
+        ],
+        "doc_id long, text string",
+    )
+    near = pfx + " corpus body kept around for a while padded out abc"
+    base = pfx + " corpus body kept around for a while"
+    # a corpus hit whose length-bucket differs from the batch text's by 1:
+    # the ±1 probe must still find it
+    assert len(base) // 20 != len(near) // 20
+    assert len(near) - len(base) <= 20
+    incoming = spark.createDataFrame(
+        [
+            (1, near),
+            (2, "zzz fresh unrelated content with no neighbors"),
+        ],
+        "doc_id long, text string",
+    )
+    assert len(pfx) == 32
+    idx = build_editdist_ingest_index(corpus)
+    via_index = sorted(
+        r["doc_id"]
+        for r in ingest_editdist_gate(incoming, corpus_index=idx).collect()
+    )
+    via_corpus = sorted(
+        r["doc_id"] for r in ingest_editdist_gate(incoming, corpus).collect()
+    )
+    assert via_index == via_corpus == [2], (via_index, via_corpus)
 
 
 def test_ingest_editdist_gate_corpus_never_shuffles(spark):

@@ -601,6 +601,17 @@ def test_bm25_prunes_postings_before_any_exchange(spark):
     assert shuf != -1, plan[:400]
     assert "BroadcastHashJoin" in plan[shuf:gen], plan[shuf:gen]
 
+    # the r13 standing-stats path must keep the same shape: vocabulary prune
+    # below the tf aggregate's exchange, everything else broadcast
+    from kda_flink_demo_spark.operators.llm.text import bm25_stats_state
+
+    stats = bm25_stats_state(docs).localCheckpoint()
+    plan_s = _plan(bm25_topk(docs, stats=stats))
+    assert "SortMergeJoin" not in plan_s
+    gen_s = plan_s.rindex("Generate explode")
+    shuf_s = plan_s.rfind("Exchange hashpartitioning", 0, gen_s)
+    assert shuf_s != -1 and "BroadcastHashJoin" in plan_s[shuf_s:gen_s]
+
 
 def test_bm25_semantics_on_controlled_corpus(spark):
     """Both-term docs outrank single-term docs; a rarer term outweighs a
@@ -625,3 +636,31 @@ def test_bm25_semantics_on_controlled_corpus(spark):
     assert scores[1] > scores[2] > 0, "length normalization penalizes padding"
     assert scores[2] > scores[7], "two terms beat one at equal length"
     assert scores[6] < scores[1], "tf saturation: repetition beats nothing but not coverage"
+
+
+def test_bm25_standing_stats_merge_and_score_parity(spark):
+    """R13 standing stats: (a) per-slice states merged by merge_bm25_stats
+    equal the direct full-corpus state row-for-row; (b) bm25_topk scoring
+    against the standing state returns the identical ranking to the live
+    corpus-aggregate path."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm.text import (
+        bm25_stats_state,
+        bm25_topk,
+        merge_bm25_stats,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    direct = bm25_stats_state(docs)
+    merged = merge_bm25_stats(
+        bm25_stats_state(docs.filter(F.col("doc_id") % 2 == 0)),
+        bm25_stats_state(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    key = lambda r: (r["term"] or "", r["df"], r["n_docs"], r["dl_sum"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, merged.collect()))
+
+    live = bm25_topk(docs).collect()
+    standing = bm25_topk(docs, stats=direct.localCheckpoint()).collect()
+    row = lambda r: (r["query_id"], r["doc_id"], r["score"], r["rank"])  # noqa: E731
+    assert sorted(map(row, live)) == sorted(map(row, standing))

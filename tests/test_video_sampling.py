@@ -223,3 +223,117 @@ def test_profile_duration_exact_for_long_videos(spark):
     row = media_ingest_profile(df).collect()[0]
     assert row.modality == "video" and row.duration_sec == 2.4
     assert row.ahash == _signed(synth_media.image_pattern(3))
+
+
+def _rgb_frames(n, w=6, h=4, seed=3):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def _fake_h264_avi(frames, fps=10):
+    """An AVI whose strf biCompression is flipped to 'H264': the pure reader
+    gates it, carrying the original frames only for the FAKE av backend to
+    'decode' (closure), so the dispatch path is exercised without the
+    dependency."""
+    import struct
+
+    b = bytearray(imaging.encode_avi(frames, fps=fps))
+    strf_off = bytes(b).index(b"strf") + 8
+    b[strf_off + 16 : strf_off + 20] = struct.pack("<I", 0x34363248)  # 'H264'
+    return bytes(b)
+
+
+def _install_fake_av(monkeypatch, frames, fps=10.0):
+    import sys
+    import types
+
+    class _FakeFrame:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_ndarray(self, format):  # noqa: A002 — pyav's kwarg name
+            assert format == "rgb24"
+            return self._arr
+
+    class _FakePacket:
+        size = 1
+
+    class _FakeCodecContext:
+        def __init__(self, w, h):
+            self.width, self.height = w, h
+
+    class _FakeStream:
+        def __init__(self, w, h):
+            self.average_rate = fps
+            self.codec_context = _FakeCodecContext(w, h)
+
+    class _FakeStreams:
+        def __init__(self, s):
+            self.video = [s]
+
+    class _FakeContainer:
+        def __init__(self):
+            h, w = frames[0].shape[0], frames[0].shape[1]
+            self.streams = _FakeStreams(_FakeStream(w, h))
+
+        def demux(self, _stream):
+            return [_FakePacket() for _ in frames]
+
+        def decode(self, _stream):
+            return (_FakeFrame(f) for f in frames)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda _f: _FakeContainer()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+
+def test_pyav_branch_parity_with_fake_backend(monkeypatch):
+    """R13 (r12 verdict directive 5): the video dispatch falls through to
+    pyav for codecs the pure reader gates, with the identical
+    (w, h, fps, n, frames) contract — every downstream kernel (frame rows,
+    temporal-majority fingerprint) must produce the SAME values through the
+    backend as the pure path produces on the uncompressed original."""
+    from kda_flink_demo_spark.operators.llm.multimodal import (
+        _video_decode_sampled,
+        _video_frame_rows,
+    )
+
+    frames = _rgb_frames(7)
+    plain = imaging.encode_avi(frames, fps=10)
+    gated = _fake_h264_avi(frames, fps=10)
+    _install_fake_av(monkeypatch, frames)
+
+    w0, h0, fps0, n0, f0 = _video_decode_sampled(plain, stride=2)
+    w1, h1, fps1, n1, f1 = _video_decode_sampled(gated, stride=2)
+    assert (w0, h0, fps0, n0) == (w1, h1, fps1, n1)
+    assert len(f0) == len(f1) and all(
+        np.array_equal(a, b) for a, b in zip(f0, f1)
+    )
+    assert _video_frame_rows(gated, 2) == _video_frame_rows(plain, 2)
+    assert np.array_equal(video_hash_bits(gated), video_hash_bits(plain))
+
+
+def test_pyav_gate_message_and_quarantine_without_backend(monkeypatch):
+    """Without pyav, the gate names the optional branch — and the sniff
+    scan's quarantine contract holds: a gated-codec payload lands as a
+    'corrupt' row, never an exception."""
+    import sys
+
+    import pytest
+
+    from kda_flink_demo_spark.operators.llm.multimodal import (
+        _profile_row,
+        _video_decode_sampled,
+    )
+
+    gated = _fake_h264_avi(_rgb_frames(3))
+    monkeypatch.setitem(sys.modules, "av", None)  # import av -> ImportError
+    with pytest.raises(NotImplementedError, match="pyav branch"):
+        _video_decode_sampled(gated)
+    assert _profile_row(gated)[0] == "corrupt"
