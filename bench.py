@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "bm25_stats_build",
     "bm25_stats_merge",
     "bm25_retrieval",
+    "hybrid_rrf_retrieval",
     "text_language_id",
     "text_quality",
     "text_token_stats",

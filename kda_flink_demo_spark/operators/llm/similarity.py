@@ -86,6 +86,51 @@ def cosine_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion of retrieval rankings (Cormack et al.):
+    fused_score(q, d) = Σ_lists 1/(k0 + rank_list(q, d)), re-ranked per query
+    — the standard way a hybrid retriever combines BM25's lexical ranking
+    with an embedding ANN's semantic one without score calibration (ranks,
+    not raw scores, so the lists' incomparable score scales never meet).
+
+    Determinism: with two lists each (q, d) sums at most two doubles —
+    IEEE addition of two terms is order-independent — then det_round(6) and
+    a doc_id tie-break, so the fused order is cross-engine stable. Scale
+    shape: input rows are the top-k lists (queries × k, ≪ corpus); one
+    union + one grouped sum + one per-query window — all list-sized."""
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            F.col(query_col).cast("long").alias("query_id"),
+            F.col(doc_col).cast("long").alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    scored = u.groupBy("query_id", "doc_id").agg(
+        det_round(F.sum("_c"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_ids: list[int],

@@ -1437,6 +1437,112 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_rrf_oracle_sql(k: int = 10, list_k: int = 20, k0: int = 60) -> str:
+    """DuckDB twin of the hybrid retriever: the full BM25 ranking (same CTE
+    structure as bm25_oracle_sql, list_k deep), the full brute-cosine
+    ranking (the _TOPK_ORACLE structure for query vectors 1–4), and the RRF
+    fusion 1/(k0+rank) summed per (query, doc)."""
+    from kda_flink_demo_spark.operators.llm.text import BM25_QUERIES
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES.items() for t in terms
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {qvals}),
+    sterms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    spruned AS (
+        SELECT doc_id, term FROM sterms
+        WHERE term IN (SELECT DISTINCT term FROM q)
+    ),
+    stf AS (SELECT doc_id, term, count(*) AS tf FROM spruned GROUP BY 1, 2),
+    sdfreq AS (SELECT term, count(*) AS df FROM stf GROUP BY 1),
+    sdl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    sstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sdl),
+    sscored AS (
+        SELECT q.query_id, stf.doc_id,
+               floor(sum(
+                   ln((sstats.n_docs - sdfreq.df + 0.5) / (sdfreq.df + 0.5) + 1.0)
+                   * (stf.tf * 2.2)
+                   / (stf.tf + 1.2 * (0.25 + 0.75 * sdl.dl / sstats.avgdl))
+               ) * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM stf
+        JOIN q USING (term)
+        JOIN sdl USING (doc_id)
+        JOIN sdfreq USING (term)
+        CROSS JOIN sstats
+        GROUP BY 1, 2
+    ),
+    sranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+        FROM sscored
+    ),
+    n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+           WHERE vec_id IN (1, 2, 3, 4)),
+    dpairs AS (
+        SELECT dq.query_id, n.vec_id AS doc_id,
+               floor(list_dot_product(dq.qv, n.v) / (dq.qn * n.nrm)
+                     * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM dq JOIN n ON n.vec_id != dq.query_id
+    ),
+    dranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r
+        FROM dpairs
+    ),
+    u AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               1.0 / ({k0} + r) AS c
+        FROM sranked WHERE r <= {list_k}
+        UNION ALL
+        SELECT CAST(query_id AS BIGINT), doc_id, 1.0 / ({k0} + r)
+        FROM dranked WHERE r <= {list_k}
+    ),
+    fs AS (
+        SELECT query_id, doc_id,
+               floor(sum(c) * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+        FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fs
+    ) WHERE rank <= {k}
+    """
+
+
+@register("hybrid_rrf_retrieval", _hybrid_rrf_oracle_sql())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (r13): BM25's lexical
+    top-20 fused with the brute-cosine semantic top-20 over the parallel
+    embeddings table (vec_id ≡ doc_id in the fixture; query vectors are the
+    embeddings of doc_ids 1–4, matching the fixed BM25 query ids) —
+    fused_score = Σ 1/(60+rank), the calibration-free standard for
+    combining incomparable score scales. Both underlying rankings AND the
+    fusion are recomputed end-to-end by the DuckDB oracle. Scale shape:
+    fusion inputs are list-sized (queries × 20), so the fuse itself is
+    free; the cost is the two retrievers, each already scale-shaped
+    (posting-pruned BM25, broadcast-query brute scan with IVF/PQ as the ANN
+    path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = text.bm25_topk(docs, k=20).select("query_id", "doc_id", "rank")
+    dense = similarity.cosine_topk(emb, query_ids=[1, 2, 3, 4], k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse([sparse, dense], k=10)
+
+
 @register("text_hashed_features", text.hashed_features_oracle_sql(n_features=16))
 def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document featurizer: fixed 16-bucket term-count vectors

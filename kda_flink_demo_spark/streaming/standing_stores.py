@@ -816,3 +816,102 @@ def update_ahash_index_store(
         ]
         if len(prior) >= compact_every:
             compact_ahash_index_store(spark, store_path, int(batch_id) - 1)
+
+
+def compact_editdist_index_store(
+    spark: SparkSession, store_path: str, upto_batch: int
+) -> None:
+    """Merge every committed editdist-index segment with id ≤ ``upto_batch``
+    into ONE distinct text segment — set-union semantics like the aHash
+    index, so every gate decision is identical before, during, and after
+    (same crash-safe cseg shadow/swap protocol; same replay constraint:
+    only compact beyond the checkpoint's replay horizon)."""
+    _compact_segment_store(
+        spark,
+        store_path,
+        upto_batch,
+        lambda df: df.select("text").distinct(),
+    )
+
+
+def read_editdist_index(
+    spark: SparkSession, store_path: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Union of all COMMITTED distinct-text index segments; None before the
+    first fold. Same visibility rules as the aHash index: half-written
+    segments are invisible, ``exclude_batch`` drops a replaying batch's own
+    segment (a doc must never gate against its own text), committed
+    ``cseg=<u>`` shadows segments ≤ u."""
+    segs = _cms_segment_frames(spark, store_path, exclude_batch=exclude_batch)
+    if not segs:
+        return None
+    return spark.read.parquet(*segs).select("text").distinct()
+
+
+def update_editdist_index_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    sink_path: str,
+    threshold: int = 20,
+    prefix_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = None,
+) -> None:
+    """Fold one micro-batch of documents through the standing edit-distance
+    gate (call from ``foreachBatch``) — the text twin of
+    ``update_ahash_index_store``: clean the batch against the standing
+    distinct-text index + earlier within-batch texts
+    (``ingest_editdist_gate`` probing a ``build_editdist_ingest_index`` of
+    the store's texts), land survivors under ``sink_path/batch=<id>``, then
+    commit the batch's OWN distinct texts as index segment ``seg=<id>`` —
+    including dropped docs' texts, so a later re-crawl of a dropped
+    near-identical doc still gates (the index records everything seen, the
+    sink records what survived).
+
+    Append-only per-batch segments: O(batch) fold cost, never an index
+    rewrite; replay overwrites both the ``batch=`` sink partition and the
+    ``seg=`` segment with identical bytes (texts are the data), and the
+    index visible to batch N is exactly segments < N either way. The store
+    keeps ONLY texts — block keys (prefix, length bucket) are derived at
+    read time, so threshold/prefix parametrize the gate, not the stored
+    bytes."""
+    from kda_flink_demo_spark.operators.llm.dedup import (
+        build_editdist_ingest_index,
+        ingest_editdist_gate,
+    )
+
+    spark = batch_df.sparkSession
+    texts = read_editdist_index(spark, store_path, exclude_batch=batch_id)
+    if texts is None:
+        texts = spark.createDataFrame([], "text string")
+    ci = build_editdist_ingest_index(
+        texts, text_col="text", threshold=threshold, prefix_len=prefix_len
+    )
+    cleaned = ingest_editdist_gate(
+        batch_df,
+        corpus_index=ci,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        prefix_len=prefix_len,
+    )
+    cleaned.write.mode("overwrite").parquet(
+        f"{sink_path.rstrip('/')}/batch={int(batch_id)}"
+    )
+    (
+        batch_df.filter(F.col(text_col).isNotNull())
+        .select(F.col(text_col).alias("text"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(_seg_dir(store_path, batch_id))
+    )
+    if compact_every is not None:
+        prior = [
+            p
+            for p in _committed_seg_paths(spark, store_path)
+            if int(p.rsplit("=", 1)[1]) < int(batch_id)
+        ]
+        if len(prior) >= compact_every:
+            compact_editdist_index_store(spark, store_path, int(batch_id) - 1)

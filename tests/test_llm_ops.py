@@ -1413,3 +1413,79 @@ def test_ingest_editdist_gate_corpus_never_shuffles(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fusion_semantics(spark):
+    """R13 hybrid fusion: a doc present in BOTH lists outranks any
+    single-list doc at comparable ranks; equal fused scores tie-break on
+    doc_id; output is capped at k."""
+    from kda_flink_demo_spark.operators.llm.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [(1, 13, 1), (1, 10, 2), (1, 14, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    rows = sorted(
+        rrf_fuse([sparse, dense], k=4).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in rows] == [10, 13, 11, 12], rows
+    # doc 12 and doc 14 both score 1/63: doc_id tie-break kept 12, k=4 cut 14
+    assert rows[0]["rrf_score"] > rows[1]["rrf_score"]
+
+def test_editdist_standing_store_fold_replay_and_compaction(spark, tmp_path):
+    """R13 streaming twin of the editdist gate (the ahash-store convention):
+    batch 1's near-identical of a batch-0 text drops against the standing
+    index, within-batch later-min drops, new texts survive; checkpoint
+    REPLAY rewrites identical survivors; a re-crawl of a DROPPED text still
+    gates (the index records everything seen); compaction folds segments
+    with identical gate decisions after."""
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        compact_editdist_index_store,
+        read_editdist_index,
+        update_editdist_index_store,
+    )
+
+    store = str(tmp_path / "ed_idx")
+    sink = str(tmp_path / "ed_clean")
+    pfx = "shared template header padding!!"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = pfx + " original corpus body kept intact"
+    update_ahead = docs([(0, base), (1, "totally different first doc here")])
+    update_editdist_index_store(update_ahead, 0, store, sink)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=0").collect()} == {0, 1}
+
+    batch1 = docs(
+        [
+            (10, base + " ok"),                      # near batch-0 text -> drop
+            (11, "zzz genuinely brand new content block here"),   # new -> keep
+            (12, "zzz genuinely brand new content block here!!"),  # near 11 in-batch -> drop
+        ]
+    )
+    update_editdist_index_store(batch1, 1, store, sink)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=1").collect()} == {11}
+    # index records everything SEEN (3 distinct batch-1 texts + 2 from batch 0)
+    assert read_editdist_index(spark, store).count() == 5
+
+    # checkpoint replay of batch 1: identical survivors, identical index
+    update_editdist_index_store(batch1, 1, store, sink)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=1").collect()} == {11}
+    assert read_editdist_index(spark, store).count() == 5
+
+    # a re-crawl of the DROPPED near-dup text still gates
+    update_editdist_index_store(docs([(20, base + " ok")]), 2, store, sink)
+    assert spark.read.parquet(f"{sink}/batch=2").count() == 0
+
+    # compaction: fold segments 0..2 into one; decisions identical after
+    before = {r.text for r in read_editdist_index(spark, store).collect()}
+    compact_editdist_index_store(spark, store, 2)
+    after = {r.text for r in read_editdist_index(spark, store).collect()}
+    assert before == after
+    update_editdist_index_store(docs([(30, base + " okay"), (31, "brand new unseen doc never indexed anywhere")]), 3, store, sink)
+    assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=3").collect()} == {31}
