@@ -241,7 +241,7 @@ _BUILD_BEFORE = {
     "pq_index_build": ("similarity_pq_adc",),
     "bpe_merge_steps": ("bpe_encode",),
     "editdist_ingest_index_build": ("ingest_dedup_editdist",),
-    "bm25_stats_build": ("bm25_retrieval",),
+    "bm25_stats_build": ("bm25_retrieval", "hybrid_rrf_retrieval"),
     "image_ahash_index_build": ("image_ingest_gate",),
     "audio_ahash_index_build": ("audio_ingest_gate",),
     "video_ahash_index_build": ("video_ingest_gate",),

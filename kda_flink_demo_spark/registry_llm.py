@@ -1536,7 +1536,9 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    sparse = text.bm25_topk(docs, k=20).select("query_id", "doc_id", "rank")
+    sparse = text.bm25_topk(
+        docs, k=20, stats=_bm25_stats_cached(spark, sf_dir)
+    ).select("query_id", "doc_id", "rank")
     dense = similarity.cosine_topk(emb, query_ids=[1, 2, 3, 4], k=20).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )

@@ -1489,3 +1489,77 @@ def test_editdist_standing_store_fold_replay_and_compaction(spark, tmp_path):
     assert before == after
     update_editdist_index_store(docs([(30, base + " okay"), (31, "brand new unseen doc never indexed anywhere")]), 3, store, sink)
     assert {r.doc_id for r in spark.read.parquet(f"{sink}/batch=3").collect()} == {31}
+
+def test_editdist_store_real_stream_matches_one_shot_gate(spark, tmp_path):
+    """Drive the editdist store through a REAL readStream + foreachBatch +
+    checkpoint (not direct fold calls). Because the gate drops against all
+    SEEN texts (not just survivors), the streamed fold over batch-ordered
+    ids is exactly equivalent to ONE ingest_editdist_gate over everything
+    with an empty corpus — the batch-as-oracle identity this test pins."""
+    import glob
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.llm.dedup import ingest_editdist_gate
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        update_editdist_index_store,
+    )
+
+    pfx_a = "family aaa template header pad!!!"
+    pfx_b = "family bbb template header pad!!!"
+    batches = [
+        [
+            (1, pfx_a + " body one kept as the family anchor"),
+            (2, "unique first-batch doc with nothing near it"),
+            (3, pfx_a + " body one kept as the family anchor ok"),  # near 1 -> drop
+        ],
+        [
+            (11, pfx_a + " body one kept as the family anchor !!"),  # near 1 -> drop
+            (12, pfx_b + " second family anchor appears here"),
+            (13, "another unique doc in the middle batch"),
+        ],
+        [
+            (21, pfx_b + " second family anchor appears here yo"),  # near 12 -> drop
+            (22, "unique first-batch doc with nothing near it"),    # exact dup of 2 -> drop
+            (23, "a closing unique document nothing matches"),
+        ],
+    ]
+    replay = tmp_path / "replay"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(replay / f"chunk={i:02d}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(replay / "chunk=*/*.parquet")))):
+        _os.utime(f, (_time.time() + i, _time.time() + i))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    store, sink = str(tmp_path / "ed_idx"), str(tmp_path / "ed_clean")
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay / "chunk=*"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(
+            lambda df, bid: update_editdist_index_store(df, bid, store, sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    streamed = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one_shot = {
+        r.doc_id for r in ingest_editdist_gate(all_docs, empty).collect()
+    }
+    assert streamed == one_shot == {1, 2, 12, 13, 23}, (streamed, one_shot)
