@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "tumbling_1m",
     "tumbling_offset_30s",
     "hopping_2m_1m",
+    "cumulate_10m_2m",
     "sliding_range_30m",
     "projection_json_cast",
     "ts_parse_fallback",

@@ -157,22 +157,25 @@ def _editdist_capped_universe(
     id_col: str,
     threshold: int,
     prefix_len: int,
-    block_cap: int,
+    block_cap: int | None,
 ) -> DataFrame:
     """DISTINCT texts (per-text minimal id) with block key columns, capped at
     ``block_cap`` candidates per (prefix, length-bucket) block — rank by
     doc_id inside the block so the cap is deterministic and the DuckDB
     oracle replays it exactly. ``editdist_block_stats`` reports how many
-    texts a given corpus loses to the cap (zero on non-pathological data)."""
+    texts a given corpus loses to the cap (zero on non-pathological data).
+    ``block_cap=None`` skips the cap but still carries the rank (the chunk
+    salt derives from it)."""
     from pyspark.sql import Window
 
     pfx, lb = _editdist_block_cols(text_col, threshold, prefix_len)
     collapsed = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     u = collapsed.select(F.col(id_col), F.col(text_col), pfx, lb)
     w = Window.partitionBy("_pfx", "_lb").orderBy(id_col)
-    return u.withColumn("_rk", F.row_number().over(w)).filter(
-        F.col("_rk") <= block_cap
-    )
+    ranked = u.withColumn("_rk", F.row_number().over(w))
+    if block_cap is None:
+        return ranked
+    return ranked.filter(F.col("_rk") <= block_cap)
 
 
 def editdist_pairs(
@@ -181,7 +184,7 @@ def editdist_pairs(
     id_col: str = "doc_id",
     threshold: int = 20,
     prefix_len: int = 32,
-    block_cap: int = 1000,
+    block_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-identical pairs by EDIT DISTANCE with (prefix, length-bucket)
     blocking: docs whose normalized texts share their first ``prefix_len``
@@ -339,12 +342,18 @@ def build_editdist_ingest_index(
     distinct-union of each surviving batch's texts (the ahash/span segment
     store convention)."""
     pfx, lb = _editdist_block_cols(text_col, threshold, prefix_len)
+    para = corpus.sparkSession.sparkContext.defaultParallelism
     return (
         corpus.filter(F.col(text_col).isNotNull())
         .select(F.col(text_col).alias("_ct"), pfx, lb)
         .distinct()
         .withColumnRenamed("_pfx", "_cpfx")
         .withColumnRenamed("_lb", "_clb")
+        # full width BEFORE the checkpoint: the gate's probe join streams the
+        # index (batch side broadcasts), so index partitioning IS the
+        # levenshtein kernel's parallelism — the r13 8× probe caught the
+        # distinct's AQE-coalesced 4 partitions serializing the verify
+        .repartition(para)
         .localCheckpoint()
     )
 
@@ -420,7 +429,10 @@ def ingest_editdist_gate(
             broadcast(bh3),
             (F.col("_cpfx") == F.col("_pfx")) & (F.col("_clb") == F.col("_lb")),
         )
-        .filter(F.levenshtein(F.col("_bt"), F.col("_ct"), threshold).between(0, threshold))
+        # >= 0 is the single-eval spelling of "within threshold": the 3-arg
+        # levenshtein returns -1 iff the bound is exceeded, and between()
+        # would evaluate the kernel twice per candidate
+        .filter(F.levenshtein(F.col("_bt"), F.col("_ct"), threshold) >= 0)
         .select("_bt")
         .distinct()
     )
@@ -428,17 +440,22 @@ def ingest_editdist_gate(
         incoming.join(broadcast(near_corpus), F.col(text_col) == F.col("_bt"))
         .select(F.col(id_col).alias("_drop_id"))
     )
-    # (3) among distinct batch texts within threshold, the later min drops
-    a = bh.select(F.col("_bt").alias("_ta"), F.col("_min_id").alias("_ma"), "_pfx", "_lb")
-    b = bh3.select(F.col("_bt").alias("_tb"), F.col("_min_id").alias("_mb"), "_pfx", "_lb")
-    cross_min_drops = (
-        a.join(b, ["_pfx", "_lb"])
-        .filter(
-            (F.col("_ma") < F.col("_mb"))
-            & (F.levenshtein(F.col("_ta"), F.col("_tb"), threshold).between(1, threshold))
-        )
-        .select(F.col("_mb").alias("_drop_id"))
-    )
+    # (3) among distinct batch texts within threshold, the later min drops —
+    # expressed as editdist_pairs over the incoming rows (doc_b IS the later
+    # per-text minimal id), which carries ALL the skew guards: length-bucket
+    # blocking, chunk-salted kernel spreading, explicit repartitions. The
+    # r13 8× probe caught the old bh-self-join serializing into the
+    # coalesce(1) batch partition — a backfill-sized batch paid its whole
+    # within-batch pair kernel on one core (0.97 s → 48 s at 8×).
+    # block_cap=None: the gate's oracle replays rule (3) uncapped.
+    cross_min_drops = editdist_pairs(
+        incoming,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        prefix_len=prefix_len,
+        block_cap=None,
+    ).select(F.col("doc_b").alias("_drop_id"))
     drops = same_text_drops.unionByName(corpus_drops).unionByName(cross_min_drops)
     return incoming.join(
         broadcast(drops.distinct()),

@@ -81,6 +81,52 @@ def hopping_counts(
     return out
 
 
+def cumulate_counts(
+    df: DataFrame,
+    key: str = "railway_class",
+    ts: str = "rowtime",
+    step_s: int = 120,
+    max_s: int = 600,
+    count_alias: str = "railway_class_count",
+) -> DataFrame:
+    """CUMULATE windows (Flink 1.13+ windowing TVF; absent in the reference's
+    Flink 1.8 but part of the modern Flink window family alongside W1–W4/W6):
+    windows share a fixed start at each ``max_s`` cycle boundary and grow by
+    ``step_s`` — an event at t belongs to every window
+    [cycle, cycle + j·step) with cycle = floor(t/max)·max and
+    cycle + j·step > t. The early-firing dashboard shape ("counts so far
+    this 10-minute cycle, refreshed every 2") expressed as a BATCH windowed
+    aggregate; Spark has no native TVF for it, so the window set per event
+    is a closed-form sequence + explode — pure JVM.
+
+    Scale shape: the explode fans each event out max/step× at most (5 here)
+    map-side; the aggregate shuffles once on (window, key) with partial
+    aggregation, the same profile as hopping windows (a hop of slide s and
+    size n·s fans out identically). Integer-seconds arithmetic: window
+    boundaries are whole multiples of step, so the truncating
+    timestamp→long cast loses nothing (boundary events land exactly as the
+    exclusive-end rule demands, and DuckDB's floor(epoch(ts)) recomputes the
+    identical assignment).
+
+    Output: (key, count, window_start, window_end)."""
+    if max_s % step_s != 0 or step_s <= 0:
+        raise ValueError(f"max_s must be a positive multiple of step_s: {max_s}/{step_s}")
+    sec = F.col(ts).cast("long")
+    cycle = sec - (sec % max_s)
+    first_end = cycle + ((sec % max_s) - (sec % max_s) % step_s) + step_s
+    ends = F.sequence(first_end, cycle + F.lit(max_s), F.lit(step_s))
+    return (
+        df.select(
+            F.col(key).cast("string").alias(key),
+            F.timestamp_seconds(cycle).alias("window_start"),
+            F.explode(ends).alias("_end_s"),
+        )
+        .groupBy(key, "window_start", F.timestamp_seconds(F.col("_end_s")).alias("window_end"))
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .select(key, count_alias, "window_start", "window_end")
+    )
+
+
 def session_counts(
     df: DataFrame,
     key: str = "railway_class",

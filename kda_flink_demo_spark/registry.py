@@ -212,6 +212,35 @@ def q_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cumulate_10m_2m",
+    """
+    WITH e AS (
+        SELECT event_type, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, sec - (sec % 600) AS cyc,
+               unnest(range((sec % 600) // 120 + 1, 600 // 120 + 1)) AS j
+        FROM e
+    )
+    SELECT event_type AS railway_class,
+           count(*) AS railway_class_count,
+           make_timestamp(cyc * 1000000) AS window_start,
+           make_timestamp((cyc + j * 120) * 1000000) AS window_end
+    FROM w GROUP BY 1, 3, 4
+    """,
+)
+def q_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE windows (r13 — the modern Flink TVF completing the window
+    family): per-class counts over windows that share a 10-minute cycle
+    start and grow in 2-minute steps; Spark expresses the TVF as a
+    closed-form sequence + explode feeding one ordinary windowed aggregate.
+    The oracle recomputes the per-event window assignment arithmetic in
+    DuckDB."""
+    return windows.cumulate_counts(_events_as_railway(spark, sf_dir))
+
+
+@register(
     "hopping_2m_1m",
     """
     WITH h AS (

@@ -128,6 +128,40 @@ def main() -> None:
     bench("exact_dedup", _dedup.exact_dedup_stats(docs))
     bench("minhash_lsh", _dedup.minhash_lsh_pairs(docs, threshold=0.8))
     bench("simhash_pairs", _dedup.simhash_pairs(docs))
+
+    # round-13: editdist family + BM25/hybrid retrieval over the replicated
+    # corpus (texts perturbed per replica, so blocks and vocabulary scale
+    # realistically)
+    bench("editdist_pairs", _dedup.editdist_pairs(docs))
+    t0_idx = time.time()
+    ed_idx = _dedup.build_editdist_ingest_index(docs.filter(F.col("doc_id") % 3 != 1))
+    results["editdist_index_build"] = round(time.time() - t0_idx, 2)
+    bench(
+        "ingest_editdist_probe",
+        _dedup.ingest_editdist_gate(
+            docs.filter(F.col("doc_id") % 3 == 1), corpus_index=ed_idx
+        ),
+    )
+    from kda_flink_demo_spark.operators.llm import text as _t13
+
+    t0_bm = time.time()
+    bm_stats = _t13.bm25_stats_state(docs).localCheckpoint()
+    results["bm25_stats_build"] = round(time.time() - t0_bm, 2)
+    bench("bm25_retrieval_standing", _t13.bm25_topk(docs, k=20, stats=bm_stats))
+    bench(
+        "hybrid_rrf",
+        _sim.rrf_fuse(
+            [
+                _t13.bm25_topk(docs, k=20, stats=bm_stats).select(
+                    "query_id", "doc_id", "rank"
+                ),
+                _sim.cosine_topk(emb, query_ids=[1, 2, 3, 4], k=20).select(
+                    "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+                ),
+            ],
+            k=10,
+        ),
+    )
     bench(
         "embedding_near_dup",
         _sim.embedding_near_dup_pairs(emb, block_col="label", threshold=0.35),

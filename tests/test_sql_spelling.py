@@ -53,3 +53,40 @@ def test_results_invariant_to_partitioning(spark):
         one = _rows(build(docs.repartition(1)))
         many = _rows(build(docs.repartition(17)))
         assert one == many
+
+
+def test_cumulate_window_assignment_semantics(spark):
+    """R13 CUMULATE windows: fixed cycle start, step-growing exclusive ends —
+    boundary events pinned exactly (an event AT a step boundary belongs to
+    the NEXT end, an event in the last step belongs to one window only, a
+    new cycle restarts the window set)."""
+    from datetime import datetime, timezone
+
+    from kda_flink_demo_spark.operators.windows import cumulate_counts
+
+    base = datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+    def at(seconds):
+        return datetime.fromtimestamp(base.timestamp() + seconds, tz=timezone.utc)
+
+    rows = [
+        ("a", at(0)),      # ends 120..600 (5 windows)
+        ("a", at(119)),    # ends 120..600 (5 windows)
+        ("a", at(120)),    # exclusive end: ends 240..600 (4 windows)
+        ("a", at(599)),    # last step: end 600 only
+        ("a", at(600)),    # next cycle: ends 720..1200 (5 windows)
+    ]
+    df = spark.createDataFrame(rows, "railway_class string, rowtime timestamp")
+    got = {
+        (int(r["window_start"].timestamp()), int(r["window_end"].timestamp())): r[
+            "railway_class_count"
+        ]
+        for r in cumulate_counts(df).collect()
+    }
+    b = int(base.timestamp())
+    expect = {}
+    for end in (120, 240, 360, 480, 600):
+        expect[(b, b + end)] = 2 + (1 if end >= 240 else 0) + (1 if end == 600 else 0)
+    for end in (720, 840, 960, 1080, 1200):
+        expect[(b + 600, b + end)] = 1
+    assert got == expect, (got, expect)
