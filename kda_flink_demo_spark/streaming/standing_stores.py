@@ -915,3 +915,46 @@ def update_editdist_index_store(
         ]
         if len(prior) >= compact_every:
             compact_editdist_index_store(spark, store_path, int(batch_id) - 1)
+
+
+def update_cumulate_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    key: str = "railway_class",
+    ts: str = "rowtime",
+    step_s: int = 120,
+    max_s: int = 600,
+) -> None:
+    """Streaming CUMULATE maintenance (foreachBatch): windowed counts are
+    ADDITIVE, so each micro-batch folds its own ``cumulate_counts`` partial
+    as segment ``seg=<batch_id>`` and the live result is a grouped sum over
+    committed segments (``cumulate_from_store``) — the CMS/agg-state merge
+    convention applied to the window family's newest member. Replay
+    overwrites the segment with identical bytes (counts are deterministic);
+    every early-firing refresh of a growing window is exact because partial
+    counts merge by addition regardless of how events split across
+    batches."""
+    from kda_flink_demo_spark.operators.windows import cumulate_counts
+
+    part = cumulate_counts(batch_df, key=key, ts=ts, step_s=step_s, max_s=max_s)
+    part.write.mode("overwrite").parquet(_seg_dir(store_path, batch_id))
+
+
+def cumulate_from_store(
+    spark: SparkSession,
+    store_path: str,
+    count_alias: str = "railway_class_count",
+) -> DataFrame | None:
+    """Merged CUMULATE read-out: grouped sum of the per-batch partials —
+    equal to one-shot ``cumulate_counts`` over everything replayed
+    (additive merge; batch-as-oracle test-pinned). None before the first
+    fold."""
+    segs = _cms_segment_frames(spark, store_path)
+    if not segs:
+        return None
+    df = spark.read.parquet(*segs)
+    keys = [c for c in df.columns if c != count_alias]
+    return df.groupBy(*keys).agg(
+        F.sum(count_alias).cast("long").alias(count_alias)
+    ).select(*df.columns)

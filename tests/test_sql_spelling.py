@@ -90,3 +90,68 @@ def test_cumulate_window_assignment_semantics(spark):
     for end in (720, 840, 960, 1080, 1200):
         expect[(b + 600, b + end)] = 1
     assert got == expect, (got, expect)
+
+
+def test_cumulate_real_stream_matches_batch(spark, tmp_path):
+    """R13 streaming twin of CUMULATE: a real readStream + foreachBatch fold
+    of per-batch partial counts, merged by grouped sum, must equal one-shot
+    cumulate_counts over everything replayed — additive windows make the
+    early-firing refresh exact no matter how events split across
+    micro-batches."""
+    import glob
+    import os as _os
+    import time as _time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import types as T
+
+    from kda_flink_demo_spark.operators.windows import cumulate_counts
+    from kda_flink_demo_spark.streaming.standing_stores import (
+        cumulate_from_store,
+        update_cumulate_store,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc).timestamp()
+    rows = [
+        ("a" if i % 3 else "b", datetime.fromtimestamp(base + i * 37, tz=timezone.utc))
+        for i in range(120)
+    ]
+    replay = tmp_path / "replay"
+    for c, chunk in enumerate((rows[:40], rows[40:80], rows[80:])):
+        spark.createDataFrame(
+            chunk, "railway_class string, rowtime timestamp"
+        ).coalesce(1).write.parquet(str(replay / f"chunk={c:02d}"))
+    for i, f in enumerate(sorted(glob.glob(str(replay / "chunk=*/*.parquet")))):
+        _os.utime(f, (_time.time() + i, _time.time() + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("railway_class", T.StringType()),
+            T.StructField("rowtime", T.TimestampType()),
+        ]
+    )
+    store = str(tmp_path / "cum_store")
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(replay / "chunk=*"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: update_cumulate_store(df, bid, store))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r["railway_class"], r["window_start"], r["window_end"], r["railway_class_count"])
+        for r in df.collect()
+    )
+    merged = cumulate_from_store(spark, store)
+    batch_ref = cumulate_counts(
+        spark.createDataFrame(rows, "railway_class string, rowtime timestamp")
+    )
+    assert canon(merged) == canon(batch_ref)
+    assert merged.count() > 10
