@@ -924,6 +924,195 @@ def _decode_wav_ms_adpcm(
     return np.array(out, dtype=np.float64) / 32768.0
 
 
+# --------------------------------------------------------------------------
+# GSM 06.10 full-rate decoder (ETSI EN 300 961: RPE-LTP, 260-bit frames).
+# Pure-spec integer arithmetic: every op is the standard's saturating 16-bit
+# add/sub/mult_r, so the output is bit-exact by construction and the in-test
+# independent spec replica can pin it over random bitstreams (the MS-ADPCM
+# methodology). WAV container: fmt tag 49 ("GSM610"/WAV49) packs TWO frames
+# per 65-byte block (520 bits MSB-first, frame 2 starting at bit 260).
+# --------------------------------------------------------------------------
+
+_GSM_FAC = (18431, 20479, 22527, 24575, 26623, 28671, 30719, 32767)
+_GSM_QLB = (3277, 11469, 21299, 32767)
+_GSM_MIC = (-32, -32, -16, -16, -8, -8, -4, -4)
+_GSM_B = (0, 0, 2048, -2560, 94, -1792, -341, -1144)
+_GSM_INVA = (13107, 13107, 13107, 13107, 19223, 17476, 31454, 29708)
+_GSM_LAR_BITS = (6, 6, 5, 5, 4, 4, 3, 3)
+
+
+def _gsm_add(a: int, b: int) -> int:
+    s = a + b
+    return -32768 if s < -32768 else (32767 if s > 32767 else s)
+
+
+def _gsm_mult_r(a: int, b: int) -> int:
+    if a == -32768 and b == -32768:
+        return 32767
+    p = (a * b + 16384) >> 15
+    return -32768 if p < -32768 else (32767 if p > 32767 else p)
+
+
+def _gsm_frame_params(bits: list[int]) -> tuple[list[int], list[dict]]:
+    """260 bits (MSB-first field order per the spec's table 1.1) →
+    (LARc[8], 4 subframes of {Nc, bc, Mc, xmaxc, xMc[13]})."""
+    pos = 0
+
+    def take(n: int) -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bits[pos]
+            pos += 1
+        return v
+
+    larc = [take(n) for n in _GSM_LAR_BITS]
+    subs = []
+    for _ in range(4):
+        subs.append(
+            {
+                "Nc": take(7),
+                "bc": take(2),
+                "Mc": take(2),
+                "xmaxc": take(6),
+                "xMc": [take(3) for _ in range(13)],
+            }
+        )
+    return larc, subs
+
+
+def _gsm_xmaxc_to_exp_mant(xmaxc: int) -> tuple[int, int]:
+    exp = 0
+    if xmaxc > 15:
+        exp = (xmaxc >> 3) - 1
+    mant = xmaxc - (exp << 3)
+    if mant == 0:
+        exp, mant = -4, 7
+    else:
+        while mant <= 7:
+            mant = (mant << 1) | 1
+            exp -= 1
+        mant -= 8
+    return exp, mant
+
+
+def _gsm_inverse_apcm(xmc: list[int], xmaxc: int) -> list[int]:
+    exp, mant = _gsm_xmaxc_to_exp_mant(xmaxc)
+    temp1 = _GSM_FAC[mant]
+    temp2 = 6 - exp
+    # spec: temp3 = asl(1, temp2 − 1); a negative left-shift count is an
+    # arithmetic RIGHT shift, so exp = 6 (xmaxc ≥ 56) yields 0
+    temp3 = (1 << (temp2 - 1)) if temp2 >= 1 else 0
+    out = []
+    for c in xmc:
+        t = (c << 1) - 7  # ±odd in [-7, 7]
+        t <<= 12
+        t = _gsm_mult_r(temp1, t)
+        t = _gsm_add(t, temp3)
+        out.append(t >> temp2)
+    return out
+
+
+def _gsm_new_state() -> dict:
+    return {
+        "drp": [0] * 160,  # [0:120] past residual, [120:160] current subframe
+        "nrp": 40,
+        "larpp": [0] * 8,
+        "v": [0] * 9,
+        "msr": 0,
+    }
+
+
+def _gsm_decode_frame(bits: list[int], st: dict) -> list[int]:
+    """One 260-bit frame + decoder state → 160 PCM16 samples (spec §4.3:
+    RPE decoding, long-term synthesis, short-term lattice synthesis,
+    de-emphasis, upscale + 3-LSB truncation)."""
+    larc, subs = _gsm_frame_params(bits)
+
+    # long-term + RPE per subframe → wt[0:160]
+    wt = []
+    for sub in subs:
+        xmp = _gsm_inverse_apcm(sub["xMc"], sub["xmaxc"])
+        erp = [0] * 40
+        for i, v in enumerate(xmp):
+            erp[sub["Mc"] + 3 * i] = v
+        nc = sub["Nc"]
+        nr = nc if 40 <= nc <= 120 else st["nrp"]
+        st["nrp"] = nr
+        brp = _GSM_QLB[sub["bc"]]
+        drp = st["drp"]
+        for k in range(40):
+            drpp = _gsm_mult_r(brp, drp[120 + k - nr])
+            drp[120 + k] = _gsm_add(erp[k], drpp)
+        wt.extend(drp[120:160])
+        del drp[0:40]
+        drp.extend([0] * 40)
+
+    # LARc → LARpp (decoding of the coded log-area ratios)
+    larpp = []
+    for i in range(8):
+        t1 = _gsm_add(larc[i], _GSM_MIC[i]) << 10
+        t1 = _gsm_add(t1, -(_GSM_B[i] << 1))
+        t1 = _gsm_mult_r(_GSM_INVA[i], t1)
+        larpp.append(_gsm_add(t1, t1))
+
+    # interpolation zones + reflection coefficients + lattice synthesis
+    prev = st["larpp"]
+    out = []
+    zones = ((0, 13), (13, 27), (27, 40), (40, 160))
+    for zi, (ks, ke) in enumerate(zones):
+        rrp = []
+        for i in range(8):
+            if zi == 0:
+                larp = _gsm_add(prev[i] >> 2, larpp[i] >> 2)
+                larp = _gsm_add(larp, prev[i] >> 1)
+            elif zi == 1:
+                larp = _gsm_add(prev[i] >> 1, larpp[i] >> 1)
+            elif zi == 2:
+                larp = _gsm_add(prev[i] >> 2, larpp[i] >> 2)
+                larp = _gsm_add(larp, larpp[i] >> 1)
+            else:
+                larp = larpp[i]
+            t = 32767 if larp == -32768 else abs(larp)
+            if t < 11059:
+                t <<= 1
+            elif t < 20070:
+                t += 11059
+            else:
+                t = _gsm_add(t >> 2, 26112)
+            rrp.append(t if larp >= 0 else -t)
+        v = st["v"]
+        for k in range(ks, ke):
+            sri = wt[k]
+            for i in range(1, 9):
+                sri = _gsm_add(sri, -_gsm_mult_r(rrp[8 - i], v[8 - i]))
+                v[9 - i] = _gsm_add(v[8 - i], _gsm_mult_r(rrp[8 - i], sri))
+            v[0] = sri
+            # de-emphasis, upscale ×2, truncate to 13-bit left-justified
+            st["msr"] = _gsm_add(sri, _gsm_mult_r(st["msr"], 28180))
+            out.append(_gsm_add(st["msr"], st["msr"]) & ~7)
+    st["larpp"] = larpp
+    return out  # & ~7 on clamped ints keeps sign: already valid PCM16
+
+
+def _decode_wav_gsm(data: bytes, n_samples: int | None) -> np.ndarray:
+    """Mono GSM610 (WAV49) data → float64 samples in [-1, 1): 65-byte
+    blocks of two 260-bit frames (one continuous MSB-first bitstream, frame
+    2 starting at bit 260), each decoded through the full RPE-LTP synthesis
+    chain with state carried across frames. Pure-python per-sample lattice —
+    honest-path throughput, not a DSP library."""
+    st = _gsm_new_state()
+    out: list[int] = []
+    for boff in range(0, len(data) - 64, 65):
+        block = data[boff : boff + 65]
+        bits = [(block[i >> 3] >> (7 - (i & 7))) & 1 for i in range(520)]
+        out.extend(_gsm_decode_frame(bits[:260], st))
+        out.extend(_gsm_decode_frame(bits[260:], st))
+    if n_samples is not None:
+        out = out[:n_samples]
+    return np.array(out, dtype=np.float64) / 32768.0
+
+
 def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """Manual RIFF walk for the codecs stdlib ``wave`` refuses: G.711 fmt
     tag 6 (A-law) / 7 (μ-law) — 8-bit companded samples expanded through the
@@ -966,6 +1155,9 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 coefs = got
         samples = _decode_wav_ms_adpcm(data, block_align, coefs, n_samples)
         return sr, len(samples), 1, samples
+    if tag == 0x31 and ch == 1:  # mono GSM 06.10 (WAV49, 65-byte blocks)
+        samples = _decode_wav_gsm(data, n_samples)
+        return sr, len(samples), 1, samples
     if tag == 3 and bits in (32, 64):
         dt = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(data[: len(data) // (bits // 8) * (bits // 8)], dtype=dt).astype(
@@ -977,7 +1169,8 @@ def _decode_wav_g711(b: bytes) -> tuple[int, int, int, np.ndarray]:
     else:
         raise NotImplementedError(
             "non-PCM WAV codec requires librosa/soundfile (pure path reads "
-            "integer PCM, IEEE float, G.711 mu-law/A-law, and mono IMA/MS-ADPCM)"
+            "integer PCM, IEEE float, G.711 mu-law/A-law, mono IMA/MS-ADPCM, "
+            "and mono GSM 06.10)"
         )
     return sr, len(samples) // ch, ch, samples
 
@@ -992,9 +1185,11 @@ def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
     refuses take a manual RIFF walk (``_decode_wav_g711``): G.711
     μ-law/A-law (fmt tags 7/6) expand through 256-entry tables pinned
     byte-for-byte against ``audioop``, IEEE float (tag 3, 32/64-bit) is read
-    verbatim, and mono IMA-ADPCM (tag 0x11) / MS-ADPCM (tag 2) run their
-    published adaptive-quantizer algorithms. Other non-PCM codecs
-    (MP3-in-WAV, GSM) and non-RIFF payloads raise the honest librosa gate."""
+    verbatim, mono IMA-ADPCM (tag 0x11) / MS-ADPCM (tag 2) run their
+    published adaptive-quantizer algorithms, and mono GSM 06.10 (tag 0x31,
+    WAV49 two-frames-per-65-byte-block) runs the full ETSI RPE-LTP synthesis
+    chain. The one remaining non-PCM codec (MP3-in-WAV) and non-RIFF
+    payloads raise the honest librosa gate."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "non-WAV audio payload requires librosa/soundfile (pure-python "

@@ -354,3 +354,206 @@ def test_stereo_sniff_reports_two_channels(spark):
     )
     [r] = sniff_media_features(df).collect()
     assert (r["modality"], r["channels"]) == ("audio", 2)
+
+
+# ---------------------------------------------------------------------------
+# GSM 06.10 (r13): decoder vs an independent spec replica + container route
+# ---------------------------------------------------------------------------
+
+
+def _gsm_decode_reference(data: bytes) -> np.ndarray:
+    """Independent straight-from-the-ETSI-spec GSM 06.10 decoder replica,
+    deliberately different in structure from imaging's: whole-block big-int
+    bit extraction, flat 120-sample LTP history with explicit index math,
+    per-zone recomputation inline. Saturating 16-bit helpers written from
+    the spec's ADD/MULT_R definitions."""
+
+    def sat(x):
+        return -32768 if x < -32768 else (32767 if x > 32767 else x)
+
+    def multr(a, b):
+        return 32767 if (a == b == -32768) else sat((a * b + (1 << 14)) >> 15)
+
+    FAC = [18431, 20479, 22527, 24575, 26623, 28671, 30719, 32767]
+    QLB = [3277, 11469, 21299, 32767]
+    MIC = [-32, -32, -16, -16, -8, -8, -4, -4]
+    BTAB = [0, 0, 2048, -2560, 94, -1792, -341, -1144]
+    INVA = [13107, 13107, 13107, 13107, 19223, 17476, 31454, 29708]
+
+    hist = [0] * 120
+    nrp = 40
+    larpp_prev = [0] * 8
+    v = [0] * 9
+    msr = 0
+    out = []
+
+    for boff in range(0, len(data) - 64, 65):
+        big = int.from_bytes(data[boff : boff + 65], "big")
+        for half in range(2):
+
+            def fld(bit_off, n, _half=half, _big=big):
+                start = _half * 260 + bit_off
+                return (_big >> (520 - start - n)) & ((1 << n) - 1)
+
+            widths = [6, 6, 5, 5, 4, 4, 3, 3]
+            offs, larc, p = [], [], 0
+            for w in widths:
+                larc.append(fld(p, w))
+                p += w
+            wt = []
+            for s in range(4):
+                base = 36 + s * 56
+                nc = fld(base, 7)
+                bc = fld(base + 7, 2)
+                mc = fld(base + 9, 2)
+                xmaxc = fld(base + 11, 6)
+                xmc = [fld(base + 17 + 3 * i, 3) for i in range(13)]
+                # inverse APCM
+                e = (xmaxc >> 3) - 1 if xmaxc > 15 else 0
+                m = xmaxc - (e << 3)
+                if m == 0:
+                    e, m = -4, 7
+                else:
+                    while m <= 7:
+                        m = (m << 1) | 1
+                        e -= 1
+                    m -= 8
+                shift = 6 - e
+                rnd = (1 << (shift - 1)) if shift >= 1 else 0
+                ep = [0] * 40
+                for i, c in enumerate(xmc):
+                    t = sat(((c << 1) - 7) << 12)
+                    ep[mc + 3 * i] = sat(multr(FAC[m], t) + rnd) >> shift
+                # long-term synthesis
+                if not (40 <= nc <= 120):
+                    nc = nrp
+                nrp = nc
+                gain = QLB[bc]
+                cur = []
+                for k in range(40):
+                    dr = sat(ep[k] + multr(gain, hist[120 - nc + k] if k < nc else cur[k - nc]))
+                    cur.append(dr)
+                wt += cur
+                hist = hist[40:] + cur
+            # LAR decode
+            larpp = []
+            for i in range(8):
+                t = sat(sat(larc[i] + MIC[i]) << 10)
+                t = sat(t - (BTAB[i] << 1))
+                t = multr(INVA[i], t)
+                larpp.append(sat(t + t))
+            for ks, ke, wp, wc, half_of in (
+                (0, 13, 2, 2, "prev"),
+                (13, 27, 1, 1, None),
+                (27, 40, 2, 2, "cur"),
+                (40, 160, None, 0, None),
+            ):
+                rrp = []
+                for i in range(8):
+                    if wp is None:
+                        larp = larpp[i]
+                    else:
+                        larp = sat((larpp_prev[i] >> wp) + (larpp[i] >> wc))
+                        if half_of == "prev":
+                            larp = sat(larp + (larpp_prev[i] >> 1))
+                        elif half_of == "cur":
+                            larp = sat(larp + (larpp[i] >> 1))
+                    a = 32767 if larp == -32768 else abs(larp)
+                    if a < 11059:
+                        a = a << 1
+                    elif a < 20070:
+                        a = a + 11059
+                    else:
+                        a = sat((a >> 2) + 26112)
+                    rrp.append(a if larp >= 0 else -a)
+                for k in range(ks, ke):
+                    sri = wt[k]
+                    for i in range(8, 0, -1):
+                        sri = sat(sri - multr(rrp[i - 1], v[i - 1]))
+                        v[i] = sat(v[i - 1] + multr(rrp[i - 1], sri))
+                    v[0] = sri
+                    msr = sat(sri + multr(msr, 28180))
+                    out.append(sat(msr + msr) & ~7)
+            larpp_prev = larpp
+    return np.array(out, dtype=np.int64)
+
+
+def test_gsm_decoder_matches_independent_spec_replica():
+    """imaging's GSM 06.10 decoder vs the structurally different replica
+    over random 520-bit blocks (multi-block streams, state carried across
+    frames): every sample bit-equal — pins the bit layout, inverse APCM
+    normalization, LTP lag clamp + gain walk, LAR interpolation zones,
+    lattice recursion, de-emphasis, and the final truncation."""
+    rng = np.random.RandomState(31)
+    for _ in range(6):
+        data = rng.bytes(65 * 4)  # 4 blocks = 8 frames = 1280 samples
+        ours = imaging._decode_wav_gsm(data, None)
+        ref = _gsm_decode_reference(data)
+        assert ours.shape[0] == 1280
+        assert np.array_equal((ours * 32768.0).astype(np.int64), ref)
+
+
+def _gsm_wav(data: bytes, sr: int = 8000, n_samples: int | None = None) -> bytes:
+    n = n_samples if n_samples is not None else (len(data) // 65) * 320
+    fmt = struct.pack("<HHIIHHHH", 0x31, 1, sr, sr * 65 // 320, 65, 0, 2, 320)
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_gsm_wav_container_and_sniff_route(spark):
+    """decode_wav must route fmt tag 0x31 through the GSM chain (sample
+    count from the fact chunk), a silent bitstream must decode to exact
+    silence, and the sniff scan must tag a GSM WAV as audio — while the
+    remaining gate names only MP3-in-WAV."""
+    from kda_flink_demo_spark.operators.llm.multimodal import sniff_media_features
+
+    rng = np.random.RandomState(7)
+    data = rng.bytes(65 * 3)
+    sr, nf, ch, samples = imaging.decode_wav(_gsm_wav(data, n_samples=900))
+    assert (sr, nf, ch) == (8000, 900, 1)
+    assert samples.shape[0] == 900 and float(np.abs(samples).max()) <= 1.0
+
+    # NEAR-silence frame, constructed: RPE codes are ±odd (no zero code),
+    # so true digital silence is impossible — the quietest encoding is
+    # xmaxc=0 with midpoint pulses (xMc=3 ⇒ −xmax/8 ≈ −4 LSB) and LAR codes
+    # whose decoded log-area ratios ≈ 0 (near-identity synthesis filter)
+    def pack_frame():
+        bits = []
+
+        def put(v, n):
+            bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+
+        for v, n in zip([32, 32, 20, 11, 8, 5, 3, 2], [6, 6, 5, 5, 4, 4, 3, 3]):
+            put(v, n)
+        for _ in range(4):
+            put(40, 7)  # valid lag
+            put(0, 2)   # smallest LTP gain
+            put(0, 2)
+            put(0, 6)   # xmaxc = 0
+            for _ in range(13):
+                put(3, 3)  # midpoint pulse codes
+        return bits
+
+    fbits = pack_frame() * 2
+    quiet_block = bytes(
+        sum(fbits[i * 8 + j] << (7 - j) for j in range(8)) for i in range(65)
+    )
+    _, _, _, quiet = imaging.decode_wav(_gsm_wav(quiet_block * 2))
+    assert float(np.abs(quiet).max()) < 0.02, float(np.abs(quiet).max())
+
+    df = spark.createDataFrame(
+        [(0, bytearray(_gsm_wav(data)))], "doc_id long, payload binary"
+    )
+    row = sniff_media_features(df).collect()[0]
+    assert row.modality == "audio" and row.channels == 1
+
+    import pytest as _pytest
+
+    mp3ish = bytearray(_gsm_wav(data))
+    mp3ish[20:22] = struct.pack("<H", 0x55)  # fmt tag -> MPEG Layer 3
+    with _pytest.raises(NotImplementedError, match="librosa"):
+        imaging.decode_wav(bytes(mp3ish))
