@@ -366,6 +366,7 @@ def ingest_editdist_gate(
     threshold: int = 20,
     prefix_len: int = 32,
     corpus_index: DataFrame | None = None,
+    small_batch_cutover: int = 2000,
 ) -> DataFrame:
     """Incremental-ingest edit-distance gate — the text twin of
     ``image_dedup_probe``: drop incoming docs whose text is near-IDENTICAL
@@ -440,22 +441,48 @@ def ingest_editdist_gate(
         incoming.join(broadcast(near_corpus), F.col(text_col) == F.col("_bt"))
         .select(F.col(id_col).alias("_drop_id"))
     )
-    # (3) among distinct batch texts within threshold, the later min drops —
-    # expressed as editdist_pairs over the incoming rows (doc_b IS the later
-    # per-text minimal id), which carries ALL the skew guards: length-bucket
-    # blocking, chunk-salted kernel spreading, explicit repartitions. The
-    # r13 8× probe caught the old bh-self-join serializing into the
-    # coalesce(1) batch partition — a backfill-sized batch paid its whole
-    # within-batch pair kernel on one core (0.97 s → 48 s at 8×).
-    # block_cap=None: the gate's oracle replays rule (3) uncapped.
-    cross_min_drops = editdist_pairs(
-        incoming,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=threshold,
-        prefix_len=prefix_len,
-        block_cap=None,
-    ).select(F.col("doc_b").alias("_drop_id"))
+    # (3) among distinct batch texts within threshold, the later min drops.
+    # Two physically different, semantically identical plans, picked by the
+    # batch's DISTINCT-text count (bh is already checkpointed — the count is
+    # a metadata-cheap job): a STREAMING-sized batch self-joins in place
+    # (the salted plan's extra window + repartition shuffles are pure stage
+    # overhead when the whole pair kernel fits one core), while a
+    # BACKFILL-sized batch routes through editdist_pairs, which carries all
+    # the skew guards — length-bucket blocking, chunk-salted spreading,
+    # explicit repartitions. The r13 8× probe caught the old unconditional
+    # self-join serializing a 13k-text batch's kernel into the coalesce(1)
+    # partition (0.97 s → 48 s); the unconditional salted plan in turn cost
+    # ~0.5 s of fixed shuffle overhead on the 1.7k-text registry batch.
+    # Both branches replay the oracle's uncapped rule (3) exactly (the
+    # bucket±1 prune is lossless; block_cap=None on the big path).
+    if bh.count() <= small_batch_cutover:
+        a3 = bh.select(
+            F.col("_bt").alias("_ta"), F.col("_min_id").alias("_ma"), "_pfx", "_lb"
+        )
+        b3 = bh3.select(
+            F.col("_bt").alias("_tb"), F.col("_min_id").alias("_mb"), "_pfx", "_lb"
+        )
+        cross_min_drops = (
+            a3.join(b3, ["_pfx", "_lb"])
+            .filter(
+                (F.col("_ma") < F.col("_mb"))
+                & (
+                    F.levenshtein(F.col("_ta"), F.col("_tb"), threshold).between(
+                        1, threshold
+                    )
+                )
+            )
+            .select(F.col("_mb").alias("_drop_id"))
+        )
+    else:
+        cross_min_drops = editdist_pairs(
+            incoming,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            prefix_len=prefix_len,
+            block_cap=None,
+        ).select(F.col("doc_b").alias("_drop_id"))
     drops = same_text_drops.unionByName(corpus_drops).unionByName(cross_min_drops)
     return incoming.join(
         broadcast(drops.distinct()),

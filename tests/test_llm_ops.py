@@ -1563,3 +1563,26 @@ def test_editdist_store_real_stream_matches_one_shot_gate(spark, tmp_path):
         r.doc_id for r in ingest_editdist_gate(all_docs, empty).collect()
     }
     assert streamed == one_shot == {1, 2, 12, 13, 23}, (streamed, one_shot)
+
+def test_editdist_gate_batch_size_branches_agree(spark):
+    """R13: the gate's two rule-(3) plans (in-place small-batch self-join vs
+    the salted editdist_pairs path) must pass identical survivors — forced
+    onto each branch via the cutover parameter on the same input."""
+    from pyspark.sql import functions as F
+
+    from kda_flink_demo_spark.operators.llm.dedup import ingest_editdist_gate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    corpus = docs.filter(F.col("doc_id") % 3 != 1)
+    small = sorted(
+        r.doc_id
+        for r in ingest_editdist_gate(
+            batch, corpus, small_batch_cutover=10**9
+        ).collect()
+    )
+    big = sorted(
+        r.doc_id
+        for r in ingest_editdist_gate(batch, corpus, small_batch_cutover=0).collect()
+    )
+    assert small == big and len(small) > 0
