@@ -57,6 +57,19 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session cache of the LAZY table DataFrames (optimization r13, guide §4:
+# shrink the Python↔JVM boundary). Every query construction re-ran
+# spark.read.parquet — a driver-side footer/schema read plus a py4j exchange
+# per call, ~400 calls per bench run for plans that are identical each time.
+# The cached object is an unexecuted plan over an IMMUTABLE fixture file —
+# no data or results are memoized, every action still computes from parquet.
+# WeakKeyDictionary: entries die with their session, and a key can never
+# alias a different live session.
+import weakref as _weakref
+
+_TABLE_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-load one synthetic table (one parquet file per table, TESTDATA.md).
 
@@ -65,11 +78,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     don't round through a double. TIMESTAMP_NTZ columns (the round-4+ testdata
     format) are relabeled to TimestampType via normalize_timestamps.
     """
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # unhashable session stand-in (tests) — no cache
+        per_session = None
+    key = (sf_dir, name)
+    if per_session is not None and key in per_session:
+        return per_session[key]
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return normalize_timestamps(df)
+    df = normalize_timestamps(df)
+    if per_session is not None:
+        per_session[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

@@ -55,7 +55,13 @@ def connected_components(
     Min-label propagation with pointer jumping from round 4: rounds ≈
     log2(diameter) + 4 on deep graphs, while near-dup graphs — near-cliques
     converging in 2–3 rounds — stay entirely on the cheap one-hop path (the
-    jump join is measurable pure overhead there, see the loop comment). If
+    jump join is measurable pure overhead there, see the loop comment).
+    Round 1 is FREE (optimization r13): initial labels are computed as
+    min(u, neighbors) directly by the node-discovery aggregate over the edge
+    list — one groupBy where identity-init + a first full propagation round
+    (join + groupBy + checkpoint + probe) used to run. Labels after the init
+    equal the old round-1 labels exactly, so every graph converges one
+    executed pass earlier with identical output. If
     ``max_iter`` rounds pass without convergence this RAISES instead of
     silently returning partial labels (which would diverge from any
     transitive-closure oracle with no signal) — the default 24 covers
@@ -82,8 +88,25 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # self-loop keeps each node's own label in the min()
-    labels = edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    # Initial labels fold the FIRST propagation round into the node-discovery
+    # aggregate (optimization r13): label₀(u) = min(u, min over neighbors v) —
+    # exactly what round 1 of the old identity-initialized loop computed, but
+    # as ONE groupBy over the edge list instead of a distinct + a full
+    # join+groupBy round. Every graph now converges one round earlier with
+    # identical labels (a fixpoint is unchanged; the first loop iteration
+    # below sees precisely the old round-1 output). NULL nodes keep their own
+    # NULL label (the old LEFT-join behavior): least() would skip the NULL.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_nmin0"))
+        .select(
+            "u",
+            F.when(F.col("u").isNull(), F.lit(None).cast(edges.schema["u"].dataType))
+            .otherwise(F.least("u", "_nmin0"))
+            .alias("label"),
+        )
+        .localCheckpoint()
+    )
     # loop-aware join strategy: at fixture scale Catalyst broadcasts the tiny
     # label table and that IS fastest — but the broadcast repeats EVERY round
     # and builds on the driver, so past the node threshold both per-round
@@ -117,16 +140,18 @@ def connected_components(
         # plain propagation, so converged labels are still exact component
         # minima (property-tested against the DuckDB transitive closure).
         half = labels.join(hinted(neighbor_min), "u", "left")
-        if it < 3:
+        if it < 2:
             # the jump join only pays off on DEEP graphs: early rounds'
             # label-of-label shortcuts at most one hop the next neighbor-min
             # reaches anyway, and near-clique graphs (the common dedup case)
             # converge in 2–3 one-hop rounds where every jump join is pure
             # overhead — the r11 cc_probe measured the old it==1 start
             # costing +22% wall on the sf0.1 image graph for ZERO round
-            # savings. Jumping from round 4 leaves shallow graphs entirely
-            # on the cheap path; deep chains still get O(log d) doubling a
-            # couple of rounds later (max_iter raised to keep ~2^17 headroom)
+            # savings. The label initialization above already IS round 1, so
+            # loop iteration i equals propagation round i+2: `it < 2` keeps
+            # the jump starting at effective round 4 exactly as before —
+            # shallow graphs stay on the cheap path, deep chains still get
+            # O(log d) doubling (max_iter keeps ~2^17 headroom)
             new_labels = half.select(
                 "u",
                 F.least("label", "_nmin").alias("label"),
@@ -150,7 +175,11 @@ def connected_components(
         if changed == 0:
             converged = True
             if stats is not None:
-                stats["rounds"] = it + 1
+                # +2: the label initialization is propagation round 1, loop
+                # iteration i is round i+2 — the count stays comparable with
+                # the pre-r13 probes (same graph → same reported rounds,
+                # executed with one fewer join+groupBy pass)
+                stats["rounds"] = it + 2
             break
     if not converged:
         raise RuntimeError(

@@ -430,24 +430,36 @@ def bm25_topk(
     queries = queries or BM25_QUERIES
     qrows = [(qid, t) for qid, terms in queries.items() for t in terms]
     qterms = spark.createDataFrame(qrows, "query_id int, term string")
-    qvocab = qterms.select("term").distinct()
+    vocab = sorted({t for _, t in qrows})
 
     toks = F.split(F.col(text_col), " ")
     # doc length rides the exploded posting rows (first() under the tf
     # aggregate), so the corpus-wide (doc, dl) projection never enters a
-    # shuffle — only query-term postings do
+    # shuffle — only query-term postings do. The vocabulary prune happens
+    # INSIDE the projection feeding the explode (optimization r13): the query
+    # vocabulary is a plan-time constant (queries are a per-request bag of
+    # terms, small by nature), so a map-side higher-order `filter` on the
+    # token array replaces the old broadcast semi-join — the Generate emits
+    # candidate postings only and the broadcast exchange disappears. Output
+    # is unchanged: `filter` keeps every occurrence of a matching term,
+    # exactly the rows the semi-join kept.
+    vocab_lit = F.array(*[F.lit(t) for t in vocab])
     terms = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("dl"),
-        F.explode(toks).alias("term"),
-    ).join(broadcast(qvocab), "term")  # prune to query vocabulary map-side
+        F.explode(F.filter(toks, lambda t: F.array_contains(vocab_lit, t))).alias(
+            "term"
+        ),
+    )
     tf = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     if stats is not None:
+        # plan-time literal prune on the standing stats too: an IN over the
+        # fixed vocabulary is a pushable scan predicate where the old
+        # broadcast semi-join was an exchange + join
         dfreq = (
-            stats.filter(F.col("term").isNotNull())
-            .join(broadcast(qvocab), "term")
+            stats.filter(F.col("term").isNotNull() & F.col("term").isin(vocab))
             .select("term", "df")
         )
         cstats = stats.filter(F.col("term").isNull()).select(

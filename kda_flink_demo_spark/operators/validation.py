@@ -111,6 +111,76 @@ def check_suite(*checks: DataFrame) -> DataFrame:
     return out
 
 
+def fused_table_checks(
+    df: DataFrame,
+    rules: dict[str, Column],
+    unique_cols: list[str],
+    unique_name: str,
+    fk: tuple[DataFrame, str, str, str] | None = None,
+) -> DataFrame:
+    """EVERY check family for one table out of ONE scan (optimization r13).
+
+    The separate builders cost one pass each: row rules (1 scan), uniqueness
+    (1 scan + key aggregate), referential integrity (1 scan for the child key
+    projection + 1 scan for the row count) — four fact-table reads for what
+    is semantically one. Here the rule-violation conditional sums ride the
+    uniqueness key aggregate as extra per-key counters (partial aggregation
+    absorbs them map-side; the shuffle still carries one row per key, just
+    R+1 longs wide instead of 1), and the final global sums derive the rule
+    and uniqueness rows from that single aggregate. The FK orphan count stays
+    the NARROW anti-join on the child-key projection — measured: dragging the
+    full row stream through a pre-groupBy membership join costs more than the
+    column-pruned second read it saves (1.49 vs 1.15 s at sf0.1) — but its
+    row-count denominator now comes from the fused aggregate instead of a
+    third scan of the child. Net per table: 2 reads (one full-width, one
+    single-column) where the separate builders paid 4.
+
+    Emits exactly the rows the separate builders emit: one per rule, one
+    uniqueness row, one FK row — bit-identical counts (asserted against the
+    unfused builders in tests), with empty-input vacuous-pass semantics
+    preserved (sums over zero groups coalesce to 0).
+
+    ``fk``: optional ``(parent, child_key, parent_key, check_name)``.
+    """
+    per_key = [F.count(F.lit(1)).alias("_c")] + [
+        F.sum(F.when(ok, 0).otherwise(1)).alias(f"_v{i}")
+        for i, ok in enumerate(rules.values())
+    ]
+    grouped = df.groupBy(*unique_cols).agg(*per_key)
+    final = [
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+        F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)).alias("_uv"),
+    ] + [
+        F.coalesce(F.sum(f"_v{i}"), F.lit(0)).alias(f"_v{i}")
+        for i in range(len(rules))
+    ]
+    one = grouped.agg(*final)
+    fk_name = None
+    if fk is not None:
+        parent, child_key, parent_key, fk_name = fk
+        orphans = (
+            df.select(F.col(child_key))
+            .filter(F.col(child_key).isNotNull())
+            .join(
+                parent.select(F.col(parent_key).alias(child_key)).distinct(),
+                child_key,
+                "left_anti",
+            )
+        )
+        one = one.crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("_fkv"))
+        )
+    rows = [
+        F.struct(*_report(F.lit(name), F.col("_n"), F.col(f"_v{i}")))
+        for i, name in enumerate(rules.keys())
+    ]
+    rows.append(F.struct(*_report(F.lit(unique_name), F.col("_n"), F.col("_uv"))))
+    if fk is not None:
+        rows.append(F.struct(*_report(F.lit(fk_name), F.col("_n"), F.col("_fkv"))))
+    packed = one.select(F.explode(F.array(*rows)).alias("r"))
+    return packed.select(*[F.col(f"r.{c}") for c in _REPORT_COLS])
+
+
 def quarantine_split(
     df: DataFrame, rules: dict[str, Column]
 ) -> tuple[DataFrame, DataFrame]:

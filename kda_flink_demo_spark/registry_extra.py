@@ -1645,24 +1645,25 @@ _DQ_ORACLE = """
 @register("data_quality_checks", _DQ_ORACLE)
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite (Deequ/dbt-test shape,
-    operators/validation.py): row rules fused into ONE scan per table
-    (map-side conditional sums — adding a rule never adds a pass), PK
-    uniqueness as a key aggregate, FK integrity as anti joins. Emits
+    operators/validation.py): since the r13 optimization round each fact
+    table is scanned exactly ONCE — the row-rule and FK-orphan conditional
+    sums ride the PK-uniqueness key aggregate as extra per-key counters
+    (fused_table_checks), where the separate builders paid four reads per
+    table (rules, uniqueness, FK projection, FK row count). Report rows and
+    counts are identical to the unfused builders (test-pinned). Emits
     violation COUNTS, not just pass/fail — the priority-domain rule is
     deliberately narrower than the fixture's domain so non-zero violation
     paths are exercised and hash-checked."""
     from kda_flink_demo_spark.operators.validation import (
         check_suite,
-        column_rule_checks,
-        referential_check,
-        uniqueness_check,
+        fused_table_checks,
     )
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return check_suite(
-        column_rule_checks(
+        fused_table_checks(
             orders,
             {
                 "orders_custkey_not_null": F.col("o_custkey").isNotNull(),
@@ -1672,25 +1673,19 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "1-URGENT", "2-HIGH", "3-MEDIUM"
                 ),
             },
+            ["o_orderkey"],
+            "orders_orderkey_unique",
+            fk=(customer, "o_custkey", "c_custkey", "orders_custkey_references_customer"),
         ),
-        column_rule_checks(
+        fused_table_checks(
             lineitem,
             {
                 "lineitem_discount_in_unit_range": F.col("l_discount").between(0, 1),
                 "lineitem_quantity_positive": F.col("l_quantity") > 0,
             },
-        ),
-        uniqueness_check(orders, ["o_orderkey"], "orders_orderkey_unique"),
-        uniqueness_check(
-            lineitem, ["l_orderkey", "l_linenumber"], "lineitem_pk_unique"
-        ),
-        referential_check(
-            orders, customer, "o_custkey", "c_custkey",
-            "orders_custkey_references_customer",
-        ),
-        referential_check(
-            lineitem, orders, "l_orderkey", "o_orderkey",
-            "lineitem_orderkey_references_orders",
+            ["l_orderkey", "l_linenumber"],
+            "lineitem_pk_unique",
+            fk=(orders, "l_orderkey", "o_orderkey", "lineitem_orderkey_references_orders"),
         ),
     )
 

@@ -18,6 +18,7 @@ At 100 TB these defaults matter:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -64,6 +65,21 @@ def get_spark(app_name: str = "kda-flink-demo-spark", cpus: int | None = None) -
     return spark
 
 
+# Sessions (by JVM session hash) that already received the full ENGINE_CONF.
+# apply_engine_conf is called once per QUERY construction (the registry
+# wrapper), which at bench scale meant ~4,400 py4j conf.set round-trips per
+# run for values that never change after the first call — measurable pure
+# driver-side overhead (optimization r13, guide §4: shrink the Python↔JVM
+# boundary). After the first full application we only re-verify the one
+# correctness-critical conf (the UTC session timezone — window boundaries
+# must match the DuckDB oracle) with a single conf.get; if an external owner
+# reset it, the full set is re-applied. A WeakSet keyed on the Python session
+# object cannot alias a different live session (no id() reuse); a caller that
+# re-wraps the same JVM session in a fresh Python object merely re-applies —
+# the pre-r13 behavior.
+_CONF_APPLIED: "weakref.WeakSet" = weakref.WeakSet()
+
+
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally provided session.
 
@@ -71,9 +87,23 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     The critical one is the UTC session timezone: window boundaries must match the
     DuckDB oracle's naive-timestamp arithmetic.
     """
+    try:
+        seen = spark in _CONF_APPLIED
+    except TypeError:
+        seen = False
+    if seen:
+        try:
+            if spark.conf.get("spark.sql.session.timeZone", "") == "UTC":
+                return spark
+        except Exception:
+            pass  # fall through to a full re-apply
     for k in _RUNTIME_SETTABLE:
         try:
             spark.conf.set(k, ENGINE_CONF[k])
         except Exception:
             pass  # static conf on this build — keep going
+    try:
+        _CONF_APPLIED.add(spark)
+    except TypeError:
+        pass
     return spark

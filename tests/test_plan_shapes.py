@@ -581,36 +581,40 @@ def test_connected_components_rounds_never_broadcast_big_labels(spark):
 
 
 def test_bm25_prunes_postings_before_any_exchange(spark):
-    """BM25's corpus-side explode must semi-join the BROADCAST query
-    vocabulary BEFORE the tf aggregate's Exchange — the shuffled volume is
-    query-term postings, never the corpus — and every scoring join
-    (query terms, df, corpus stats) must be broadcast."""
+    """BM25's corpus side must be pruned to the query vocabulary BEFORE the
+    tf aggregate's Exchange — the shuffled volume is query-term postings,
+    never the corpus. Since the r13 optimization round the prune is a
+    MAP-SIDE literal `filter(tokens, array_contains(vocab, t))` inside the
+    projection feeding the explode (the query vocabulary is a plan-time
+    constant), so there must be NO join of any kind below the first
+    exchange — the old broadcast semi-join's exchange is gone entirely —
+    and every scoring join above it stays broadcast."""
     from kda_flink_demo_spark.operators.llm.text import bm25_topk
 
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(bm25_topk(docs))
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the vocabulary prune sits below the first aggregate exchange: the plan
-    # tree prints parents before children, so the nearest shuffle Exchange
-    # ABOVE the explode appears before it in the text, and the prune's
-    # BroadcastHashJoin must sit BETWEEN those two positions (r12 advice:
-    # the old disjunction was a tautology and never checked the ordering)
+    # the plan tree prints parents before children: everything AFTER the
+    # Generate's text position is its input subtree (scan side). The prune
+    # must sit there as an array_contains filter, and no join may appear
+    # below the Generate (the corpus reaches the explode unjoined).
     gen = plan.rindex("Generate explode")
-    shuf = plan.rfind("Exchange hashpartitioning", 0, gen)
-    assert shuf != -1, plan[:400]
-    assert "BroadcastHashJoin" in plan[shuf:gen], plan[shuf:gen]
+    assert "array_contains" in plan[gen:], plan[gen:][:400]
+    assert "Join" not in plan[gen:], plan[gen:][:400]
+    # scoring joins above the aggregate are all broadcast
+    assert "BroadcastHashJoin" in plan[:gen]
 
-    # the r13 standing-stats path must keep the same shape: vocabulary prune
-    # below the tf aggregate's exchange, everything else broadcast
+    # the r13 standing-stats path must keep the same shape, and its stats
+    # lookup is a literal IN filter (pushable scan predicate), not a join
     from kda_flink_demo_spark.operators.llm.text import bm25_stats_state
 
     stats = bm25_stats_state(docs).localCheckpoint()
     plan_s = _plan(bm25_topk(docs, stats=stats))
     assert "SortMergeJoin" not in plan_s
     gen_s = plan_s.rindex("Generate explode")
-    shuf_s = plan_s.rfind("Exchange hashpartitioning", 0, gen_s)
-    assert shuf_s != -1 and "BroadcastHashJoin" in plan_s[shuf_s:gen_s]
+    assert "array_contains" in plan_s[gen_s:]
+    assert "Join" not in plan_s[gen_s:]
+    assert "BroadcastHashJoin" in plan_s[:gen_s]
 
 
 def test_bm25_semantics_on_controlled_corpus(spark):
