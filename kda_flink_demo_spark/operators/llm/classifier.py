@@ -21,9 +21,13 @@ Everything is cross-engine bit-exact by construction (the kmeans recipe):
   fixed-round training is ONE declarative plan the driver never touches —
   no ``.collect()`` anywhere, same as kmeans' broadcast centroid row.
 
-Scale shape: per round, one corpus scan (map-side gradient partials) + a
-1-row update; state between rounds is 3 doubles. Scoring is a map-side
-projection against the broadcast final weights.
+Scale shape (r13): ONE corpus featurization scan, eagerly materialized as
+the compact (id, label, 4-double) feature table — the raw text is split and
+stopword-counted exactly once, where the pre-r13 single-plan shape re-ran
+the featurization inside every gradient round and the scoring pass (4
+corpus-wide text scans). Per round: one feature-table scan (map-side
+gradient partials) + a 1-row update; state between rounds is 4 doubles.
+Scoring is a map-side projection against the broadcast final weights.
 """
 
 from __future__ import annotations
@@ -84,7 +88,17 @@ def logreg_quality_score(
     document: ``(doc_id, score, predicted, label)``. Fixed small round count
     → one declarative plan (kmeans precedent); see module docstring for the
     bit-exactness recipe."""
-    feats = _features(df, text_col, F.col(label_col) == F.lit(label_value))
+    # Optimization r13 (guide §1.2/§5 — don't recompute what one pass can
+    # materialize): the feature table is 5 doubles + id per row (≪ the raw
+    # text), but it was re-derived — full text split + exact stopword count —
+    # inside EVERY gradient round's subtree and once more for scoring (4
+    # corpus-wide featurization passes, and a plan tree that re-nested the
+    # featurization per round, dominating construction time). One eager
+    # localCheckpoint materializes it once; every round now scans the compact
+    # feature rows. Values are the identical doubles (the checkpoint only
+    # materializes them), pinned by test_logreg_checkpointed_features_
+    # identical_scores.
+    feats = _features(df, text_col, F.col(label_col) == F.lit(label_value)).localCheckpoint()
     k = len(_FEATS)
     w = df.sparkSession.range(1).select(
         *[F.lit(0.0).alias(f"w{i}") for i in range(k)]

@@ -345,6 +345,7 @@ def pq_encode(
     vec_col: str = "embedding",
     round_digits: int = 6,
     with_codebook: bool = False,
+    checkpoint_codebook: bool = False,
 ) -> DataFrame:
     """Product quantization (codebook train + encode) — the ANN memory-scale
     path between int8 scalar quantization (`quantize_embeddings`) and the IVF
@@ -371,6 +372,15 @@ def pq_encode(
     m·k·subdim-sized aggregate; inter-round state is the m·k×subdim codebook
     only. Oracle: the same rounds unrolled as DuckDB CTEs with ``sub`` as a
     grouping column (`pq_oracle_sql`).
+
+    ``checkpoint_codebook=True`` (optimization r13, `build_pq_index` only)
+    eagerly localCheckpoints the FINAL codebook before the last assignment
+    round is planned, so the returned ``codes`` plan reads the materialized
+    codebook instead of embedding the whole training chain — a caller that
+    materializes BOTH outputs (the standing-index build) otherwise executes
+    the training subtree twice (once under codes, once under codebook). The
+    checkpointed values are the identical det-rounded doubles, so codes are
+    bit-identical either way (pinned in tests/test_opt_r13.py).
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
@@ -417,6 +427,10 @@ def pq_encode(
 
     asg = None
     for i in range(iters):
+        if checkpoint_codebook and i == iters - 1:
+            # materialize the final codebook ONCE; the last assignment round
+            # (the returned codes) and the returned codebook both read it
+            cent = cent.localCheckpoint()
         cset = (
             cent.withColumn("_cn2", dot(F.col("_c"), F.col("_c")))
             .groupBy("sub")

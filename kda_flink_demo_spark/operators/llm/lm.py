@@ -9,18 +9,19 @@ counts are corpus-wide occurrence counts (with multiplicity — this is an LM,
 not a shingle set). High avg-NLL = surprising/incoherent text; pipelines drop
 the tail.
 
-Scale shape: the corpus explodes to (doc, w1, w2) positions once; the two
-count tables are vocabulary-bounded (≪ corpus) grouped aggregates with
-map-side partial combine; scoring is two equi-joins of the position stream
-against those tables and a final per-doc average. Four shuffles total, all on
-token-sized keys. ``join_on_hash`` swaps the join keys for xxhash64 longs
+Scale shape (r13): the corpus explodes to (doc, w1, w2) positions for the
+bigram-count aggregate (map-side partial combine; shuffled width = the bigram
+vocabulary, ≪ corpus) and once more for scoring; the unigram table is the
+MARGINAL of the bigram table (Σ_w2 c2 — integer-exact), so it never touches
+the corpus, and both counts pre-join into one (w1, w2) → nll lookup the
+position stream joins ONCE. ``join_on_hash`` swaps the join keys for xxhash64 longs
 (fixed 8-byte shuffle width) — same counts up to a ~2⁻⁶⁴ collision; the
 default stays on strings so the DuckDB oracle is collision-free.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kda_flink_demo_spark.functions import det_round, det_round_sql, spread_for_compute
@@ -64,16 +65,27 @@ def bigram_lm_score(
             F.xxhash64(F.col("w1")).alias("w1"),
             F.xxhash64(F.concat_ws("\x1f", "w1", "w2")).alias("w2"),
         )
+    # Optimization r13 (guide §2.3/§2.4): the unigram count is the marginal of
+    # the bigram count — c1(w1) = Σ_w2 c2(w1, w2), integer-exact — so it is a
+    # window sum OVER the VOCABULARY-sized c2 table instead of a second
+    # corpus-wide explode + aggregate (a groupBy+self-join spelling would
+    # duplicate the whole c2 subtree in the plan; the window keeps it single).
+    # Both counts collapse into one (w1, w2) → nll lookup the position stream
+    # joins ONCE, so the corpus is exploded twice (counts pass + scoring pass)
+    # and joined once, where the old plan exploded it three times and joined
+    # it twice. nll values are the identical doubles (same c2/c1 integers
+    # feeding the same ln()).
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    nll = -F.log(F.col("c2") / F.col("c1"))
+    c1 = F.sum("c2").over(Window.partitionBy("w1"))
+    nll_table = c2.select(
+        "w1", "w2", (-F.log(F.col("c2") / c1)).alias("_nll")
+    )
     return (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+        bg.join(nll_table, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg(nll).alias("_avg"),
+            F.avg("_nll").alias("_avg"),
         )
         .select(id_col, "n_bigrams", det_round(F.col("_avg"), 4).alias("avg_nll"))
     )

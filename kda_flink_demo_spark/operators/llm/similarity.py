@@ -468,6 +468,11 @@ def build_pq_index(
         .otherwise(F.col("_v"))
         .alias(vec_col),
     ).localCheckpoint()
+    # checkpoint_codebook: the training chain (seeds + iters-1 Lloyd rounds)
+    # runs ONCE under the codebook checkpoint inside pq_encode; the codes
+    # checkpoint below then pays only the final assignment scan. Without it,
+    # materializing codes AND codebook executed the training subtree twice
+    # (optimization r13; bit-identical outputs — same det-rounded doubles).
     codes, codebook = pq_encode(
         nv,
         m=m,
@@ -478,8 +483,9 @@ def build_pq_index(
         vec_col=vec_col,
         round_digits=round_digits,
         with_codebook=True,
+        checkpoint_codebook=True,
     )
-    return nv, codes.localCheckpoint(), codebook.localCheckpoint()
+    return nv, codes.localCheckpoint(), codebook
 
 
 def pq_adc_topk(

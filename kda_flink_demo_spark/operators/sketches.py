@@ -301,24 +301,17 @@ def cms_heavy_hitters_report(
     constant-size cell table per slice (`cms_state` / `merge_cms_states`)
     and probes candidates against the merged sketch — the exact companions
     here are the evidence cost, same tradeoff as quantile_sketch_report.
-    The trigram explode is CPU-heavy per row (the split re-evaluates per
-    gram under the higher-order transform), so the input spreads across
+    The trigram explode is CPU-heavy per row, so the input spreads across
     cores first — the dedup.py shingle-explode rule (4.6 s → 1.2 s at
     sf0.1 on the single-file fixture)."""
     from kda_flink_demo_spark.functions import spread_for_compute
+    from kda_flink_demo_spark.operators.llm.dedup import word_ngrams_with_multiplicity
 
     df = spread_for_compute(df)
-    toks = F.split(F.col(text_col), " ")
-    n = 3
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # multiplicity-preserving trigram stream via the shared arrays_zip builder
+    # (optimization r13: the old element_at-per-position lambda re-inlined the
+    # split 3× per gram — same fix and same output order as word_ngrams)
+    grams = word_ngrams_with_multiplicity(F.col(text_col), 3)
     terms = df.select(F.explode(grams).alias("term")).filter(F.col("term") != "")
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
     counts = counts.localCheckpoint()  # counts feeds N, cells, AND probes

@@ -139,3 +139,155 @@ def test_bm25_literal_vocab_prune_matches_broadcast_semantics(spark):
     # doc 4 (beta x3 + alpha) and doc 1 (alpha x2 + beta) must both outrank
     # the single-term doc 2
     assert ranks[2] == 3
+
+
+def test_word_ngrams_zip_shape_equals_element_at_shape(spark):
+    """r13: word_ngrams moved from the element_at-per-position lambda (which
+    re-inlines the split n× per gram) to arrays_zip-of-slices. Pin the new
+    shape against an inline replica of the OLD shape: same grams, same order,
+    same multiplicity semantics — over edge cases (NULL text, empty string,
+    shorter-than-n, exactly-n, repeated grams, multi-space artifacts)."""
+    from kda_flink_demo_spark.operators.llm.dedup import (
+        word_ngrams,
+        word_ngrams_with_multiplicity,
+    )
+
+    def old_ngrams_all(text, n):
+        toks = F.split(text, " ")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "one"),
+        (3, "a b"),
+        (4, "a b c"),                      # exactly n=3
+        (5, "a b c d e"),
+        (6, "x y x y x y x y"),            # repeated grams (multiplicity)
+        (7, "a  b   c d"),                 # consecutive spaces -> empty tokens
+        (8, " ".join(f"w{i % 4}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    for n in (1, 2, 3, 5, 10):
+        got = df.select(
+            "i",
+            word_ngrams_with_multiplicity(F.col("t"), n).alias("new_all"),
+            word_ngrams(F.col("t"), n).alias("new_distinct"),
+            old_ngrams_all(F.col("t"), n).alias("old_all"),
+            F.array_distinct(old_ngrams_all(F.col("t"), n)).alias("old_distinct"),
+        ).collect()
+        for r in got:
+            assert r.new_all == r.old_all, (n, r.i, r.new_all, r.old_all)
+            assert r.new_distinct == r.old_distinct, (n, r.i)
+
+
+def test_lm_bigram_window_marginal_equals_two_pass_counts(spark):
+    """r13: bigram_lm_score derives c1 as the window-sum marginal of c2
+    instead of a second corpus aggregate. Pin (n_bigrams, avg_nll) against an
+    inline replica of the OLD two-aggregate two-join shape on a corpus with
+    repeated bigrams, a 1-token doc (absent from output) and shared prefixes."""
+    from kda_flink_demo_spark.functions import det_round
+    from kda_flink_demo_spark.operators.llm import lm
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "solo"),
+        (3, "the cat sat on the mat"),
+        (4, "mat the cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def old_score(d):
+        bg = lm._bigram_positions(d, "text", "doc_id")
+        c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        nll = -F.log(F.col("c2") / F.col("c1"))
+        return (
+            bg.join(c2, ["w1", "w2"])
+            .join(c1, ["w1"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"), F.avg(nll).alias("_avg"))
+            .select("doc_id", "n_bigrams", det_round(F.col("_avg"), 4).alias("avg_nll"))
+        )
+
+    got = _rows(lm.bigram_lm_score(df))
+    want = _rows(old_score(df))
+    assert got == want, (got, want)
+    assert all(r[0] != 2 for r in got)  # the 1-token doc has no bigrams
+
+
+def test_pq_checkpoint_codebook_outputs_identical(spark):
+    """r13: build_pq_index checkpoints the final codebook BEFORE the last
+    assignment round is planned (training subtree runs once, 24 -> 16 jobs).
+    Pin codes AND codebook bit-identical to the unflagged shape."""
+    from kda_flink_demo_spark.io.sources import load_table
+    from kda_flink_demo_spark.operators.llm.embeddings import pq_encode
+
+    nv = load_table(spark, SF_DIR, "embeddings")
+    plain_codes, plain_cb = pq_encode(nv, with_codebook=True)
+    ck_codes, ck_cb = pq_encode(nv, with_codebook=True, checkpoint_codebook=True)
+    assert _rows(ck_codes) == _rows(plain_codes)
+    assert _rows(ck_cb) == _rows(plain_cb)
+
+
+def test_logreg_checkpointed_features_identical_scores(spark):
+    """r13: logreg_quality_score materializes the feature table once instead
+    of re-featurizing the corpus in every gradient round. Pin scores against
+    an inline replica of the OLD unmaterialized shape (NULL text + NULL label
+    rows included — the coalesce semantics must survive the checkpoint)."""
+    from kda_flink_demo_spark.operators.llm import classifier
+
+    rows = [
+        (0, "the cat sat on the mat and the dog ran", "en", 40),
+        (1, "abc def", "fr", 7),
+        (2, None, "en", None),
+        (3, "a of to in is the and", None, 21),
+        (4, "x " * 200, "en", 400),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+
+    def old_score(d):
+        feats = classifier._features(d, "text", F.col("lang") == F.lit("en"))
+        k = len(classifier._FEATS)
+        from kda_flink_demo_spark.functions import det_round
+
+        w = d.sparkSession.range(1).select(
+            *[F.lit(0.0).alias(f"w{i}") for i in range(k)]
+        )
+        for _ in range(3):
+            joined = feats.crossJoin(F.broadcast(w))
+            p = classifier._p_col()
+            grads = joined.agg(
+                *[
+                    det_round(F.avg((p - F.col("y")) * F.col(c)), 6).alias(f"g_{c}")
+                    for c in classifier._FEATS
+                ],
+                *[F.first(f"w{i}").alias(f"w{i}") for i in range(k)],
+            )
+            w = grads.select(
+                *[
+                    det_round(F.col(f"w{i}") - F.lit(1.0) * F.col(f"g_{c}"), 6).alias(f"w{i}")
+                    for i, c in enumerate(classifier._FEATS)
+                ]
+            )
+        scored = feats.crossJoin(F.broadcast(w))
+        p = classifier._p_col()
+        return scored.select(
+            "doc_id",
+            det_round(p, 6).alias("score"),
+            (det_round(p, 6) >= 0.5).alias("predicted"),
+            (F.col("y") == 1.0).alias("label"),
+        )
+
+    got = _rows(classifier.logreg_quality_score(df))
+    want = _rows(old_score(df))
+    assert got == want, (got, want)
