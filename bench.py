@@ -476,6 +476,16 @@ def main() -> None:
 
     slowest = dict(sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10])
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    # r14 (VERDICT r13 item 2): bench_full.json is overwritten by every run —
+    # the driver's low-cpu rerun used to clobber the 32-cpu per-query data, so
+    # PERF could never compute a per-query round-over-round comparison. Write
+    # a cpu-stamped copy alongside (bench_full_c<cpus>.json): each core count
+    # keeps its own latest per-query record, and committed copies give the
+    # next round a stable per-query anchor.
+    cpus_label = os.environ.get("SPARK_GRAFT_CPUS", "default")
+    stamped_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"bench_full_c{cpus_label}.json"
+    )
     with open(full_path, "w") as f:
         json.dump(
             {
@@ -509,6 +519,12 @@ def main() -> None:
             f,
             indent=1,
         )
+    import shutil
+
+    try:
+        shutil.copyfile(full_path, stamped_path)
+    except OSError:
+        pass  # the stamped copy is best-effort; never fail a finished run
     # LAST stdout line: compact (<1 KB) so the driver's tail capture parses it
     # (round 3's full 89-query map overflowed the ~2 KB tail capture). The full
     # per-query map + error strings live at the absolute path in "full".

@@ -178,7 +178,10 @@ def connected_components(
                 # +2: the label initialization is propagation round 1, loop
                 # iteration i is round i+2 — the count stays comparable with
                 # the pre-r13 probes (same graph → same reported rounds,
-                # executed with one fewer join+groupBy pass)
+                # executed with one fewer join+groupBy pass). One stats-only
+                # edge case (ADVICE r13): a graph of ONLY self-loop pairs
+                # converges at init, so this reports 2 where the pre-r13 code
+                # reported 1 — labels are identical either way.
                 stats["rounds"] = it + 2
             break
     if not converged:

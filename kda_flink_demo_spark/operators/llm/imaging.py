@@ -173,12 +173,22 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     add (both vectorized), Average/Paeth scan pixels left-to-right with the
     channel lanes vectorized — the spec's reconstruction is inherently
     sequential in x for those two."""
-    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(h, 1 + stride)
-    out = np.zeros((h, stride), dtype=np.uint8)
+    # ONE vectorized uint8→int64 conversion of the whole filtered raster and
+    # an int64 working matrix for the reconstruction (each row is masked to a
+    # byte as it is stored, so prior-row reads see the same 0..255 values the
+    # old per-row astype round-trip produced) — the per-row astype pair was
+    # most of the unfilter cost on small images
+    arr = (
+        np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride))
+        .reshape(h, 1 + stride)
+        .astype(np.int64)
+    )
+    out = np.zeros((h, stride), dtype=np.int64)
+    zero_row = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         ft = int(arr[y, 0])
-        row = arr[y, 1:].astype(np.int64)
-        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        row = arr[y, 1:]
+        prev = out[y - 1] if y else zero_row
         if ft == 0:
             rec = row
         elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] — lane cumsum
@@ -186,33 +196,33 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
         elif ft == 2:  # Up
             rec = row + prev
         elif ft == 3:  # Average: + floor((left + up) / 2), left is sequential
-            rec = np.zeros(stride, dtype=np.int64)
-            rowp, prevp = row.reshape(-1, bpp), prev.reshape(-1, bpp)
-            recp = rec.reshape(-1, bpp)
-            left = np.zeros(bpp, dtype=np.int64)
-            for x in range(rowp.shape[0]):
-                left = (rowp[x] + (left + prevp[x]) // 2) & 0xFF
-                recp[x] = left
+            # the spec's reconstruction is sequential in x, so true
+            # vectorization is impossible — plain-int loops beat a per-pixel
+            # loop of bpp-lane numpy micro-ops ~10× at this grain (each lane's
+            # left neighbour is simply byte i-bpp, so per-byte == per-lane)
+            rl, pl = row.tolist(), prev.tolist()
+            rec = [0] * stride
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rl[i] + (a + pl[i]) // 2) & 0xFF
         elif ft == 4:  # Paeth predictor over (left, up, up-left)
-            rec = np.zeros(stride, dtype=np.int64)
-            rowp, prevp = row.reshape(-1, bpp), prev.reshape(-1, bpp)
-            recp = rec.reshape(-1, bpp)
-            left = np.zeros(bpp, dtype=np.int64)
-            upleft = np.zeros(bpp, dtype=np.int64)
-            for x in range(rowp.shape[0]):
-                up = prevp[x]
-                p = left + up - upleft
-                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
-                )
-                left = (rowp[x] + pred) & 0xFF
-                recp[x] = left
-                upleft = up
+            rl, pl = row.tolist(), prev.tolist()
+            rec = [0] * stride
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                c = pl[i - bpp] if i >= bpp else 0
+                up = pl[i]
+                p = a + up - c
+                pa = p - a if p >= a else a - p
+                pb = p - up if p >= up else up - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (rl[i] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = rec & 0xFF
-    return out
+        # the list branches (Average/Paeth) mask as they go
+        out[y] = rec if type(rec) is list else rec & 0xFF
+    return out.astype(np.uint8)
 
 
 # Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass — each pass is
@@ -458,11 +468,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     uint8 palette indices (exactly ``n_pixels`` of them)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    # bit reader: GIF packs codes LSB-first
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
-    pos = 0
-    out = np.empty(n_pixels, dtype=np.uint8)
-    n_out = 0
+    # bit reader: GIF packs codes LSB-first — an int bit buffer refilled a
+    # byte at a time (the JPEG _BitReader lesson: plain-int bit ops beat a
+    # per-code numpy dot by ~10× at this grain), output accumulated in ONE
+    # bytearray instead of a numpy slice-store per LZW entry
+    n_data = len(data)
+    pos = bitbuf = nbits = 0
+    out = bytearray()
 
     def fresh_table() -> list[bytes]:
         return [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -470,11 +482,16 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     table = fresh_table()
     width = min_code_size + 1
     prev: bytes | None = None
-    while n_out < n_pixels:
-        if pos + width > bits.size:
-            raise ValueError("truncated GIF LZW stream")
-        code = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.int64)))
-        pos += width
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= n_data:
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
         if code == clear:
             table = fresh_table()
             width = min_code_size + 1
@@ -496,13 +513,11 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
             raise ValueError("bad GIF LZW code")
         if len(table) == (1 << width) and width < 12:
             width += 1
-        take = min(len(entry), n_pixels - n_out)
-        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
-        n_out += take
+        out += entry
         prev = entry
-    if n_out != n_pixels:
+    if len(out) < n_pixels:
         raise ValueError("GIF LZW stream ended early")
-    return out
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
@@ -660,20 +675,34 @@ def encode_gif(
     return bytes(out)
 
 
+_G711_TABLE_MEMO: dict[str, np.ndarray] = {}
+
+
 def _g711_ulaw_table() -> np.ndarray:
     """256-entry μ-law byte → linear PCM16 table (G.711 decode expansion:
-    invert, split sign/exponent/mantissa, ((m<<3)+0x84)<<e − 0x84)."""
+    invert, split sign/exponent/mantissa, ((m<<3)+0x84)<<e − 0x84).
+    Memoized — the table is a pure constant and was rebuilt per payload on
+    the decode path."""
+    t = _G711_TABLE_MEMO.get("ulaw")
+    if t is not None:
+        return t
     u = np.arange(256, dtype=np.int64) ^ 0xFF
     sign = (u & 0x80) != 0
     exponent = (u >> 4) & 0x07
     mantissa = u & 0x0F
     mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
-    return np.where(sign, -mag, mag)
+    t = np.where(sign, -mag, mag)
+    _G711_TABLE_MEMO["ulaw"] = t
+    return t
 
 
 def _g711_alaw_table() -> np.ndarray:
     """256-entry A-law byte → linear PCM16 table (G.711: XOR 0x55, segment 0
-    is (m<<4)+8, segment s≥1 is ((m<<4)+0x108)<<(s−1))."""
+    is (m<<4)+8, segment s≥1 is ((m<<4)+0x108)<<(s−1)). Memoized like the
+    μ-law table."""
+    t = _G711_TABLE_MEMO.get("alaw")
+    if t is not None:
+        return t
     a = np.arange(256, dtype=np.int64) ^ 0x55
     sign = (a & 0x80) != 0
     exponent = (a >> 4) & 0x07
@@ -681,7 +710,9 @@ def _g711_alaw_table() -> np.ndarray:
     mag = np.where(
         exponent == 0, (mantissa << 4) + 8, ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0)
     )
-    return np.where(sign, mag, -mag)
+    t = np.where(sign, mag, -mag)
+    _G711_TABLE_MEMO["alaw"] = t
+    return t
 
 
 def _g711_encode(samples16: np.ndarray, law: str) -> bytes:
@@ -803,6 +834,12 @@ def _decode_wav_adpcm(b: bytes, block_align: int, n_samples: int | None) -> np.n
         off += 8 + size + (size & 1)
     if data is None:
         raise ValueError("ADPCM WAV missing data chunk")
+    # _ima_step inlined with plain-int tables and if-chains: the adaptive
+    # recursion is sequential by construction (each nibble's predictor feeds
+    # the next), so the win is cutting per-nibble call/numpy-scalar overhead,
+    # not vectorizing — ~2× on the decode kernel, bit-identical arithmetic
+    steps = _IMA_STEPS.tolist()
+    idx_delta = _IMA_INDEX.tolist()
     out: list[int] = []
     for boff in range(0, len(data) - 3, block_align):
         block = data[boff : boff + block_align]
@@ -811,7 +848,24 @@ def _decode_wav_adpcm(b: bytes, block_align: int, n_samples: int | None) -> np.n
         out.append(pred)
         for byte in block[4:]:
             for nibble in (byte & 0x0F, byte >> 4):
-                pred, index = _ima_step(pred, index, nibble)
+                step = steps[index]
+                diff = step >> 3
+                if nibble & 1:
+                    diff += step >> 2
+                if nibble & 2:
+                    diff += step >> 1
+                if nibble & 4:
+                    diff += step
+                pred = pred - diff if nibble & 8 else pred + diff
+                if pred > 32767:
+                    pred = 32767
+                elif pred < -32768:
+                    pred = -32768
+                index += idx_delta[nibble]
+                if index < 0:
+                    index = 0
+                elif index > 88:
+                    index = 88
                 out.append(pred)
     if n_samples is not None:
         out = out[:n_samples]
@@ -905,20 +959,32 @@ def _decode_wav_ms_adpcm(
     through the 16-entry table with the spec's C-division semantics and the
     16 floor."""
     out: list[int] = []
+    # _c_div / clamps inlined (sequential adaptive recursion — same rationale
+    # as the IMA loop above; C truncate-toward-zero semantics preserved)
     for boff in range(0, len(data) - 6, block_align):
         block = data[boff : boff + block_align]
         ipred, delta, samp1, samp2 = struct.unpack_from("<Bhhh", block, 0)
         c1, c2 = coefs[ipred] if ipred < len(coefs) else coefs[0]
+        c1, c2 = int(c1), int(c2)
         out.append(samp2)  # the OLDER seed plays first
         out.append(samp1)
         for byte in block[7:]:
             for nibble in (byte >> 4, byte & 0x0F):  # HIGH nibble first
                 signed = nibble - 16 if nibble >= 8 else nibble
-                pred = _c_div(samp1 * c1 + samp2 * c2, 256)
-                sample = max(-32768, min(32767, pred + delta * signed))
+                acc = samp1 * c1 + samp2 * c2
+                sample = (acc // 256 if acc >= 0 else -((-acc) // 256)) + delta * signed
+                if sample > 32767:
+                    sample = 32767
+                elif sample < -32768:
+                    sample = -32768
                 out.append(sample)
                 samp2, samp1 = samp1, sample
-                delta = max(16, _c_div(_MS_ADAPT[nibble] * delta, 256))
+                # floor-div is safe here: it differs from the spec's truncate
+                # only for a negative product (hostile negative header delta),
+                # and both round down past the 16 floor then anyway
+                delta = (_MS_ADAPT[nibble] * delta) // 256
+                if delta < 16:
+                    delta = 16
     if n_samples is not None:
         out = out[:n_samples]
     return np.array(out, dtype=np.float64) / 32768.0

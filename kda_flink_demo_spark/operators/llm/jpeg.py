@@ -43,9 +43,17 @@ workers — partition-local, never on the driver.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
+
+# restart markers 0xFFD0..0xFFD7 (see _unstuff_chunks for why split-first is
+# the only safe order)
+_RST_SPLIT = re.compile(b"\xff[\xd0-\xd7]")
+
+# end-of-scan: 0xFF followed by a non-stuffing, non-restart byte
+_SCAN_END = re.compile(b"\xff[^\x00\xd0-\xd7]")
 
 # zigzag order: zigzag_index -> (row, col) flattened natural index
 _ZIGZAG = np.array([
@@ -227,26 +235,19 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def _unstuff_chunks(scan: bytes) -> list[bytes]:
-    """Entropy bytes → restart-delimited chunks with 0xFF00 stuffing removed."""
-    chunks = []
-    cur = bytearray()
-    p = 0
-    while p < len(scan):
-        if scan[p] == 0xFF and p + 1 < len(scan):
-            nxt = scan[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                chunks.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-        cur.append(scan[p])
-        p += 1
-    chunks.append(bytes(cur))
-    return chunks
+    """Entropy bytes → restart-delimited chunks with 0xFF00 stuffing removed.
+
+    Byte-level, not per-byte Python: split on restart markers FIRST (inside a
+    scan every 0xFF is either stuffing 0xFF00 or a restart 0xFFD0–D7 — the SOS
+    extent scan already stopped at any other marker), then strip the stuffing
+    zero bytes per chunk with one ``replace``. Splitting must come first: a
+    stuffed 0xFF directly followed by a literal 0xD0 data byte (… FF 00 D0 …)
+    would otherwise turn into a false restart marker after the replace. The
+    split pattern itself can never match inside a stuffed pair (its second
+    byte is 0x00, outside D0–D7). A trailing lone 0xFF stays a literal byte,
+    exactly like the old per-byte walk."""
+    parts = _RST_SPLIT.split(scan)
+    return [p.replace(b"\xff\x00", b"\xff") for p in parts]
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -336,11 +337,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, np.ndarray]:
                     if c["id"] == cs:
                         in_scan.append((ci, tables >> 4, tables & 0x0F))
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
-            p = off + ln
-            while p + 1 < len(b) and not (
-                b[p] == 0xFF and b[p + 1] != 0x00 and not (0xD0 <= b[p + 1] <= 0xD7)
-            ):
-                p += 1
+            # scan extent: first 0xFF whose next byte is a real marker (not
+            # stuffing 0x00, not a restart D0–D7) — a regex jump, not a
+            # per-byte Python walk over the entropy segment; the pattern
+            # requires a following byte, so a lone trailing 0xFF stays inside
+            # the scan exactly like the old p+1 < len(b) loop bound
+            m = _SCAN_END.search(b, off + ln)
+            p = m.start() if m else max(off + ln, len(b) - 1)
             # LUTs only for the tables this scan's components reference,
             # memoized on table contents — unchanged tables across a
             # multi-scan progressive file are expanded once, not per SOS
@@ -441,6 +444,90 @@ def _scan_lut(scan, key):
     return lut
 
 
+def _decode_seq_units(data: bytes, blocks, bi: int, count: int, dc_lut, ac_lut) -> None:
+    """Fused sequential decode of ``count`` data units from ONE restart chunk
+    into ``blocks[bi : bi + count]`` — the _BitReader + _decode_seq_block pair
+    with all state in locals. The entropy loop is the decoder's honest hot
+    spot (module docstring) and the per-symbol method-call version spent more
+    time on attribute access and call frames than on bit math; this form is
+    bit-identical by construction: same byte fills (virtual 0xFF padding, same
+    32-bit mask), same limit checks, same error conditions in the same order."""
+    dc_sym, dc_len = dc_lut
+    ac_sym, ac_len = ac_lut
+    n_data = len(data)
+    limit = 8 * n_data
+    bitbuf = nbits = byte_pos = 0
+    pred = 0
+    for zz in blocks[bi : bi + count]:
+        # DC: Huffman symbol, then its magnitude bits
+        while nbits < 16:
+            bitbuf = (
+                (bitbuf << 8) | (data[byte_pos] if byte_pos < n_data else 0xFF)
+            ) & 0xFFFFFFFF
+            byte_pos += 1
+            nbits += 8
+        peek = (bitbuf >> (nbits - 16)) & 0xFFFF
+        ln = dc_len[peek]
+        if ln == 0 or byte_pos * 8 - nbits + ln > limit:
+            raise ValueError("bad JPEG Huffman code")
+        nbits -= ln
+        s = dc_sym[peek]
+        if s:
+            if s > 16:  # corrupt DHT value — same gate as _BitReader.read_bits
+                raise ValueError(f"bad JPEG bit-read width {s}")
+            while nbits < s:
+                bitbuf = (
+                    (bitbuf << 8) | (data[byte_pos] if byte_pos < n_data else 0xFF)
+                ) & 0xFFFFFFFF
+                byte_pos += 1
+                nbits += 8
+            if byte_pos * 8 - nbits + s > limit:
+                raise ValueError("truncated JPEG entropy stream")
+            nbits -= s
+            v = (bitbuf >> nbits) & ((1 << s) - 1)
+            pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        zz[0] = pred
+        # AC run/size symbols to EOB
+        k = 1
+        while k < 64:
+            while nbits < 16:
+                bitbuf = (
+                    (bitbuf << 8) | (data[byte_pos] if byte_pos < n_data else 0xFF)
+                ) & 0xFFFFFFFF
+                byte_pos += 1
+                nbits += 8
+            peek = (bitbuf >> (nbits - 16)) & 0xFFFF
+            ln = ac_len[peek]
+            if ln == 0 or byte_pos * 8 - nbits + ln > limit:
+                raise ValueError("bad JPEG Huffman code")
+            nbits -= ln
+            rs = ac_sym[peek]
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("JPEG AC run overflows block")
+            sz = rs & 0x0F
+            if sz:
+                while nbits < sz:
+                    bitbuf = (
+                        (bitbuf << 8) | (data[byte_pos] if byte_pos < n_data else 0xFF)
+                    ) & 0xFFFFFFFF
+                    byte_pos += 1
+                    nbits += 8
+                if byte_pos * 8 - nbits + sz > limit:
+                    raise ValueError("truncated JPEG entropy stream")
+                nbits -= sz
+                v = (bitbuf >> nbits) & ((1 << sz) - 1)
+                zz[k] = v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+            else:
+                zz[k] = 0
+            k += 1
+
+
 def _decode_seq_block(reader, zz, pred, dc_lut, ac_lut) -> int:
     """One sequential (DC+AC) data unit; returns the updated DC predictor."""
     s = reader.read_symbol(dc_lut)
@@ -479,11 +566,9 @@ def _decode_baseline_scan(scan, comps, coef, mcus_x, mcus_y) -> None:
         for chunk in scan["chunks"]:
             if bi >= len(blocks):
                 break
-            reader = _BitReader(chunk)
-            pred = 0
-            for _ in range(min(per_chunk, len(blocks) - bi)):
-                pred = _decode_seq_block(reader, blocks[bi], pred, dc_lut, ac_lut)
-                bi += 1
+            count = min(per_chunk, len(blocks) - bi)
+            _decode_seq_units(chunk, blocks, bi, count, dc_lut, ac_lut)
+            bi += count
         if bi != len(blocks):
             raise ValueError("JPEG entropy stream ended before all MCUs")
         return
@@ -637,6 +722,9 @@ def _ac_refine_block(reader, ac_lut, zz, ss, se, al, eobrun) -> int:
     decode_mcu_AC_refine structure). Returns the remaining EOB run."""
     p1 = 1 << al
     m1 = -1 << al
+    # per-coefficient history checks/refinements run on a plain-int list copy
+    # (numpy int64 scalar reads dominated the refine loop), written back once
+    zl = zz.tolist()
     k = ss
     if eobrun == 0:
         while k <= se:
@@ -652,24 +740,25 @@ def _ac_refine_block(reader, ac_lut, zz, ss, se, al, eobrun) -> int:
                 break  # EOB-mode tail handled below
             # advance over the run, refining nonzero-history coefficients
             while k <= se:
-                if zz[k] != 0:
-                    if reader.read_bits(1) and (zz[k] & p1) == 0:
-                        zz[k] += p1 if zz[k] >= 0 else m1
+                if zl[k] != 0:
+                    if reader.read_bits(1) and (zl[k] & p1) == 0:
+                        zl[k] += p1 if zl[k] >= 0 else m1
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
             if val and k <= se:
-                zz[k] = val
+                zl[k] = val
             k += 1
     if eobrun > 0:
         while k <= se:  # EOB mode: refine the remaining nonzero coefficients
-            if zz[k] != 0:
-                if reader.read_bits(1) and (zz[k] & p1) == 0:
-                    zz[k] += p1 if zz[k] >= 0 else m1
+            if zl[k] != 0:
+                if reader.read_bits(1) and (zl[k] & p1) == 0:
+                    zl[k] += p1 if zl[k] >= 0 else m1
             k += 1
         eobrun -= 1
+    zz[ss : se + 1] = zl[ss : se + 1]
     return eobrun
 
 

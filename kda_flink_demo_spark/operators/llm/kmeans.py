@@ -38,16 +38,12 @@ extension per the build brief).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from kda_flink_demo_spark.functions import det_round, det_round_sql
-from kda_flink_demo_spark.operators.llm.similarity import (
-    _as_double,
-    dot,
-    embedding_near_dup_pairs,
-)
+from kda_flink_demo_spark.functions import det_round_sql
+from kda_flink_demo_spark.operators.llm.similarity import embedding_near_dup_pairs
 
 
 def kmeans_assign(
@@ -64,23 +60,42 @@ def kmeans_assign(
     means assign → update → assign → update → assign).
 
     ``keep_vec=True`` retains the double-cast vector as ``_v`` for downstream
-    within-cluster work (e.g. :func:`semantic_dedup_pairs`)."""
-    base = (
-        df.select(
-            F.col(id_col).cast("long").alias(id_col),
-            _as_double(F.col(vec_col)).alias("_v"),
-        )
-        .withColumn("_vn2", dot(F.col("_v"), F.col("_v")))
-    )
+    within-cluster work (e.g. :func:`semantic_dedup_pairs`).
+
+    Construction note (optimization r14, guide §4 — shrink the Python↔JVM
+    boundary): the per-round expressions are built as SQL strings
+    (selectExpr / F.expr), not Column-object trees. Each higher-order-function
+    lambda built through the Column API costs a cascade of py4j round-trips,
+    and the 3-round unrolled plan paid ~0.5 s of pure driver-side
+    construction before any job ran; one SQL parse per round replaces
+    hundreds of round-trips. The parsed expressions are the SAME resolved
+    trees the Column API produced (same literals — `0.0D`/`2.0D` doubles,
+    same operator order, same struct field order), so every computed value is
+    bit-identical; pinned by test_opt_r14's old-shape replica."""
+    scale = f"{float(10 ** round_digits)!r}D"
+
+    def rnd(e: str) -> str:
+        # det_round as SQL: floor((e) * scale + 0.5) / scale, double literals
+        return f"floor(({e}) * {scale} + 0.5D) / {scale}"
+
+    def dot_sql(a: str, b: str) -> str:
+        # similarity.dot as SQL: the same sequential fold
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+    base = df.selectExpr(
+        f"CAST({id_col} AS LONG) AS {id_col}",
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS _v",
+    ).selectExpr("*", f"{dot_sql('_v', '_v')} AS _vn2")
 
     # deterministic seeds: k smallest md5(id); TakeOrdered, not a global sort
-    w0 = Window.orderBy("_h", id_col)
     cent = (
-        base.select(id_col, "_v", F.md5(F.col(id_col).cast("string")).alias("_h"))
+        base.selectExpr(id_col, "_v", f"md5(CAST({id_col} AS STRING)) AS _h")
         .orderBy("_h", id_col)
         .limit(k)
-        .withColumn("cluster", (F.row_number().over(w0) - 1).cast("long"))
-        .select("cluster", F.col("_v").alias("_c"))
+        .selectExpr(
+            f"CAST(row_number() OVER (ORDER BY _h, {id_col}) - 1 AS LONG) AS cluster",
+            "_v AS _c",
+        )
     )
 
     asg = None
@@ -90,40 +105,28 @@ def kmeans_assign(
         # ZERO corpus shuffle per round (a groupBy-argmin over the k-way cross
         # join would shuffle N·k vector-carrying rows instead)
         cset = (
-            cent.withColumn("_cn2", dot(F.col("_c"), F.col("_c")))
+            cent.selectExpr("cluster", "_c", f"{dot_sql('_c', '_c')} AS _cn2")
             .groupBy()
-            .agg(F.collect_list(F.struct("cluster", "_c", "_cn2")).alias("_cs"))
+            .agg(F.expr("collect_list(struct(cluster, _c, _cn2))").alias("_cs"))
         )
-        best = F.array_min(
-            F.transform(
-                F.col("_cs"),
-                lambda s: F.struct(
-                    det_round(
-                        F.col("_vn2") + s["_cn2"] - F.lit(2.0) * dot(F.col("_v"), s["_c"]),
-                        round_digits,
-                    ).alias("_d2"),
-                    s["cluster"].alias("cluster"),
-                ),
-            )
+        d2 = rnd(f"_vn2 + s._cn2 - 2.0D * {dot_sql('_v', 's._c')}")
+        best = (
+            f"array_min(transform(_cs, s -> named_struct("
+            f"'_d2', {d2}, 'cluster', s.cluster)))"
         )
         asg = (
             base.crossJoin(broadcast(cset))
-            .withColumn("_m", best)
-            .select(
-                id_col,
-                F.col("_m.cluster").alias("cluster"),
-                F.col("_m._d2").alias("dist2"),
-                "_v",
-            )
+            .selectExpr("*", f"{best} AS _m")
+            .selectExpr(id_col, "_m.cluster AS cluster", "_m._d2 AS dist2", "_v")
         )
         if i < iters - 1:
             cent = (
-                asg.select("cluster", F.posexplode("_v").alias("pos", "x"))
+                asg.selectExpr("cluster", "posexplode(_v) AS (pos, x)")
                 .groupBy("cluster", "pos")
-                .agg(det_round(F.avg("x"), round_digits).alias("m"))
+                .agg(F.expr(rnd("avg(x)")).alias("m"))
                 .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
-                .select("cluster", F.transform("_pm", lambda s: s["m"]).alias("_c"))
+                .agg(F.expr("array_sort(collect_list(struct(pos, m)))").alias("_pm"))
+                .selectExpr("cluster", "transform(_pm, s -> s.m) AS _c")
             )
     out = asg
     if not keep_vec:

@@ -1791,6 +1791,14 @@ def q_sketch_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     slices = [sketch_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+    # AUDITED r14 (the pq_index_build double-execution pattern): sketch_report
+    # consumes the merged table twice (broadcast anchor + main rows), so a
+    # localCheckpoint here was tried. It cut the job count 16 → 14 but
+    # measured consistently SLOWER in wall (0.63 → 0.71 s BABA at matched
+    # calibs): AQE's runtime exchange reuse already shares the merged
+    # aggregate between the two consumers, so the checkpoint only added a
+    # hard materialization barrier + driver round-trips. Rejected; the
+    # single-plan shape stays.
     report = sketch_report(merge_sketch_states(*slices))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("distinct_ids_exact")

@@ -92,6 +92,15 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     except TypeError:
         seen = False
     if seen:
+        # Single-canary assumption (ADVICE r13, stated explicitly): after the
+        # first full application, ONLY the UTC session timezone is re-verified
+        # per call. It is the one ENGINE_CONF runtime conf whose silent loss
+        # flips query RESULTS vs the oracle (window boundaries); the others
+        # are perf-shaping (AQE/broadcast/shuffle sizing — a slow query, not a
+        # wrong one) or fail LOUDLY when lost (nanosAsLong: the events scan
+        # throws PARQUET_TYPE_ILLEGAL, never returns wrong rows). An external
+        # owner resetting a non-canary conf between calls therefore cannot
+        # corrupt results; it is re-applied on the next fresh-session wrap.
         try:
             if spark.conf.get("spark.sql.session.timeZone", "") == "UTC":
                 return spark

@@ -1,0 +1,124 @@
+"""Round-14 optimization equivalence pins: every restructure that changed an
+operator's internals must produce bit-identical output to the shape it
+replaced (the oracle re-checks externally; these tests pin the equivalence
+at the operator level, including edge cases the fixtures don't hit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("opt-r14-tests")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _kmeans_assign_column_api(df, k, iters, id_col, vec_col, round_digits, keep_vec):
+    """Inline replica of the pre-r14 Column-object kmeans_assign (the shape
+    the selectExpr rewrite replaced) — used to pin bit-identity."""
+    from kda_flink_demo_spark.functions import det_round
+    from kda_flink_demo_spark.operators.llm.similarity import _as_double, dot
+
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_vn2", dot(F.col("_v"), F.col("_v")))
+    w0 = Window.orderBy("_h", id_col)
+    cent = (
+        base.select(id_col, "_v", F.md5(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .withColumn("cluster", (F.row_number().over(w0) - 1).cast("long"))
+        .select("cluster", F.col("_v").alias("_c"))
+    )
+    asg = None
+    for i in range(iters):
+        cset = (
+            cent.withColumn("_cn2", dot(F.col("_c"), F.col("_c")))
+            .groupBy()
+            .agg(F.collect_list(F.struct("cluster", "_c", "_cn2")).alias("_cs"))
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda s: F.struct(
+                    det_round(
+                        F.col("_vn2") + s["_cn2"] - F.lit(2.0) * dot(F.col("_v"), s["_c"]),
+                        round_digits,
+                    ).alias("_d2"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        asg = (
+            base.crossJoin(F.broadcast(cset))
+            .withColumn("_m", best)
+            .select(
+                id_col,
+                F.col("_m.cluster").alias("cluster"),
+                F.col("_m._d2").alias("dist2"),
+                "_v",
+            )
+        )
+        if i < iters - 1:
+            cent = (
+                asg.select("cluster", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(det_round(F.avg("x"), round_digits).alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+                .select("cluster", F.transform("_pm", lambda s: s["m"]).alias("_c"))
+            )
+    return asg if keep_vec else asg.drop("_v")
+
+
+def test_kmeans_selectexpr_equals_column_api(spark):
+    """The r14 selectExpr-built kmeans plan computes the exact doubles and
+    cluster ids of the Column-API shape it replaced, at more than one (k,
+    iters) and including keep_vec."""
+    from kda_flink_demo_spark.operators.llm.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for k, iters in ((10, 3), (4, 1), (3, 2)):
+        new = kmeans_assign(emb, k=k, iters=iters)
+        old = _kmeans_assign_column_api(
+            emb, k, iters, "vec_id", "embedding", 6, keep_vec=False
+        )
+        assert _rows(new) == _rows(old), f"kmeans mismatch at k={k}, iters={iters}"
+    new_v = kmeans_assign(emb, k=5, iters=2, keep_vec=True)
+    old_v = _kmeans_assign_column_api(emb, 5, 2, "vec_id", "embedding", 6, keep_vec=True)
+    assert _rows(new_v.select("vec_id", "cluster", "dist2", "_v")) == _rows(
+        old_v.select("vec_id", "cluster", "dist2", "_v")
+    )
+
+
+def test_semantic_dedup_pairs_unchanged_by_selectexpr_kmeans(spark):
+    """semantic_dedup_pairs (kmeans blocking + within-cluster cosine) yields
+    the same pairs through the rewritten kmeans front half."""
+    from kda_flink_demo_spark.operators.llm.kmeans import semantic_dedup_pairs
+    from kda_flink_demo_spark.operators.llm.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    new = semantic_dedup_pairs(emb, k=6, iters=2, threshold=0.3)
+    old_asg = _kmeans_assign_column_api(emb, 6, 2, "vec_id", "embedding", 6, keep_vec=True)
+    old = embedding_near_dup_pairs(
+        old_asg.select("vec_id", "cluster", F.col("_v").alias("embedding")),
+        block_col="cluster",
+        threshold=0.3,
+    )
+    assert _rows(new) == _rows(old)
