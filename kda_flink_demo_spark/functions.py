@@ -31,6 +31,33 @@ def det_round_np(arr, digits: int):
     return np.floor(np.asarray(arr, dtype="float64") * scale + 0.5) / scale
 
 
+def narrow_checkpoint(df, rows_per_partition: int):
+    """``localCheckpoint`` + size-adaptive ``coalesce`` — the INVERSE of
+    ``spread_for_compute`` for the small derived tables the big-corpus
+    kernels produce (hash/signature/edge tables: a few bytes per row after a
+    CPU-heavy decode or shingle pass).
+
+    The producing stage is deliberately wide (decode parallelism == scan
+    parallelism), so the checkpointed result inherits ~defaultParallelism
+    partitions; every downstream micro-stage over the (tiny at fixture scale)
+    table then launches that many near-empty tasks — measured ~2× the
+    per-batch wall on the quarter-block join pipelines at sf0.1. The row
+    count rides the checkpoint's own job (Observation — zero extra jobs) and
+    the partition target derives from it, so a corpus-scale table keeps its
+    width: scale-adaptive, no local-mode constant. ``coalesce`` on a
+    checkpointed table is a narrow re-bucketing of materialized partitions —
+    values, order within partitions, and every downstream result are
+    unchanged."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    want = max(1, -(-obs.get["n"] // rows_per_partition))
+    if want < ck.rdd.getNumPartitions():
+        return ck.coalesce(want)
+    return ck
+
+
 def spread_for_compute(df):
     """Ensure enough partitions for CPU-bound per-row kernels (shingle
     explodes, Arrow UDFs) WITHOUT paying a full-row shuffle when the source is

@@ -22,8 +22,15 @@ here a DuckDB recursive CTE CAN serve as the oracle at test scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+from kda_flink_demo_spark.functions import narrow_checkpoint
+
+# target edge rows per partition for the size-adaptive narrow (see
+# connected_components: ~25 bytes/edge → ~5 MB partitions; a fixture-scale
+# graph collapses to one task per stage, a 100 TB graph stays wide)
+_EDGES_PER_PARTITION = 200_000
 
 
 def _loop_join_big(n_nodes: int, threshold: int = 100_000) -> bool:
@@ -82,11 +89,21 @@ def connected_components(
     propagation rounds actually run (≈ graph diameter; the r10 chain-depth
     probe records it against designed long-chain corpora)."""
     del checkpoint_every  # superseded: every round checkpoints (see docstring)
-    edges = (
+    # Job hygiene (optimization r14, guide §1.2 — the loop was job-floor-bound:
+    # 29 Spark jobs / 2.1 s for a 3-round fixture graph): every count the loop
+    # needs now rides the checkpoint action it follows as an Observation
+    # (CollectMetrics — computed during the SAME job, exact, task-retry-safe),
+    # so the per-round convergence probe job, the node-count job, and the
+    # edge-count job all disappear. The edge list is additionally COALESCED to
+    # a size-derived partition count (~200k edges/partition): a fixture-scale
+    # graph otherwise launches 32 near-empty map tasks per round per stage,
+    # while a billion-edge graph keeps its width — scale-adaptive, no
+    # local-mode constant.
+    edges = narrow_checkpoint(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        _EDGES_PER_PARTITION,
     )
     # Initial labels fold the FIRST propagation round into the node-discovery
     # aggregate (optimization r13): label₀(u) = min(u, min over neighbors v) —
@@ -96,6 +113,7 @@ def connected_components(
     # identical labels (a fixpoint is unchanged; the first loop iteration
     # below sees precisely the old round-1 output). NULL nodes keep their own
     # NULL label (the old LEFT-join behavior): least() would skip the NULL.
+    n_obs = Observation()
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("_nmin0"))
@@ -105,15 +123,16 @@ def connected_components(
             .otherwise(F.least("u", "_nmin0"))
             .alias("label"),
         )
+        .observe(n_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     # loop-aware join strategy: at fixture scale Catalyst broadcasts the tiny
     # label table and that IS fastest — but the broadcast repeats EVERY round
     # and builds on the driver, so past the node threshold both per-round
     # joins are pinned to spill-safe sort-merge (see _loop_join_big). The
-    # count is one cheap job on the already-checkpointed label table.
+    # node count rides the init checkpoint's own job (Observation).
     hinted = (
-        (lambda df: df.hint("merge")) if _loop_join_big(labels.count()) else (lambda df: df)
+        (lambda df: df.hint("merge")) if _loop_join_big(n_obs.get["n"]) else (lambda df: df)
     )
     converged = False
     for it in range(max_iter):
@@ -126,10 +145,35 @@ def connected_components(
         # degenerate graph with NULL ids must keep such nodes on their own
         # label (as the previous union+groupBy-min formulation did), not drop
         # them through an inner equi-join.
-        neighbor_min = (
+        # Neighbor-min AND the old-vs-new comparison in ONE aggregate
+        # (optimization r14): the node's own label rides the neighbor stream
+        # as a tagged union row, so the old `labels LEFT JOIN neighbor_min`
+        # attach disappears — one join + one groupBy per round instead of
+        # two joins + one groupBy. `_nmin` (min over the untagged rows) and
+        # `_old` (the single tagged row) are exactly the old join's columns,
+        # so labels and the convergence flag are bit-identical; NULL nodes
+        # are forced to keep their own label below, which reproduces the old
+        # null-rejecting equi-join behavior.
+        contrib = (
             edges.join(hinted(labels.withColumnRenamed("u", "v")), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("_nmin"))
+            .select("u", "label", F.lit(False).alias("_own"))
+            .union(labels.select("u", "label", F.lit(True).alias("_own")))
+        )
+        half = (
+            contrib.groupBy("u")
+            .agg(
+                F.max(F.when(F.col("_own"), F.col("label"))).alias("label"),
+                F.min(F.when(~F.col("_own"), F.col("label"))).alias("_nmin"),
+            )
+            .select(
+                "u",
+                "label",
+                # a NULL node's neighbor-min never attached through the old
+                # equi-join (NULL ≠ NULL); reproduce that exactly
+                F.when(F.col("u").isNull(), F.lit(None))
+                .otherwise(F.col("_nmin"))
+                .alias("_nmin"),
+            )
         )
         # pointer jumping (label-of-label through the PREVIOUS round's
         # checkpointed mapping): new[u] = min(prev[u], neighbor min,
@@ -139,7 +183,8 @@ def connected_components(
         # O(log d); a fixpoint of the jumped update is also a fixpoint of
         # plain propagation, so converged labels are still exact component
         # minima (property-tested against the DuckDB transitive closure).
-        half = labels.join(hinted(neighbor_min), "u", "left")
+        c_obs = Observation()
+        any_changed = F.sum(F.col("_changed").cast("long")).alias("n_changed")
         if it < 2:
             # the jump join only pays off on DEEP graphs: early rounds'
             # label-of-label shortcuts at most one hop the next neighbor-min
@@ -152,11 +197,17 @@ def connected_components(
             # the jump starting at effective round 4 exactly as before —
             # shallow graphs stay on the cheap path, deep chains still get
             # O(log d) doubling (max_iter keeps ~2^17 headroom)
-            new_labels = half.select(
-                "u",
-                F.least("label", "_nmin").alias("label"),
-                F.coalesce(F.col("_nmin") < F.col("label"), F.lit(False)).alias("_changed"),
-            ).localCheckpoint()
+            new_labels = (
+                half.select(
+                    "u",
+                    F.least("label", "_nmin").alias("label"),
+                    F.coalesce(F.col("_nmin") < F.col("label"), F.lit(False)).alias(
+                        "_changed"
+                    ),
+                )
+                .observe(c_obs, any_changed)
+                .localCheckpoint()
+            )
         else:
             jump = labels.select(F.col("u").alias("_j_from"), F.col("label").alias("_j_to"))
             new_labels = (
@@ -168,9 +219,12 @@ def connected_components(
                         F.least("_nmin", "_j_to") < F.col("label"), F.lit(False)
                     ).alias("_changed"),
                 )
+                .observe(c_obs, any_changed)
                 .localCheckpoint()  # eager: the round's shuffles run exactly once
             )
-        changed = new_labels.filter("_changed").limit(1).count()
+        # the convergence probe rides the checkpoint job above (Observation);
+        # sum-of-changed == 0 is exactly the old "no _changed row exists"
+        changed = c_obs.get["n_changed"] or 0
         labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True

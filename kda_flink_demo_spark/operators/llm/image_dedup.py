@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from kda_flink_demo_spark.functions import narrow_checkpoint
+
 AHASH_SCHEMA = "doc_id long, ahash long"
 
 
@@ -288,7 +290,9 @@ def image_near_dup_pairs(
     # the CPU-heavy per-image decode mapInPandas feeds BOTH sides of the
     # self-join and can run twice (the simhash_pairs lesson; r08 review
     # finding). Eager construction cost, measured like every standing build.
-    hashes = image_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    hashes = narrow_checkpoint(
+        image_ahash(df, id_col=id_col, payload_col=payload_col), 500_000
+    )
     return hash_near_dup_pairs(hashes, max_hamming=max_hamming)
 
 
@@ -366,7 +370,9 @@ def image_near_dup_edges(
     """Linear-sized clustering edges over the image corpus (one decode+hash
     scan, then hash_near_dup_edges) — feed this to connected_components /
     dedup_clusters instead of the quadratic image_near_dup_pairs output."""
-    hashes = image_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    hashes = narrow_checkpoint(
+        image_ahash(df, id_col=id_col, payload_col=payload_col), 500_000
+    )
     return hash_near_dup_edges(hashes, max_hamming=max_hamming)
 
 
@@ -446,7 +452,9 @@ def audio_near_dup_pairs(
     """Near-duplicate audio pairs via the shared quarter-blocked machinery
     over the energy-envelope fingerprint (volume-scaled or lightly-noised
     re-encodes of the same clip collide; different envelopes don't)."""
-    hashes = audio_ahash(df, id_col=id_col, payload_col=payload_col).localCheckpoint()
+    hashes = narrow_checkpoint(
+        audio_ahash(df, id_col=id_col, payload_col=payload_col), 500_000
+    )
     return hash_near_dup_pairs(hashes, max_hamming=max_hamming)
 
 
@@ -543,7 +551,7 @@ def video_near_dup_pairs(
     over the temporal-majority fingerprint."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")  # mirrors video_ahash
-    hashes = video_ahash(
-        df, id_col=id_col, payload_col=payload_col, stride=stride
-    ).localCheckpoint()
+    hashes = narrow_checkpoint(
+        video_ahash(df, id_col=id_col, payload_col=payload_col, stride=stride), 500_000
+    )
     return hash_near_dup_pairs(hashes, max_hamming=max_hamming)

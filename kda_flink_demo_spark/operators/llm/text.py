@@ -1012,20 +1012,25 @@ def bpe_merge_train(
         pairs = adj.groupBy(
             F.col("p.l").alias("l"), F.col("p.r").alias("r")
         ).agg(F.sum("wc").alias("cnt"))
-        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).localCheckpoint()
-        step_out = best.select(
-            F.lit(s).cast("long").alias("step"),
-            F.col("l").alias("pair_left"),
-            F.col("r").alias("pair_right"),
-            F.concat("l", "r").alias("merged"),
-            F.col("cnt").cast("long").alias("pair_count"),
-        )
-        out = step_out if out is None else out.unionByName(step_out)
+        # argmax stays LAZY (optimization r14): the round's one materialization
+        # is the merged-vocab checkpoint below, which already executes the
+        # pair aggregate + TakeOrdered exactly once inside its broadcast —
+        # checkpointing `best` separately was a second job per round for a
+        # 1-row table. The step's report row is read back from the constant
+        # columns the broadcast left on the checkpointed vocab (limit(1) over
+        # materialized data; all rows carry the same values by construction),
+        # so every pair aggregate still runs exactly once at any scale. The
+        # LAST round has no merged vocab; its lazy argmax has a single
+        # consumer (the output union) and executes inside the final action.
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
         if s < steps:
             b = best.select(
-                F.lit(1).alias("_j"), F.col("l").alias("_l"), F.col("r").alias("_r")
+                F.lit(1).alias("_j"),
+                F.col("l").alias("_l"),
+                F.col("r").alias("_r"),
+                F.col("cnt").alias("_cnt"),
             )
-            cur = (
+            merged = (
                 cur.withColumn("_j", F.lit(1))
                 .join(F.broadcast(b), "_j", "left")
                 .select(
@@ -1033,9 +1038,36 @@ def bpe_merge_train(
                     _bpe_merge_fold(
                         F.col("toks"), F.col("_l"), F.col("_r")
                     ).alias("toks"),
+                    "_l",
+                    "_r",
+                    "_cnt",
                 )
                 .localCheckpoint()
             )
+            # a degenerate corpus with no pair this round leaves NULL
+            # constants (left join against an empty argmax) — the old shape
+            # emitted NO step row then, so filter the NULL row out
+            step_out = (
+                merged.limit(1)
+                .where(F.col("_l").isNotNull())
+                .select(
+                    F.lit(s).cast("long").alias("step"),
+                    F.col("_l").alias("pair_left"),
+                    F.col("_r").alias("pair_right"),
+                    F.concat("_l", "_r").alias("merged"),
+                    F.col("_cnt").cast("long").alias("pair_count"),
+                )
+            )
+            cur = merged.select("wc", "toks")
+        else:
+            step_out = best.select(
+                F.lit(s).cast("long").alias("step"),
+                F.col("l").alias("pair_left"),
+                F.col("r").alias("pair_right"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        out = step_out if out is None else out.unionByName(step_out)
     assert out is not None
     return out
 

@@ -314,12 +314,25 @@ def cms_heavy_hitters_report(
     grams = word_ngrams_with_multiplicity(F.col(text_col), 3)
     terms = df.select(F.explode(grams).alias("term")).filter(F.col("term") != "")
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    counts = counts.localCheckpoint()  # counts feeds N, cells, AND probes
-    n_total = counts.agg(F.sum("exact_cnt").alias("_n"))
+    # counts feeds N, cells, AND probes. A narrow_checkpoint here was tried
+    # (r14) and REJECTED by ABAB probe: it cut 8 jobs to 6 but the coalesce
+    # serialized the depth-way md5 cell pass onto one core (execute 0.60 ->
+    # 0.91 s) - the downstream work per vocab row is CPU (4 md5s), not
+    # per-task overhead, so this table must keep its width.
+    counts = counts.localCheckpoint()
+    # N rides the cells table (optimization r14): every term contributes its
+    # exact count to EXACTLY ONE bucket per hash row d, so the per-d total
+    # Σ_bucket cnt(d, ·) equals Σ exact_cnt = N — an exact integer identity.
+    # A window total per d inside the (depth·width)-row broadcast subtree
+    # replaces the separate counts-wide n_total aggregate and its
+    # crossJoin(broadcast) (one fewer subtree execution + broadcast job).
+    from pyspark.sql import Window as _W
+
     cells = (
         _with_cms_cells(counts, "term", depth, width)
         .groupBy("d", "bucket")
         .agg(F.sum("exact_cnt").alias("cnt"))
+        .withColumn("_n", F.sum("cnt").over(_W.partitionBy("d")))
     )
     from pyspark.sql import Window
 
@@ -337,13 +350,15 @@ def cms_heavy_hitters_report(
     est = (
         probed.join(F.broadcast(cells), ["d", "bucket"])
         .groupBy("term", "rank", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
+        # every joined cell row carries the same _n (= N for its d, and all
+        # per-d totals equal N), so min() reads it back deterministically
+        .agg(F.min("cnt").alias("cms_est"), F.min("_n").alias("_n"))
     )
     # ε = e/width; integerized as err · width ≤ 3 · N (3 > e, so the boolean
     # is implied by the published bound whenever the bound holds — and being
     # an observed integer fact, the oracle recomputes it exactly either way)
     return (
-        est.crossJoin(F.broadcast(n_total))
+        est
         .select(
             "term",
             "rank",

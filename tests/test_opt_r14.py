@@ -122,3 +122,54 @@ def test_semantic_dedup_pairs_unchanged_by_selectexpr_kmeans(spark):
         threshold=0.3,
     )
     assert _rows(new) == _rows(old)
+
+
+def test_cc_union_agg_round_equals_ground_truth(spark):
+    """The r14 round rewrite (own label rides the neighbor stream as a tagged
+    union row; neighbor-min + old-label attach in ONE aggregate, convergence
+    via Observation) yields exact component minima on chains, stars, deep
+    chains (jump rounds exercised), self-loops, and NULL-id rows — and the
+    reported round count stays the r13 convention."""
+    from kda_flink_demo_spark.operators.llm.clustering import connected_components
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        [(5, 2), (2, 9), (9, 1), (1, 7)],
+        [(10, 11), (10, 12), (10, 13), (20, 21)],
+        [(i, i + 1) for i in range(100, 180)],     # deep chain: jump path
+        [(7, 7), (8, 9)],                          # self-loop + edge
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        stats: dict = {}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, stats=stats).collect()
+        }
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comps = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+        assert got == comps
+        assert stats["rounds"] >= 2
+
+
+def test_cc_union_agg_round_null_ids(spark):
+    """NULL-id endpoints keep their own NULL label (the old null-rejecting
+    equi-join behavior) and never adopt a neighbor's label through the
+    grouped NULL bucket."""
+    from kda_flink_demo_spark.operators.llm.clustering import connected_components
+
+    df = spark.createDataFrame(
+        [(None, 3), (3, 4), (8, 9)], "doc_a long, doc_b long"
+    )
+    rows = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert rows[3] == 3 and rows[4] == 3 and rows[8] == 8 and rows[9] == 8
+    assert None in rows and rows[None] is None
