@@ -382,44 +382,49 @@ def pq_encode(
     checkpointed values are the identical det-rounded doubles, so codes are
     bit-identical either way (pinned in tests/test_opt_r13.py).
     """
-    from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
     from kda_flink_demo_spark.functions import spread_for_compute
-    from kda_flink_demo_spark.operators.llm.similarity import _as_double, dot
+
+    # Construction note (optimization r14, same rationale as kmeans_assign):
+    # per-round expressions are SQL strings, not Column-object lambda trees —
+    # one parse per round instead of hundreds of py4j round-trips; the parsed
+    # expressions are the same resolved trees (double literals, operator
+    # order, struct field order), so codes/dist2/codebook are bit-identical
+    # (oracle hash-checks recompute the exact doubles; pq tests unchanged).
+    scale = f"{float(10 ** round_digits)!r}D"
+
+    def rnd(e: str) -> str:
+        return f"floor(({e}) * {scale} + 0.5D) / {scale}"
+
+    def dot_sql(a: str, b: str) -> str:
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
 
     # the per-row argmin is a k-struct fold over subdim-length dot products —
     # CPU-heavy enough that a single-file input (1 scan partition) pins every
     # Lloyd round to one core; spread first (the dedup.py shingle rule)
     df = spread_for_compute(df)
     base = (
-        df.select(
-            F.col(id_col).cast("long").alias(id_col),
-            _as_double(F.col(vec_col)).alias("_v"),
+        df.selectExpr(
+            f"CAST({id_col} AS LONG) AS {id_col}",
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS _v",
         )
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-            F.col("_v"),
-        )
-        .select(
-            id_col,
-            "sub",
-            F.slice(F.col("_v"), F.col("sub") * subdim + 1, F.lit(subdim)).alias("_sv"),
-        )
-        .withColumn("_svn2", dot(F.col("_sv"), F.col("_sv")))
+        .selectExpr(id_col, f"explode(sequence(0, {m - 1})) AS sub", "_v")
+        .selectExpr(id_col, "sub", f"slice(_v, sub * {subdim} + 1, {subdim}) AS _sv")
+        .selectExpr("*", f"{dot_sql('_sv', '_sv')} AS _svn2")
     )
 
-    w0 = Window.orderBy("_h", id_col)
     seeds = (
-        df.select(
-            F.col(id_col).cast("long").alias(id_col),
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        df.selectExpr(
+            f"CAST({id_col} AS LONG) AS {id_col}",
+            f"md5(CAST({id_col} AS STRING)) AS _h",
         )
         .orderBy("_h", id_col)
         .limit(k)
-        .withColumn("cluster", (F.row_number().over(w0) - 1).cast("long"))
-        .select(id_col, "cluster")
+        .selectExpr(
+            id_col,
+            f"CAST(row_number() OVER (ORDER BY _h, {id_col}) - 1 AS LONG) AS cluster",
+        )
     )
     cent = base.join(broadcast(seeds), id_col).select(
         "sub", "cluster", F.col("_sv").alias("_c")
@@ -432,42 +437,30 @@ def pq_encode(
             # (the returned codes) and the returned codebook both read it
             cent = cent.localCheckpoint()
         cset = (
-            cent.withColumn("_cn2", dot(F.col("_c"), F.col("_c")))
+            cent.selectExpr("sub", "cluster", "_c", f"{dot_sql('_c', '_c')} AS _cn2")
             .groupBy("sub")
-            .agg(F.collect_list(F.struct("cluster", "_c", "_cn2")).alias("_cs"))
+            .agg(F.expr("collect_list(struct(cluster, _c, _cn2))").alias("_cs"))
         )
-        best = F.array_min(
-            F.transform(
-                F.col("_cs"),
-                lambda s: F.struct(
-                    det_round(
-                        F.col("_svn2") + s["_cn2"] - F.lit(2.0) * dot(F.col("_sv"), s["_c"]),
-                        round_digits,
-                    ).alias("_d2"),
-                    s["cluster"].alias("cluster"),
-                ),
-            )
+        d2 = rnd(f"_svn2 + s._cn2 - 2.0D * {dot_sql('_sv', 's._c')}")
+        best = (
+            f"array_min(transform(_cs, s -> named_struct("
+            f"'_d2', {d2}, 'cluster', s.cluster)))"
         )
         asg = (
             base.join(broadcast(cset), "sub")
-            .withColumn("_m", best)
-            .select(
-                id_col,
-                "sub",
-                F.col("_m.cluster").alias("code"),
-                F.col("_m._d2").alias("dist2"),
-                "_sv",
-                "_svn2",
+            .selectExpr("*", f"{best} AS _m")
+            .selectExpr(
+                id_col, "sub", "_m.cluster AS code", "_m._d2 AS dist2", "_sv", "_svn2"
             )
         )
         if i < iters - 1:
             cent = (
-                asg.select("sub", F.col("code").alias("cluster"), F.posexplode("_sv").alias("pos", "x"))
+                asg.selectExpr("sub", "code AS cluster", "posexplode(_sv) AS (pos, x)")
                 .groupBy("sub", "cluster", "pos")
-                .agg(det_round(F.avg("x"), round_digits).alias("mn"))
+                .agg(F.expr(rnd("avg(x)")).alias("mn"))
                 .groupBy("sub", "cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_pm"))
-                .select("sub", "cluster", F.transform("_pm", lambda s: s["mn"]).alias("_c"))
+                .agg(F.expr("array_sort(collect_list(struct(pos, mn)))").alias("_pm"))
+                .selectExpr("sub", "cluster", "transform(_pm, s -> s.mn) AS _c")
             )
     codes = asg.select(id_col, F.col("sub").cast("long").alias("sub"), "code", "dist2")
     if with_codebook:
