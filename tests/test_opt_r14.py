@@ -173,3 +173,54 @@ def test_cc_union_agg_round_null_ids(spark):
     rows = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert rows[3] == 3 and rows[4] == 3 and rows[8] == 8 and rows[9] == 8
     assert None in rows and rows[None] is None
+
+
+def test_narrow_checkpoint_values_and_partitions(spark):
+    """narrow_checkpoint returns the exact same rows as a plain
+    localCheckpoint and coalesces a small wide table to the derived
+    partition count (while leaving a big-enough table's width alone)."""
+    from kda_flink_demo_spark.functions import narrow_checkpoint
+
+    df = spark.range(0, 1000, 1, 8).selectExpr("id", "id % 7 AS k")
+    ck = narrow_checkpoint(df, 500)
+    assert _rows(ck) == _rows(df)
+    assert ck.rdd.getNumPartitions() == 2  # ceil(1000 / 500)
+    wide = narrow_checkpoint(spark.range(0, 100, 1, 4), 10)
+    assert wide.rdd.getNumPartitions() == 4  # want 10 parts > current 4: keep
+
+
+def test_bpe_train_degenerate_corpus_emits_no_step_rows(spark):
+    """A corpus whose vocabulary runs out of adjacent pairs mid-training
+    emits NO row for the pair-less steps (the pre-r14 behavior the lazy-argmax
+    rewrite must reproduce: the constant columns come back NULL from the left
+    join and the step row is filtered, never a NULL-pair row)."""
+    from kda_flink_demo_spark.operators.llm.text import bpe_encode, bpe_merge_train
+
+    # one 2-char word: step 1 merges ("a","b"), steps 2..4 have no pairs
+    df = spark.createDataFrame([(1, "ab x y z")], "doc_id long, text string")
+    merges = bpe_merge_train(df, steps=4)
+    rows = sorted(tuple(r) for r in merges.collect())
+    assert rows == [(1, "a", "b", "ab", 1)]
+    # and the encoder still applies the single learned merge
+    enc = {r["doc_id"]: r["tokens_text"] for r in bpe_encode(df, steps=4).collect()}
+    assert enc[1] == "ab|x|y|z"
+
+
+def test_cms_window_total_equals_stream_total(spark):
+    """The r14 N-rides-cells identity: for every hash row d, the per-d cell
+    total equals the total trigram stream count (each term lands in exactly
+    one bucket per d) — and the report's within_bound therefore uses the same
+    N the old counts-wide aggregate computed."""
+    from kda_flink_demo_spark.operators.sketches import cms_heavy_hitters_report
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * (i % 3 + 1))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    rep = cms_heavy_hitters_report(df, k=10).collect()
+    assert len(rep) == 10
+    # CMS never undercounts; the designed corpus stays inside the bound
+    assert all(r["err"] >= 0 for r in rep)
+    assert all(r["within_bound"] for r in rep)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rep)
