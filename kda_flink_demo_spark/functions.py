@@ -47,7 +47,13 @@ def narrow_checkpoint(df, rows_per_partition: int):
     width: scale-adaptive, no local-mode constant. ``coalesce`` on a
     checkpointed table is a narrow re-bucketing of materialized partitions —
     values, order within partitions, and every downstream result are
-    unchanged."""
+    unchanged.
+
+    Rule of thumb (r14, ABAB-measured): narrow ONLY tables whose downstream
+    work is per-task overhead (equality joins, bit_count verifies). When the
+    downstream is CPU-per-row, the coalesce serializes it and loses — the cms
+    md5 cell pass went 0.60 → 0.91 s and the minhash signature pandas-UDF
+    1.10 → 1.62 s under a narrow; both were reverted."""
     from pyspark.sql import Observation
 
     obs = Observation()
